@@ -1,13 +1,55 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Relational
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q2_topk_orders"     -> (Relational.q2TopkOrders _),
+    "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
+    "q19_hourly_events"  -> (Relational.q19HourlyEvents _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q2_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+         FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC
+         LIMIT 10""",
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.03 AND 0.07
+           AND l_quantity < 24""",
+    "q19_hourly_events" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n_events,
+         round(sum(value), 2) AS sum_value
+         FROM events
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
+  )
 }
