@@ -12,10 +12,27 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
-    "q2_topk_orders"     -> (Relational.q2TopkOrders _),
-    "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
-    "q19_hourly_events"  -> (Relational.q19HourlyEvents _),
+    "q1_pricing_summary"   -> (Relational.q1PricingSummary _),
+    "q2_topk_orders"       -> (Relational.q2TopkOrders _),
+    "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "q4_order_priority"    -> (Relational.q4OrderPriority _),
+    "q5_local_supplier"    -> (Relational.q5LocalSupplier _),
+    "q6_forecast_revenue"  -> (Relational.q6ForecastRevenue _),
+    "q7_running_sum"       -> (Relational.q7RunningSum _),
+    "q8_rank_parts"        -> (Relational.q8RankParts _),
+    "q9_rollup"            -> (Relational.q9Rollup _),
+    "q10_distinct_counts"  -> (Relational.q10DistinctCounts _),
+    "q11_anti_join"        -> (Relational.q11AntiJoin _),
+    "q12_semi_join"        -> (Relational.q12SemiJoin _),
+    "q13_order_histogram"  -> (Relational.q13OrderHistogram _),
+    "q14_promo_share"      -> (Relational.q14PromoShare _),
+    "q15_union_accounts"   -> (Relational.q15UnionAccounts _),
+    "q16_having"           -> (Relational.q16Having _),
+    "q17_small_quantity"   -> (Relational.q17SmallQuantity _),
+    "q18_large_orders"     -> (Relational.q18LargeOrders _),
+    "q19_hourly_events"    -> (Relational.q19HourlyEvents _),
+    "q20_user_lag"         -> (Relational.q20UserLag _),
+    "q21_approx_distinct"  -> (Relational.q21ApproxDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,6 +54,38 @@ object SparkEntry {
          FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC
          LIMIT 10""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING'
+           AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1998-06-01'
+           AND l_shipdate  > TIMESTAMP '1998-06-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey ASC
+         LIMIT 10""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders
+         WHERE EXISTS (
+           SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey
+             AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+    "q5_local_supplier" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1998-01-01'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
     "q6_forecast_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
          FROM lineitem
@@ -44,6 +93,93 @@ object SparkEntry {
            AND l_shipdate <  TIMESTAMP '1997-01-01'
            AND l_discount BETWEEN 0.03 AND 0.07
            AND l_quantity < 24""",
+    "q7_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+         FROM orders
+         WHERE o_custkey < 100
+         ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "q8_rank_parts" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+           SELECT p_brand, p_partkey, p_retailprice,
+           row_number() OVER (PARTITION BY p_brand
+             ORDER BY p_retailprice DESC, p_partkey) AS rk
+           FROM part) t
+         WHERE rk <= 3
+         ORDER BY p_brand, rk""",
+    "q9_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+         round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+         FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "q10_distinct_counts" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps,
+                count(DISTINCT l_orderkey) AS n_orders,
+                count(*) AS n_rows
+         FROM lineitem""",
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (
+           SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey
+             AND o_orderdate < TIMESTAMP '1996-01-01')
+         ORDER BY c_custkey""",
+    "q12_semi_join" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE EXISTS (
+           SELECT 1 FROM lineitem
+           WHERE l_partkey = p_partkey AND l_quantity >= 48)
+         ORDER BY p_partkey""",
+    "q13_order_histogram" ->
+      """SELECT c_count, count(*) AS n_custs FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+           GROUP BY c_custkey) t
+         GROUP BY c_count
+         ORDER BY n_custs DESC, c_count DESC""",
+    "q14_promo_share" ->
+      """SELECT round(
+           sum(CASE WHEN p_type = 'PROMO'
+               THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0
+           / sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_share
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey
+           AND l_shipdate >= TIMESTAMP '1996-04-01'
+           AND l_shipdate <  TIMESTAMP '1996-07-01'""",
+    "q15_union_accounts" ->
+      """SELECT src, count(*) AS n_accounts, round(sum(bal), 2) AS sum_bal
+         FROM (SELECT 'customer' AS src, c_acctbal AS bal FROM customer
+               UNION ALL
+               SELECT 'supplier' AS src, s_acctbal AS bal FROM supplier) t
+         GROUP BY src
+         ORDER BY src""",
+    "q16_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_spend
+         FROM orders
+         GROUP BY o_custkey
+         HAVING count(*) >= 15
+         ORDER BY n_orders DESC, o_custkey""",
+    "q17_small_quantity" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM lineitem,
+              (SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
+               FROM lineitem GROUP BY l_partkey) a
+         WHERE l_partkey = ap_partkey AND l_quantity < avg_qty * 0.2""",
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+         FROM orders, customer,
+              (SELECT l_orderkey AS bo_orderkey, round(sum(l_quantity), 2) AS sum_qty
+               FROM lineitem GROUP BY l_orderkey) b
+         WHERE o_orderkey = bo_orderkey AND sum_qty > 300 AND o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 100""",
     "q19_hourly_events" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
          count(*) AS n_events,
@@ -51,5 +187,15 @@ object SparkEntry {
          FROM events
          GROUP BY 1, 2
          ORDER BY 1, 2""",
+    "q20_user_lag" ->
+      """SELECT user_id, event_id, ts, value,
+         round(coalesce(lag(value) OVER w, 0.0), 2) AS prev_value,
+         round(value - coalesce(lag(value) OVER w, 0.0), 2) AS delta
+         FROM events
+         WHERE user_id < 50
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, ts, event_id""",
+    // q21_approx_distinct: no oracle — DuckDB's HLL differs from Spark's
+    // HLL++; the driver records a rows-only check.
   )
 }

@@ -2,23 +2,27 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
-/** §2.2 relational query pack — probe slice.
+/** §2.2 relational query pack (SURVEY.md R1–R20).
   *
   * Conventions (driver compare is column-name + value-hash based):
   *  - every computed column is aliased identically here and in the oracle;
-  *  - double aggregates are rounded to 2 decimals on BOTH sides so
-  *    summation-order ulp drift can't flip the hash;
-  *  - every result has a total deterministic order key set (the driver may
-  *    sort rows, but top-k/limit queries must be deterministic BEFORE the
-  *    limit, so ties are always broken by a unique key).
+  *  - double aggregates are rounded (2dp money, 6dp ratios) on BOTH sides
+  *    so summation-order ulp drift can't flip the hash;
+  *  - top-k queries always break ties on a unique key so the limit is
+  *    deterministic before the cut.
+  *
+  * Scale notes are per-query; the shared rules: filters/projections sit
+  * directly on the parquet scan (Catalyst pushes them down), genuinely
+  * small dimensions (region/nation/supplier) are broadcast, fact-fact
+  * joins shuffle on their join key and rely on AQE for skew/plan fixes.
   */
 object Relational {
 
   /** R2: multi-aggregate hash aggregation (TPC-H Q1 pattern).
-    * Scale: partial (map-side) aggregation on 6 grouping values → tiny
-    * shuffle regardless of input size. */
+    * Scale: map-side partial agg onto 6 groups → tiny shuffle. */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
@@ -33,14 +37,67 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
-  /** R10: top-k by total order value; ties broken by key so the limit is
-    * deterministic. Scale: TakeOrderedAndProject — no full sort. */
+  /** R10: top-k by order value. Scale: TakeOrderedAndProject (per-partition
+    * heap + merge of 10 rows), never a full sort. */
   def q2TopkOrders(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, dir)
       .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
       .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
       .limit(10)
+  }
+
+  /** R4: dim⋈fact⋈fact join + agg + top-k (TPC-H Q3 pattern).
+    * Scale: customer is filtered 1/5 before the join; orders⋈lineitem
+    * shuffles on orderkey; AQE may convert to broadcast when small. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val c = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+    val o = Tables.orders(spark, dir).filter($"o_orderdate" < cutoff)
+    val l = Tables.lineitem(spark, dir).filter($"l_shipdate" > cutoff)
+    c.join(o, $"c_custkey" === $"o_custkey")
+      .join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  /** R6 variant: conditional EXISTS semi-join + agg (TPC-H Q4 pattern):
+    * orders with at least one line shipped >60 days after order date. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    o.join(l, $"o_orderkey" === $"l_orderkey" &&
+              $"l_shipdate" > expr("o_orderdate + INTERVAL 60 DAYS"), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** R5: 6-table join (TPC-H Q5 pattern). Scale: region/nation/supplier
+    * are bounded dims → broadcast; the orders⋈lineitem fact join shuffles
+    * on orderkey. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = Tables.region(spark, dir).filter($"r_name" === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    c.join(broadcast(n.join(broadcast(r), $"n_regionkey" === $"r_regionkey")),
+           $"c_nationkey" === $"n_nationkey")
+      .join(o, $"c_custkey" === $"o_custkey")
+      .join(l, $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(s), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
   }
 
   /** R1: filter+project pushed to the parquet scan, single scalar agg. */
@@ -53,8 +110,157 @@ object Relational {
       .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"))
   }
 
-  /** R19: batch tumbling-window aggregation over the events stream table.
-    * Scale: date_trunc is codegen'd; grouping keys are bounded. */
+  /** R11: running (cumulative) sum per customer. Scale: one shuffle on
+    * the partition key, sort within partitions, no driver state. */
+  def q7RunningSum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter($"o_custkey" < 100)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("running_spend", round(sum($"o_totalprice").over(w), 2))
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  /** R12: top-3 per group via row_number. */
+  def q8RankParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+    Tables.part(spark, dir)
+      .select($"p_brand", $"p_partkey", $"p_retailprice")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .orderBy($"p_brand", $"rk")
+  }
+
+  /** R14: rollup subtotals; grouping nulls projected to 'ALL' so both
+    * engines agree on subtotal-row representation. */
+  def q9Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+              coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+              $"sum_qty", $"n_rows")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  /** R15: exact distinct counts (expand-based multi-distinct). */
+  def q10DistinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir).agg(
+      countDistinct($"l_partkey").as("n_parts"),
+      countDistinct($"l_suppkey").as("n_supps"),
+      countDistinct($"l_orderkey").as("n_orders"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  /** R7: anti-join (customers with no 1995 order). */
+  def q11AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o95 = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+    Tables.customer(spark, dir)
+      .join(o95, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** R6: semi-join (parts ever shipped in quantity ≥ 48). */
+  def q12SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, dir).filter($"l_quantity" >= 48)
+    Tables.part(spark, dir)
+      .join(big, $"p_partkey" === $"l_partkey", "left_semi")
+      .select($"p_partkey", $"p_name")
+      .orderBy($"p_partkey")
+  }
+
+  /** R8: left outer join + two-level aggregation (TPC-H Q13 pattern):
+    * distribution of urgent-order counts per customer, zeros included. */
+  def q13OrderHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = Tables.orders(spark, dir).filter($"o_orderpriority" === "1-URGENT")
+    Tables.customer(spark, dir)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy($"n_custs".desc, $"c_count".desc)
+  }
+
+  /** R16: conditional aggregation (promo revenue share, TPC-H Q14). */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-04-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1996-07-01").cast("timestamp"))
+    val p = Tables.part(spark, dir)
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .agg(round(
+        sum(when($"p_type" === "PROMO", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .otherwise(lit(0.0))) * 100.0 /
+        sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 6).as("promo_share"))
+  }
+
+  /** R17: union of heterogeneous sources + aggregation. */
+  def q15UnionAccounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+      .select(lit("customer").as("src"), $"c_acctbal".as("bal"))
+    val s = Tables.supplier(spark, dir)
+      .select(lit("supplier").as("src"), $"s_acctbal".as("bal"))
+    c.unionAll(s)
+      .groupBy($"src")
+      .agg(count(lit(1)).as("n_accounts"), round(sum($"bal"), 2).as("sum_bal"))
+      .orderBy($"src")
+  }
+
+  /** R3: group-by + having. */
+  def q16Having(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total_spend"))
+      .filter($"n_orders" >= 15)
+      .orderBy($"n_orders".desc, $"o_custkey")
+  }
+
+  /** R9: correlated scalar subquery re-expressed as an aggregate join
+    * (TPC-H Q17): revenue lost to small-quantity orders. Quantities are
+    * integral doubles, so 0.2*avg is bit-identical across engines. */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir)
+    val avgQ = l.groupBy($"l_partkey".as("ap_partkey"))
+      .agg(avg($"l_quantity").as("avg_qty"))
+    l.join(avgQ, $"l_partkey" === $"ap_partkey")
+      .filter($"l_quantity" < $"avg_qty" * 0.2)
+      .agg(round(sum($"l_extendedprice") / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** R18: group-having-in (TPC-H Q18): orders whose total quantity
+    * exceeds 300, with customer context. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir)
+    val bigOrders = l.groupBy($"l_orderkey".as("bo_orderkey"))
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"))
+      .filter($"sum_qty" > 300)
+    Tables.orders(spark, dir)
+      .join(bigOrders, $"o_orderkey" === $"bo_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+              $"o_totalprice", $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  /** R19: batch tumbling-window aggregation over the events table. */
   def q19HourlyEvents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
@@ -62,5 +268,27 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
            round(sum($"value"), 2).as("sum_value"))
       .orderBy($"hour", $"event_type")
+  }
+
+  /** R13: lag/lead over an event stream, per user. Nulls from the frame
+    * edge are coalesced identically on both sides. */
+  def q20UserLag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .filter($"user_id" < 50)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("prev_value", round(coalesce(lag($"value", 1).over(w), lit(0.0)), 2))
+      .withColumn("delta", round($"value" - coalesce(lag($"value", 1).over(w), lit(0.0)), 2))
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
+  /** R20: approximate distinct (HLL++) next to the exact count. No SQL
+    * oracle — DuckDB's approx sketch differs; driver does rows-only. */
+  def q21ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir).agg(
+      approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+      countDistinct($"l_partkey").as("exact_parts"))
   }
 }
