@@ -130,7 +130,7 @@ object Relational {
     val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
     Tables.part(spark, dir)
       .select($"p_brand", $"p_partkey", $"p_retailprice")
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= 3)
       .orderBy($"p_brand", $"rk")
   }
