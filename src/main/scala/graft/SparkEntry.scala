@@ -3,6 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.Relational
 import graft.text.TextAnalysis
+import graft.dedup.{ExactDedup, MinHashDedup, SimHashDedup, NgramJaccard, EmbeddingDedup}
+import graft.sim.{Knn, LshAnn}
+import graft.ml.MlQueries
+import graft.multimodal.MultimodalOps
+import graft.streaming.Sessionization
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -38,6 +43,21 @@ object SparkEntry {
     "p9_quality"           -> (TextAnalysis.quality _),
     "p10_token_counts"     -> (TextAnalysis.tokenCounts _),
     "p11_fingerprint"      -> (TextAnalysis.fingerprint _),
+    "p1_dedup_exact"       -> (ExactDedup.query _),
+    "p1b_dedup_summary"    -> (ExactDedup.summaryQuery _),
+    "p2_minhash_pairs"     -> (MinHashDedup.query _),
+    "p3_simhash_pairs"     -> (SimHashDedup.query _),
+    "p4_ngram_jaccard"     -> (NgramJaccard.query _),
+    "p5_embedding_dedup"   -> (EmbeddingDedup.query _),
+    "p6_knn_bruteforce"    -> (Knn.query _),
+    "p7_ann_lsh"           -> (LshAnn.query _),
+    "m1_svm_binary_eval"   -> (MlQueries.svmBinaryEval _),
+    "m2_kernel_values"     -> (MlQueries.kernelValues _),
+    "m3_svm_multiclass_eval" -> (MlQueries.svmMulticlassEval _),
+    "m4_icf_factor"        -> (MlQueries.icfFactor _),
+    "mm1_media_features"   -> (MultimodalOps.mediaFeatures _),
+    "mm2_frame_sample"     -> (MultimodalOps.frameSample _),
+    "q22_sessions"         -> (Sessionization.sessionsBatch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -235,5 +255,98 @@ object SparkEntry {
     "p11_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
+    "p1_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+         FROM documents
+         GROUP BY md5(text) HAVING count(*) > 1
+         ORDER BY keep_id""",
+    "p1b_dedup_summary" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
+                count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+         FROM documents""",
+    // p2/p3/p4/p7: Spark-seeded xxhash64 LSH isn't SQL-mirrorable →
+    // rows-only checks; specs plant duplicates and measure recall.
+    "p5_embedding_dedup" ->
+      """SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cs
+           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) t
+         WHERE cs >= 0.4
+         ORDER BY id_a, id_b""",
+    "p6_knn_bruteforce" ->
+      """SELECT query_id, neighbor_id, rank, round(cs, 6) AS cos_sim FROM (
+           SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+           FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cs
+             FROM embeddings q, embeddings c
+             WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id) t1) t2
+         WHERE rank <= 10
+         ORDER BY query_id, rank""",
+    // m1/m3 (iterative SVM fits) and m4 (ICF) aren't SQL-expressible →
+    // rows-only checks; MlSpec covers them with planted-geometry oracles.
+    "m2_kernel_values" ->
+      """SELECT id_a, id_b,
+         round(dot, 6) AS k_linear,
+         round(power(0.01 * dot + 1.0, 2), 6) AS k_poly,
+         round(exp(-0.1 * sqd), 6) AS k_rbf,
+         round(exp(-0.1 * l1d), 6) AS k_laplacian
+         FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS sqd,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               x -> abs(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS l1d
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id < 3 AND b.vec_id BETWEEN 3 AND 8) t
+         ORDER BY id_a, id_b""",
+    "mm1_media_features" ->
+      """SELECT media_id, kind, duration_ms,
+         round(list_sum(px) / 32.0, 6) AS mean_px,
+         round(sqrt(greatest(list_sum(list_transform(px, v -> v * v)) / 32.0
+           - (list_sum(px) / 32.0) * (list_sum(px) / 32.0), 0.0)), 6) AS std_px,
+         round(list_min(px), 6) AS min_px,
+         round(list_max(px), 6) AS max_px
+         FROM (
+           SELECT doc_id AS media_id,
+             (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+             CAST(length(text) * 10 AS BIGINT) AS duration_ms,
+             list_transform(range(1, 33),
+               i -> (instr('0123456789abcdef', substring(md5(text), CAST(i AS INT), 1)) - 1) / 15.0) AS px
+           FROM documents) t
+         ORDER BY media_id""",
+    "mm2_frame_sample" ->
+      """SELECT media_id, frame_idx,
+         round(list_sum(list_transform(range(1, 9),
+           i -> (instr('0123456789abcdef', substring(frame, CAST(i AS INT), 1)) - 1) / 15.0)) / 8.0, 6)
+           AS frame_mean
+         FROM (
+           SELECT doc_id AS media_id, f AS frame_idx,
+             substring(md5(text), CAST(f * 8 + 1 AS INT), 8) AS frame
+           FROM documents, range(0, 4) r(f)
+           WHERE doc_id % 3 = 2) t
+         ORDER BY media_id, frame_idx""",
+    "q22_sessions" ->
+      """SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM (
+           SELECT user_id, event_id, ts, value,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM (
+             SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                    THEN 1 ELSE 0 END AS new_s
+             FROM events) t1) t2
+         GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
   )
 }

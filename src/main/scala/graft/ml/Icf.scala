@@ -1,0 +1,80 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** §2.1 M6 (fidelity path): greedy-pivot Incomplete Cholesky
+  * Factorization of the kernel matrix, K ≈ H·Hᵀ with H of rank p
+  * (reference: psvm icf.cc — row-distributed parallel ICF).
+  *
+  * Spark re-expression: rows (id, x, h, diag) live in an RDD; each of the
+  * p iterations
+  *   1. reduces to find the global pivot (max diagonal residual,
+  *      ties by min id — deterministic),
+  *   2. broadcasts the pivot row (x, its h prefix, its residual),
+  *   3. maps every row to append one H column:
+  *        H[i,j] = (k(x_i, x_p) − ⟨h_i, h_p⟩) / √d_p,  d_i −= H[i,j]².
+  *
+  * That is p passes over the data — the same O(n·p²) work and O(n·p)
+  * state as the reference, with the n-dimension fully distributed. The
+  * lineage is truncated periodically so the plan doesn't grow with p.
+  * For high-throughput training prefer [[Nystrom]]; ICF earns its cost
+  * when the greedy pivots matter (fast-decaying spectra).
+  */
+object Icf {
+
+  final case class IcfRow(id: Long, x: Array[Double], h: Array[Double], diag: Double)
+
+  /** Returns (id, icf_features: array<double>[rank]) with K ≈ H·Hᵀ. */
+  def factorize(df: DataFrame, idCol: String, vecCol: String,
+                kernel: Kernel, rank: Int,
+                checkpointEvery: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import graft.functions.VectorOps
+    import org.apache.spark.sql.functions.col
+
+    var rdd = df
+      .select(col(idCol).cast("long"), VectorOps.toDoubleArray(col(vecCol)))
+      .rdd
+      .map { r =>
+        val x = r.getSeq[Double](1).toArray
+        IcfRow(r.getLong(0), x, new Array[Double](rank), kernel(x, x))
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var j = 0
+    while (j < rank) {
+      val pivot = rdd
+        .map(r => (r.diag, r.id, r.x, r.h))
+        .reduce { (a, b) =>
+          if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b
+        }
+      val bc = spark.sparkContext.broadcast((pivot._2, pivot._3, pivot._4.clone(), pivot._1))
+      val jj = j
+      val prev = rdd
+      rdd = prev.map { r =>
+        val (pid, px, ph, pd) = bc.value
+        val sqrtPd = math.sqrt(math.max(pd, 1e-300))
+        val hj =
+          if (r.id == pid) sqrtPd
+          else {
+            var dotHp = 0.0; var t = 0
+            while (t < jj) { dotHp += r.h(t) * ph(t); t += 1 }
+            (kernel(r.x, px) - dotHp) / sqrtPd
+          }
+        val h2 = r.h.clone(); h2(jj) = hj
+        IcfRow(r.id, r.x, h2, r.diag - hj * hj)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      if ((j + 1) % checkpointEvery == 0) rdd.localCheckpoint()
+      rdd.count()          // materialize before unpersisting the parent
+      prev.unpersist(false)
+      j += 1
+    }
+
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("icf_features", ArrayType(DoubleType))))
+    spark.createDataFrame(rdd.map(r => Row(r.id, r.h.toSeq)), schema)
+  }
+}

@@ -1,0 +1,157 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{LinearSVC, OneVsRest}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.1 M7–M12: kernel SVM train / predict / persist / evaluate.
+  *
+  * PSVM pipeline (reference: svm_train.cc → icf.cc → ipm.cc →
+  * svm_predict.cc) re-expressed Spark-first:
+  *   kernel ≈ Nyström feature map (M6) → MLlib LinearSVC (distributed
+  *   OWLQN on hinge loss — the dual-equivalent of the reference's IPM
+  *   solve, but scaling as O(n·p) per pass with no driver-resident
+  *   n-vectors) → broadcastable model scored as a codegen'd column.
+  *
+  * Labels follow the libsvm ±1 convention on input and output; they are
+  * remapped to {0,1} only around the MLlib fit.
+  */
+final case class KernelSvmParams(
+    kernel: Kernel = Kernel.Rbf(0.1),
+    numLandmarks: Int = 64,
+    regParam: Double = 1e-3,
+    maxIter: Int = 50,
+    tol: Double = 1e-6)
+
+final case class KernelSvmModel(
+    featureMap: NystromMap,
+    weights: Array[Double],
+    intercept: Double) extends Serializable {
+
+  /** Decision value f(x) = w·φ(x) + b as a column over `vecCol`. */
+  private def decisionCol(featCol: Column): Column = {
+    val w = array(weights.map(lit): _*)
+    graft.functions.VectorOps.dot(featCol, w) + lit(intercept)
+  }
+
+  /** Adds `decision` (double) and `prediction` (±1) columns. */
+  def predict(df: DataFrame, vecCol: String): DataFrame =
+    Nystrom.transform(df, vecCol, featureMap, "__phi")
+      .withColumn("decision", decisionCol(col("__phi")))
+      .withColumn("prediction", when(col("decision") >= 0, 1.0).otherwise(-1.0))
+      .drop("__phi")
+
+  /** Persist as a parquet model dir (reference: model.cc Save). */
+  def save(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val k = featureMap.kernel match {
+      case Kernel.Linear => ("linear", 0.0, 0.0, 0)
+      case Kernel.Polynomial(g, c, d) => ("polynomial", g, c, d)
+      case Kernel.Rbf(g) => ("rbf", g, 0.0, 0)
+      case Kernel.Laplacian(g) => ("laplacian", g, 0.0, 0)
+    }
+    Seq((k._1, k._2, k._3, k._4, weights.toSeq, intercept))
+      .toDF("kernel", "gamma", "coef0", "degree", "weights", "intercept")
+      .write.mode("overwrite").parquet(s"$path/params")
+    featureMap.landmarks.zipWithIndex.map { case (l, i) => (i, l.toSeq) }.toSeq
+      .toDF("idx", "landmark")
+      .write.mode("overwrite").parquet(s"$path/landmarks")
+    featureMap.w.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toSeq
+      .toDF("idx", "w_row")
+      .write.mode("overwrite").parquet(s"$path/projection")
+  }
+}
+
+object KernelSvmModel {
+  /** Reload a model dir written by [[KernelSvmModel.save]]. */
+  def load(spark: SparkSession, path: String): KernelSvmModel = {
+    val p = spark.read.parquet(s"$path/params").head()
+    val kernel = (p.getAs[String]("kernel") match {
+      case "linear" => Kernel.Linear
+      case "polynomial" => Kernel.Polynomial(p.getAs[Double]("gamma"),
+        p.getAs[Double]("coef0"), p.getAs[Int]("degree"))
+      case "rbf" => Kernel.Rbf(p.getAs[Double]("gamma"))
+      case "laplacian" => Kernel.Laplacian(p.getAs[Double]("gamma"))
+    }): Kernel
+    def rows(name: String, colName: String): Array[Array[Double]] =
+      spark.read.parquet(s"$path/$name").orderBy("idx")
+        .collect().map(_.getSeq[Double](1).toArray)
+    KernelSvmModel(
+      NystromMap(rows("landmarks", "landmark"), rows("projection", "w_row"), kernel),
+      p.getSeq[Double](4).toArray,
+      p.getAs[Double]("intercept"))
+  }
+}
+
+object KernelSvmTrainer {
+
+  /** M8: fit a binary kernel SVM; labels in `labelCol` must be ±1. */
+  def fit(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+          params: KernelSvmParams = KernelSvmParams()): KernelSvmModel = {
+    val map = Nystrom.fit(df, idCol, vecCol, params.kernel, params.numLandmarks)
+    // The mapped training set is tiny relative to cluster cores when n is
+    // moderate; for the iterative OWLQN fit, scheduler overhead per
+    // micro-task dominates — compact the partitioning to ~50k rows per
+    // task and cache so the feature map runs once, not once per pass.
+    val n = df.count()
+    val parts = math.max(1, math.min(df.rdd.getNumPartitions, (n / 50000L).toInt + 1))
+    val feats = Nystrom.transform(df, vecCol, map, "__phi")
+      .withColumn("__features", array_to_vector(col("__phi")))
+      .withColumn("__label01", when(col(labelCol) > 0, 1.0).otherwise(0.0))
+      .coalesce(parts)
+      .persist()
+    val svc = new LinearSVC()
+      .setFeaturesCol("__features").setLabelCol("__label01")
+      .setRegParam(params.regParam).setMaxIter(params.maxIter)
+      .setTol(params.tol).setFitIntercept(true)
+    val m = svc.fit(feats)
+    feats.unpersist()
+    KernelSvmModel(map, m.coefficients.toArray, m.intercept)
+  }
+
+  /** M12: one-vs-rest multiclass on the Nyström features via MLlib. */
+  def fitMulticlass(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String,
+                    params: KernelSvmParams = KernelSvmParams()): DataFrame = {
+    val map = Nystrom.fit(df, idCol, vecCol, params.kernel, params.numLandmarks)
+    val n = df.count()
+    val parts = math.max(1, math.min(df.rdd.getNumPartitions, (n / 50000L).toInt + 1))
+    val feats = Nystrom.transform(df, vecCol, map, "__phi")
+      .withColumn("__features", array_to_vector(col("__phi")))
+      .withColumn("__label", col(labelCol).cast("double"))
+      .coalesce(parts)
+      .persist()
+    val ovr = new OneVsRest()
+      .setClassifier(new LinearSVC()
+        .setRegParam(params.regParam).setMaxIter(params.maxIter).setTol(params.tol))
+      .setFeaturesCol("__features").setLabelCol("__label")
+    val out = ovr.fit(feats).transform(feats)
+      .withColumnRenamed("prediction", "prediction_class")
+      .drop("__features", "__phi", "rawPrediction")
+    out
+  }
+}
+
+/** §2.1 M11: binary classification evaluation (reference: svm_predict
+  * accuracy output), extended with precision/recall/F1. */
+object SvmEvaluator {
+
+  /** One-row DataFrame: tp/fp/tn/fn + accuracy/precision/recall/f1.
+    * Expects ±1 in both columns. */
+  def evaluate(scored: DataFrame, labelCol: String,
+               predictionCol: String = "prediction"): DataFrame = {
+    val y = col(labelCol); val p = col(predictionCol)
+    scored.agg(
+      sum(when(y > 0 && p > 0, 1L).otherwise(0L)).as("tp"),
+      sum(when(y <= 0 && p > 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(y <= 0 && p <= 0, 1L).otherwise(0L)).as("tn"),
+      sum(when(y > 0 && p <= 0, 1L).otherwise(0L)).as("fn"))
+    .withColumn("accuracy", round((col("tp") + col("tn")) /
+      (col("tp") + col("tn") + col("fp") + col("fn")), 6))
+    .withColumn("precision", round(col("tp") / (col("tp") + col("fp")), 6))
+    .withColumn("recall", round(col("tp") / (col("tp") + col("fn")), 6))
+    .withColumn("f1", round(lit(2.0) * col("precision") * col("recall") /
+      (col("precision") + col("recall")), 6))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ml
+
+import org.apache.spark.sql.Column
+import graft.functions.VectorOps
+
+/** §2.1 M2–M5: the four PSVM kernels (reference: psvm kernel.cc,
+  * kernel_type 0–3), as codegen-friendly column functions over
+  * array<double> vectors, plus plain-Scala twins for driver-side math
+  * (Nyström/ICF pivots).
+  */
+sealed trait Kernel extends Serializable {
+  /** Column form: k(a, b) over two array<double> columns. */
+  def apply(a: Column, b: Column): Column
+  /** Driver/executor-local form over raw arrays (same math). */
+  def apply(a: Array[Double], b: Array[Double]): Double
+  def name: String
+}
+
+object Kernel {
+  private def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  case object Linear extends Kernel {
+    val name = "linear"
+    def apply(a: Column, b: Column): Column = VectorOps.dot(a, b)
+    def apply(a: Array[Double], b: Array[Double]): Double = dotLocal(a, b)
+  }
+
+  final case class Polynomial(gamma: Double, coef0: Double, degree: Int) extends Kernel {
+    val name = "polynomial"
+    def apply(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.functions.{lit, pow}
+      pow(lit(gamma) * VectorOps.dot(a, b) + lit(coef0), lit(degree))
+    }
+    def apply(a: Array[Double], b: Array[Double]): Double =
+      math.pow(gamma * dotLocal(a, b) + coef0, degree)
+  }
+
+  final case class Rbf(gamma: Double) extends Kernel {
+    val name = "rbf"
+    def apply(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.functions.{exp, lit}
+      exp(lit(-gamma) * VectorOps.sqDistance(a, b))
+    }
+    def apply(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      math.exp(-gamma * s)
+    }
+  }
+
+  final case class Laplacian(gamma: Double) extends Kernel {
+    val name = "laplacian"
+    def apply(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.functions.{exp, lit}
+      exp(lit(-gamma) * VectorOps.l1Distance(a, b))
+    }
+    def apply(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }
+      math.exp(-gamma * s)
+    }
+  }
+}

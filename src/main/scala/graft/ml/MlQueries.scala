@@ -1,0 +1,66 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps
+
+/** SparkEntry wrappers for the §2.1 ML surface over the embeddings table. */
+object MlQueries {
+
+  /** m2: the four kernel values over a fixed pair grid (oracle-checked —
+    * the kernels are plain double math DuckDB can mirror). */
+  def kernelValues(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", VectorOps.toDoubleArray($"embedding").as("v"))
+    val a = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("id_a"), $"v".as("va"))
+    val b = e.filter($"vec_id".between(3, 8))
+      .select($"vec_id".as("id_b"), $"v".as("vb"))
+    a.join(b)
+      .select($"id_a", $"id_b",
+        round(Kernel.Linear($"va", $"vb"), 6).as("k_linear"),
+        round(Kernel.Polynomial(0.01, 1.0, 2)($"va", $"vb"), 6).as("k_poly"),
+        round(Kernel.Rbf(0.1)($"va", $"vb"), 6).as("k_rbf"),
+        round(Kernel.Laplacian(0.1)($"va", $"vb"), 6).as("k_laplacian"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** m1: end-to-end binary kernel SVM — train on embeddings with ±1
+    * labels (label parity), score the training set, emit the confusion
+    * matrix + metrics (rows-only: iterative fit isn't SQL). */
+  def svmBinaryEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val data = Tables.embeddings(spark, dir)
+      .withColumn("y", when($"label" % 2 === 0, 1.0).otherwise(-1.0))
+    val model = KernelSvmTrainer.fit(data, "vec_id", "embedding", "y",
+      KernelSvmParams(kernel = Kernel.Rbf(0.05), numLandmarks = 64,
+                      regParam = 1e-3, maxIter = 20, tol = 1e-4))
+    SvmEvaluator.evaluate(model.predict(data, "embedding"), "y")
+  }
+
+  /** m3: one-vs-rest multiclass over the 10 labels; per-class accuracy. */
+  def svmMulticlassEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val data = Tables.embeddings(spark, dir)
+    val scored = KernelSvmTrainer.fitMulticlass(data, "vec_id", "embedding", "label",
+      KernelSvmParams(kernel = Kernel.Rbf(0.05), numLandmarks = 64,
+                      regParam = 1e-3, maxIter = 10, tol = 1e-4))
+    scored.groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+           sum(when($"prediction_class" === $"label".cast("double"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("class_accuracy", round($"n_correct" / $"n", 6))
+      .orderBy($"label")
+  }
+
+  /** m4: ICF factor sanity — per-row reconstruction mass (‖h_i‖² should
+    * approach k(x_i,x_i)=1 for RBF as rank grows). Rows-only. */
+  def icfFactor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val data = Tables.embeddings(spark, dir).filter($"vec_id" < 200)
+    Icf.factorize(data, "vec_id", "embedding", Kernel.Rbf(0.05), rank = 8)
+      .select($"id", round(VectorOps.norm2($"icf_features"), 6).as("h_norm2"))
+      .orderBy($"id")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ml
+
+import breeze.linalg.{DenseMatrix, DenseVector, eigSym}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** §2.1 M6 (scale path): Nyström kernel-feature approximation.
+  *
+  * PSVM approximates the n×n kernel matrix K with an n×p factor H via
+  * parallel ICF (reference: psvm icf.cc). The Spark-first equivalent is
+  * the Nyström method: pick m landmark rows, compute the m×m kernel block
+  * K_mm on the driver (m is small), form W = U·diag(1/√λ) from its
+  * eigendecomposition, and map every row x to
+  *     φ(x) = W^T · [k(x, l_1), …, k(x, l_m)]
+  * so that φ(x)·φ(y) ≈ k(x, y).  Training a LINEAR model on φ then
+  * approximates the kernel SVM — exactly how PSVM's ICF factor feeds its
+  * IPM solve, but expressed as a feature map + distributed linear solve.
+  *
+  * Scale: landmarks are a driver-side m×d matrix broadcast to executors;
+  * the feature map is one narrow map over the data (no shuffle). The
+  * expensive O(n²) kernel matrix never materializes.
+  */
+final case class NystromMap(
+    landmarks: Array[Array[Double]],
+    w: Array[Array[Double]],   // m×m projection W = U·diag(1/√λ⁺)
+    kernel: Kernel) extends Serializable {
+
+  val rank: Int = w.headOption.map(_.length).getOrElse(0)
+
+  /** φ(x) for one vector (executor-local). */
+  def features(x: Array[Double]): Array[Double] = {
+    val m = landmarks.length
+    val kx = new Array[Double](m)
+    var i = 0
+    while (i < m) { kx(i) = kernel(x, landmarks(i)); i += 1 }
+    val out = new Array[Double](rank)
+    var j = 0
+    while (j < rank) {
+      var s = 0.0; var i2 = 0
+      while (i2 < m) { s += w(i2)(j) * kx(i2); i2 += 1 }
+      out(j) = s; j += 1
+    }
+    out
+  }
+
+  /** Column form of the feature map. The kernel evaluations against the
+    * broadcast landmark matrix are a tight JVM loop (Scala UDF) — one
+    * narrow map, no shuffle; everything before/after stays codegen'd. */
+  def featuresCol: Column = {
+    val self = this
+    val f = udf((x: Seq[Double]) => self.features(x.toArray))
+    f(col("__vec"))
+  }
+}
+
+object Nystrom {
+
+  /** Deterministic landmark selection: the first m rows by id order.
+    * (For skewed real data use a seeded sample; determinism matters for
+    * the reproducible test harness.) */
+  def fit(df: DataFrame, idCol: String, vecCol: String,
+          kernel: Kernel, numLandmarks: Int, ridge: Double = 1e-10): NystromMap = {
+    val landmarks: Array[Array[Double]] = df
+      .orderBy(col(idCol))
+      .select(col(vecCol))
+      .limit(numLandmarks)
+      .collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+
+    val m = landmarks.length
+    val kmm = DenseMatrix.tabulate(m, m)((i, j) => kernel(landmarks(i), landmarks(j)))
+    // symmetric eigendecomposition; ridge guards repeated landmarks
+    val es = eigSym(kmm + DenseMatrix.eye[Double](m) * ridge)
+    val lambda: DenseVector[Double] = es.eigenvalues
+    val u: DenseMatrix[Double] = es.eigenvectors
+    val tol = 1e-12 * math.max(1.0, breeze.linalg.max(lambda))
+    // W = U · diag(1/sqrt(λ)) for λ > tol (pseudo-inverse square root)
+    val keep = (0 until m).filter(lambda(_) > tol)
+    val w = Array.tabulate(m, keep.length)((i, jj) => u(i, keep(jj)) / math.sqrt(lambda(keep(jj))))
+    NystromMap(landmarks, w, kernel)
+  }
+
+  /** Attach φ(x) as `featCol` (array<double>). */
+  def transform(df: DataFrame, vecCol: String, map: NystromMap, featCol: String): DataFrame = {
+    import graft.functions.VectorOps
+    df.withColumn("__vec", VectorOps.toDoubleArray(col(vecCol)))
+      .withColumn(featCol, map.featuresCol)
+      .drop("__vec")
+  }
+}

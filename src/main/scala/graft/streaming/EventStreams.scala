@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** §2.4: Structured Streaming over the events stream.
+  *
+  * The same event schema as the batch `events` table; any streaming
+  * source (kafka/files/socket) that produces (event_id, ts, user_id,
+  * event_type, value) plugs in. Specs drive these with MemoryStream.
+  *
+  * Scale: windowed aggregation state is bounded by the watermark;
+  * sessionization state is per-user and evicted on event-time timeout —
+  * both shapes run unchanged on a 1000-executor cluster, partitioned by
+  * grouping key.
+  */
+object EventStreams {
+
+  /** S1: tumbling-window counts/sums per event_type with a watermark
+    * (late data beyond 1 hour is dropped, state is evicted). */
+  def hourlyWindowed(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+
+  /** S3: streaming exact dedup on event_id within the watermark. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- S2: gap-based sessionization via flatMapGroupsWithState ----
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionAcc(start: Long, end: Long, n: Int, sum: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Int, sum_value: Double)
+
+  /** Emit a session after `gapMs` of user inactivity (event time). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.end), s.n, s.sum))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var acc = state.getOption.orNull
+            val out = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              acc match {
+                case null => acc = SessionAcc(t, t, 1, e.value)
+                case a if t - a.end <= gapMs =>
+                  acc = SessionAcc(a.start, math.max(a.end, t), a.n + 1, a.sum + e.value)
+                case a =>
+                  out += Session(userId, new Timestamp(a.start), new Timestamp(a.end), a.n, a.sum)
+                  acc = SessionAcc(t, t, 1, e.value)
+              }
+            }
+            if (acc != null) {
+              state.update(acc)
+              state.setTimeoutTimestamp(acc.end + gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}
