@@ -29,7 +29,8 @@ object EmbeddingDedup {
     val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos",
-        VectorOps.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+        graft.functions.GraftFunctions.dot_product(col("vec_a"), col("vec_b")) /
+          (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
   }

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions for the vector hot paths.
+  *
+  * The higher-order-function forms in [[VectorOps]] are correct and
+  * SQL-mirrorable, but each `aggregate(zip_with(...))` materializes an
+  * intermediate array per row — painful inside O(n²) similarity joins.
+  * These expressions generate a single fused loop (whole-stage codegen),
+  * with the SAME sequential accumulation order, so results stay
+  * bit-identical to the HOF forms and the DuckDB oracles.
+  */
+abstract class FusedVectorBinary extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, " +
+      s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+}
+
+/** Sequential-order dot product over two array<double> columns. */
+case class DotProduct(left: Expression, right: Expression) extends FusedVectorBinary {
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Fused cosine similarity: dot, norms, and the division in one loop,
+  * accumulation order identical to dot/(√Σx²·√Σy²) computed separately. */
+case class CosineSimilarity(left: Expression, right: Expression) extends FusedVectorBinary {
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i); double $yv = $b.getDouble($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column + SQL exposure for the native expressions. */
+object GraftFunctions {
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dot_product" -> (es => DotProduct(es.head, es(1))),
+    "cosine_sim"  -> (es => CosineSimilarity(es.head, es(1))))
+
+  /** Register `dot_product` / `cosine_sim` for SQL use in a session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      org.apache.spark.sql.graft.GraftShim.registerFunction(spark, name, b)
+    }
+
+  /** Column forms (usable without SQL registration). */
+  def dot_product(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftShim.column(
+      DotProduct(org.apache.spark.sql.graft.GraftShim.expression(a),
+                 org.apache.spark.sql.graft.GraftShim.expression(b)))
+  def cosine_sim(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftShim.column(
+      CosineSimilarity(org.apache.spark.sql.graft.GraftShim.expression(a),
+                       org.apache.spark.sql.graft.GraftShim.expression(b)))
+}
+
+/** `SparkSessionExtensions` hook: wire the graft functions into any
+  * session via `spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+  }
+}

@@ -25,7 +25,9 @@ object Knn {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", VectorOps.cosine(col("qvec"), col("nvec")))
+      // fused native expression: one codegen'd loop per pair instead of
+      // three aggregate(zip_with(...)) passes; bit-identical accumulation
+      .withColumn("cos", graft.functions.GraftFunctions.cosine_sim(col("qvec"), col("nvec")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),

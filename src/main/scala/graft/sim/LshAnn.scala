@@ -36,7 +36,8 @@ object LshAnn {
   /** Per-table bucket key: planesPerTable sign bits packed into a long. */
   def bucketKey(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
-      when(VectorOps.dot(vec, planeLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
+      when(graft.functions.GraftFunctions.dot_product(vec, planeLit(p)) > 0,
+        lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Attach (table_idx, bucket_key) rows, exploded. */
@@ -63,7 +64,7 @@ object LshAnn {
     q.join(c, Seq("table_idx", "bucket_key"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", VectorOps.cosine(col("qvec"), col("nvec")))
+      .withColumn("cos", graft.functions.GraftFunctions.cosine_sim(col("qvec"), col("nvec")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),

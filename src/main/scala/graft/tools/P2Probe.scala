@@ -2,23 +2,21 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only: time the p2/p4 queries end-to-end. */
+/** Dev-only: standalone query timings. */
 object P2Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (q <- Seq("p2", "p4", "p4", "p3")) {
+    for (q <- Seq("p5", "p6")) {
       val t0 = System.nanoTime()
       val n = q match {
-        case "p2" => graft.dedup.MinHashDedup.query(spark, args(0)).count()
-        case "p3" => graft.dedup.SimHashDedup.query(spark, args(0)).count()
-        case "p4" => graft.dedup.NgramJaccard.query(spark, args(0)).count()
+        case "p5" => graft.dedup.EmbeddingDedup.query(spark, args(0)).count()
+        case "p6" => graft.sim.Knn.query(spark, args(0)).count()
       }
-      System.err.println(f"[t] $q end-to-end ${(System.nanoTime() - t0) / 1e9}%.1fs, $n pairs")
+      System.err.println(f"[t] $q end-to-end ${(System.nanoTime() - t0) / 1e9}%.1fs, $n rows")
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()
   }
