@@ -55,6 +55,10 @@ object SparkEntry {
     "m2_kernel_values"     -> (MlQueries.kernelValues _),
     "m3_svm_multiclass_eval" -> (MlQueries.svmMulticlassEval _),
     "m4_icf_factor"        -> (MlQueries.icfFactor _),
+    "m5_svm_ipm_eval"      -> (MlQueries.svmIpmEval _),
+    "q23_cube"             -> (Relational.q23Cube _),
+    "q24_pivot"            -> (Relational.q24Pivot _),
+    "q25_setops"           -> (Relational.q25SetOps _),
     "mm1_media_features"   -> (MultimodalOps.mediaFeatures _),
     "mm2_frame_sample"     -> (MultimodalOps.frameSample _),
     "q22_sessions"         -> (Sessionization.sessionsBatch _),
@@ -333,6 +337,39 @@ object SparkEntry {
            FROM documents, range(0, 4) r(f)
            WHERE doc_id % 3 = 2) t
          ORDER BY media_id, frame_idx""",
+    "q23_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+         round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows
+         FROM lineitem
+         GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "q24_pivot" ->
+      """SELECT user_id,
+         round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+         round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+         round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+         round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error
+         FROM events
+         WHERE user_id < 30
+         GROUP BY user_id
+         ORDER BY user_id""",
+    "q25_setops" ->
+      """SELECT 'both' AS bucket, o_custkey FROM (
+           SELECT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+           INTERSECT
+           SELECT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2001-01-01') a
+         UNION ALL
+         SELECT 'only_1995' AS bucket, o_custkey FROM (
+           SELECT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+           EXCEPT
+           SELECT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2001-01-01') b
+         ORDER BY bucket, o_custkey""",
     "q22_sessions" ->
       """SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
          count(*) AS n_events, round(sum(value), 2) AS sum_value

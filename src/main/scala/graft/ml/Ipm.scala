@@ -1,0 +1,218 @@
+package graft.ml
+
+import breeze.linalg.{DenseMatrix, DenseVector, inv}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** §2.1 M7 (fidelity path): primal-dual Interior Point Method for the
+  * SVM dual QP on an ICF/Nyström factor (reference: psvm ipm.cc and the
+  * PSVM paper's SMW formulation).
+  *
+  *   min ½αᵀQα − eᵀα   s.t. 0 ≤ α ≤ C,  yᵀα = 0,   Q = GGᵀ, G = diag(y)·H
+  *
+  * Every Newton step needs (Q + D)⁻¹·v for diagonal D; with the low-rank
+  * factor the Sherman–Morrison–Woodbury identity turns that into
+  *   D⁻¹v − D⁻¹G (Iₚ + GᵀD⁻¹G)⁻¹ GᵀD⁻¹v,
+  * i.e. elementwise n-vector work + p-vector reductions + one p×p solve.
+  *
+  * Spark re-expression: rows live in per-partition BLOCKS (primitive
+  * arrays of y, h, α) — n-vectors never touch the driver; each iteration
+  * runs two treeAggregate passes (p×p Gram + p-vector reductions) and one
+  * map to update α. The driver holds only p-sized state. This is the
+  * same data layout and communication pattern as the reference's MPI
+  * implementation, with treeAggregate playing the role of all-reduce.
+  */
+object Ipm {
+
+  /** One partition's rows, column-compressed. */
+  final case class Block(y: Array[Double], h: Array[Array[Double]], alpha: Array[Double])
+
+  final case class IpmModel(alpha: Array[Double], ids: Array[Long], bias: Double,
+                            iterations: Int, surrogateGap: Double)
+
+  /** Solve the dual on (id, y∈{±1}, h: Array[Double] rank-p rows).
+    * Returns per-row alphas (collected — O(n) doubles, diagnostics/test
+    * use; production scoring keeps alphas distributed, see predictDf). */
+  def solve(data: DataFrame, idCol: String, labelCol: String, hCol: String,
+            c: Double, maxIter: Int = 50, tol: Double = 1e-6): (RDD[(Long, Double)], Int, Double) = {
+    import org.apache.spark.sql.functions.col
+    val rows: RDD[(Long, Double, Array[Double])] = data
+      .select(col(idCol).cast("long"), col(labelCol).cast("double"), col(hCol))
+      .rdd.map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val n = rows.count()
+    val p = rows.first()._3.length
+    val sc = rows.sparkContext
+
+    // block layout: ids stay alongside so alphas can be re-keyed at the end
+    var blocks: RDD[(Array[Long], Block)] = rows.mapPartitions { it =>
+      val buf = it.toArray
+      if (buf.isEmpty) Iterator.empty
+      else Iterator.single((
+        buf.map(_._1),
+        Block(buf.map(_._2), buf.map(t => t._3.map(v => t._2 * v)), // G = diag(y)·H
+              Array.fill(buf.length)(c / 2.0))))
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    blocks.count()
+    rows.unpersist(false)
+
+    var nu = 0.0
+    var iter = 0
+    var gap = Double.MaxValue
+    val mu = 10.0
+
+    while (iter < maxIter && gap > tol) {
+      // surrogate gap for the log barrier: t = 2·n·mu / gap (PSVM uses the
+      // standard primal-dual schedule); first pass computes the residual
+      // pieces and the SMW ingredients in ONE treeAggregate:
+      //   [ GᵀD⁻¹G (p×p) | GᵀD⁻¹grad (p) | GᵀD⁻¹y (p) |
+      //     yᵀα, yᵀD⁻¹grad..., gap terms ]
+      // where grad = Qα − e + ν·y − barrier terms; Qα needs Gᵀα first.
+      val gTalpha = blocks.treeAggregate(new Array[Double](p))(
+        seqOp = { case (acc, (_, b)) =>
+          var i = 0
+          while (i < b.alpha.length) {
+            val hi = b.h(i); val ai = b.alpha(i); var j = 0
+            while (j < p) { acc(j) += hi(j) * ai; j += 1 }
+            i += 1
+          }
+          acc
+        },
+        combOp = { (a1, a2) => var j = 0; while (j < p) { a1(j) += a2(j); j += 1 }; a1 })
+      val gTalphaB = sc.broadcast(gTalpha)
+
+      // surrogate gap = Σ αᵢ·(C−αᵢ) barrier residuals ~ use gap = Σ [α·λ + (C−α)·ξ]
+      // with implicit multipliers λ = 1/(t·α), ξ = 1/(t·(C−α)); standard
+      // simplification: gap ≈ Σ (C·ξ + ... ) — we use the duality-measure
+      // form Σ[αᵢ(Qα−e+νy)ᵢ⁺ + (C−αᵢ)(−(Qα−e+νy)ᵢ)⁺] computed below.
+      val statsAgg = blocks.treeAggregate((0.0, 0.0))(
+        seqOp = { case ((gapAcc, yA), (_, b)) =>
+          var g = gapAcc; var ya = yA
+          var i = 0
+          while (i < b.alpha.length) {
+            val hi = b.h(i)
+            var qa = 0.0; var j = 0
+            while (j < p) { qa += hi(j) * gTalphaB.value(j); j += 1 }
+            val grad0 = qa - 1.0 + nu * b.y(i)   // ∇ without barrier
+            val ai = b.alpha(i)
+            g += (if (grad0 > 0) ai * grad0 else (c - ai) * -grad0)
+            ya += b.y(i) * ai
+            i += 1
+          }
+          (g, ya)
+        },
+        combOp = { case ((g1, y1), (g2, y2)) => (g1 + g2, y1 + y2) })
+      gap = statsAgg._1
+      val yTalpha = statsAgg._2
+      if (gap <= tol) { iter += 1 }
+      else {
+        val t = mu * 2.0 * n / math.max(gap, 1e-12)
+
+        // second pass: SMW ingredients with D from the barrier Hessian
+        val zero = (DenseMatrix.zeros[Double](p, p), DenseVector.zeros[Double](p),
+                    DenseVector.zeros[Double](p), 0.0, 0.0, 0.0)
+        val (gdg, gdGrad, gdY, yDy, yDgrad, _) = blocks.treeAggregate(zero)(
+          seqOp = { case ((m, vg, vy, sYdy, sYdg, _), (_, b)) =>
+            var i = 0
+            while (i < b.alpha.length) {
+              val hi = b.h(i); val ai = b.alpha(i)
+              var qa = 0.0; var j = 0
+              while (j < p) { qa += hi(j) * gTalphaB.value(j); j += 1 }
+              val grad = qa - 1.0 + nu * b.y(i) -
+                (1.0 / (t * ai)) + (1.0 / (t * (c - ai)))
+              val dInv = 1.0 / (1.0 / (t * ai * ai) + 1.0 / (t * (c - ai) * (c - ai)))
+              var j1 = 0
+              while (j1 < p) {
+                val w = dInv * hi(j1)
+                vg(j1) += w * grad
+                vy(j1) += w * b.y(i)
+                var j2 = 0
+                while (j2 < p) { m(j1, j2) += w * hi(j2); j2 += 1 }
+                j1 += 1
+              }
+              i += 1
+            }
+            var acc1 = sYdy; var acc2 = sYdg; var i2 = 0
+            while (i2 < b.alpha.length) {
+              val hi = b.h(i2); val ai = b.alpha(i2)
+              var qa = 0.0; var j = 0
+              while (j < p) { qa += hi(j) * gTalphaB.value(j); j += 1 }
+              val grad = qa - 1.0 + nu * b.y(i2) -
+                (1.0 / (t * ai)) + (1.0 / (t * (c - ai)))
+              val dInv = 1.0 / (1.0 / (t * ai * ai) + 1.0 / (t * (c - ai) * (c - ai)))
+              acc1 += b.y(i2) * dInv * b.y(i2)
+              acc2 += b.y(i2) * dInv * grad
+              i2 += 1
+            }
+            (m, vg, vy, acc1, acc2, 0.0)
+          },
+          combOp = { case ((m1, g1, y1, a1, b1, _), (m2, g2, y2, a2, b2, _)) =>
+            (m1 + m2, g1 + g2, y1 + y2, a1 + a2, b1 + b2, 0.0) })
+
+        // p×p SMW core on the driver
+        val core = inv(DenseMatrix.eye[Double](p) + gdg)
+        // u = (Q+D)⁻¹grad and w = (Q+D)⁻¹y have the SMW corrections:
+        val corrU: DenseVector[Double] = core * gdGrad
+        val corrW: DenseVector[Double] = core * gdY
+        // yᵀu = yᵀD⁻¹grad − (GᵀD⁻¹y)ᵀ·corrU ; yᵀw likewise
+        val yTu = yDgrad - (gdY dot corrU)
+        val yTw = yDy - (gdY dot corrW)
+        // restore feasibility: yᵀΔα = −yᵀα with Δα = −u − Δν·w
+        val deltaNu = (yTalpha - yTu) / (if (math.abs(yTw) < 1e-12) 1e-12 else yTw)
+        val corrUB = sc.broadcast(corrU.toArray)
+        val corrWB = sc.broadcast(corrW.toArray)
+
+        // third pass: compute Δα per row, find max feasible step, update α
+        val prev = blocks
+        val updated = prev.map { case (ids, b) =>
+          val nAlpha = b.alpha.clone()
+          var minStep = 1.0
+          val deltas = new Array[Double](b.alpha.length)
+          var i = 0
+          while (i < b.alpha.length) {
+            val hi = b.h(i); val ai = b.alpha(i)
+            var qa = 0.0; var j = 0
+            while (j < p) { qa += hi(j) * gTalphaB.value(j); j += 1 }
+            val grad = qa - 1.0 + nu * b.y(i) -
+              (1.0 / (t * ai)) + (1.0 / (t * (c - ai)))
+            val dInv = 1.0 / (1.0 / (t * ai * ai) + 1.0 / (t * (c - ai) * (c - ai)))
+            var smwU = 0.0; var smwW = 0.0; var j2 = 0
+            while (j2 < p) { smwU += hi(j2) * corrUB.value(j2); smwW += hi(j2) * corrWB.value(j2); j2 += 1 }
+            val u = dInv * (grad - smwU)
+            val w = dInv * (b.y(i) - smwW)
+            val dAlpha = -u - deltaNu * w
+            deltas(i) = dAlpha
+            if (dAlpha < 0 && ai + dAlpha < 0) minStep = math.min(minStep, -ai / dAlpha * 0.99)
+            if (dAlpha > 0 && ai + dAlpha > c) minStep = math.min(minStep, (c - ai) / dAlpha * 0.99)
+            i += 1
+          }
+          (ids, b, deltas, minStep)
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+        val step = updated.map(_._4).reduce(math.min)
+        blocks = updated.map { case (ids, b, deltas, _) =>
+          val na = new Array[Double](b.alpha.length)
+          var i = 0
+          while (i < na.length) {
+            na(i) = math.min(math.max(b.alpha(i) + step * deltas(i), 1e-12 * c),
+                             c * (1.0 - 1e-12))
+            i += 1
+          }
+          (ids, Block(b.y, b.h, na))
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+        // localCheckpoint: truncates both the lineage and the closure
+        // chain (which captures this iteration's broadcasts)
+        blocks.localCheckpoint()
+        blocks.count()
+        updated.unpersist(false)
+        prev.unpersist(false)
+        nu += step * deltaNu
+        iter += 1
+      }
+    }
+
+    val alphas = blocks.flatMap { case (ids, b) => ids.zip(b.alpha) }
+    (alphas, iter, gap)
+  }
+}

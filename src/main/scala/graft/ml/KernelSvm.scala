@@ -110,6 +110,44 @@ object KernelSvmTrainer {
     KernelSvmModel(map, m.coefficients.toArray, m.intercept)
   }
 
+  /** M7 fidelity path: fit via the exact SMW interior-point dual solve
+    * (reference: psvm ipm.cc) instead of the OWLQN primal. Recovers the
+    * primal weights w = Σ αᵢyᵢφ(xᵢ) distributedly and the bias from the
+    * free support vectors' KKT conditions. */
+  def fitIpm(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+             params: KernelSvmParams = KernelSvmParams(),
+             c: Double = 1.0, maxIter: Int = 60): KernelSvmModel = {
+    val map = Nystrom.fit(df, idCol, vecCol, params.kernel, params.numLandmarks)
+    val feats = Nystrom.transform(df, vecCol, map, "__phi").persist()
+    val (alphas, _, _) = Ipm.solve(feats, idCol, labelCol, "__phi", c,
+      maxIter = maxIter, tol = params.tol)
+    val withAlpha = feats
+      .join(feats.sparkSession.createDataFrame(alphas)
+        .toDF(idCol + "_a", "__alpha"), col(idCol) === col(idCol + "_a"))
+    val p = map.rank
+    // w = Σ alpha_i y_i phi_i — one distributed pass
+    val w = withAlpha.select(col("__alpha"), col(labelCol).cast("double"), col("__phi"))
+      .rdd.treeAggregate(new Array[Double](p))(
+        seqOp = { (acc, r) =>
+          val a = r.getDouble(0) * r.getDouble(1)
+          val phi = r.getSeq[Double](2)
+          var j = 0; while (j < p) { acc(j) += a * phi(j); j += 1 }
+          acc
+        },
+        combOp = { (x, y) => var j = 0; while (j < p) { x(j) += y(j); j += 1 }; x })
+    // bias from free SVs: b = mean(y_i − w·phi_i)
+    val eps = 1e-3 * c
+    val free = withAlpha.filter(col("__alpha") > eps && col("__alpha") < c - eps)
+      .select(col(labelCol).cast("double"), col("__phi"))
+      .rdd.map { r =>
+        val phi = r.getSeq[Double](1)
+        var s = 0.0; var j = 0; while (j < p) { s += w(j) * phi(j); j += 1 }
+        (r.getDouble(0) - s, 1L)
+      }.reduce { (a, b) => (a._1 + b._1, a._2 + b._2) }
+    feats.unpersist()
+    KernelSvmModel(map, w, if (free._2 > 0) free._1 / free._2 else 0.0)
+  }
+
   /** M12: one-vs-rest multiclass on the Nyström features via MLlib. */
   def fitMulticlass(df: DataFrame, idCol: String, vecCol: String,
                     labelCol: String,
@@ -147,11 +185,19 @@ object SvmEvaluator {
       sum(when(y <= 0 && p > 0, 1L).otherwise(0L)).as("fp"),
       sum(when(y <= 0 && p <= 0, 1L).otherwise(0L)).as("tn"),
       sum(when(y > 0 && p <= 0, 1L).otherwise(0L)).as("fn"))
-    .withColumn("accuracy", round((col("tp") + col("tn")) /
-      (col("tp") + col("tn") + col("fp") + col("fn")), 6))
-    .withColumn("precision", round(col("tp") / (col("tp") + col("fp")), 6))
-    .withColumn("recall", round(col("tp") / (col("tp") + col("fn")), 6))
-    .withColumn("f1", round(lit(2.0) * col("precision") * col("recall") /
-      (col("precision") + col("recall")), 6))
+    // ANSI mode errors on ANY zero divisor (even double); degenerate
+    // models (all-one-class predictions) make these denominators zero,
+    // so every ratio is guarded and defaults to 0.0
+    .withColumn("accuracy", round((col("tp") + col("tn")).cast("double") /
+      (col("tp") + col("tn") + col("fp") + col("fn")).cast("double"), 6))
+    .withColumn("precision", round(when(col("tp") + col("fp") > 0,
+      col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+      .otherwise(0.0), 6))
+    .withColumn("recall", round(when(col("tp") + col("fn") > 0,
+      col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+      .otherwise(0.0), 6))
+    .withColumn("f1", round(when(col("precision") + col("recall") > 0,
+      lit(2.0) * col("precision") * col("recall") /
+        (col("precision") + col("recall"))).otherwise(0.0), 6))
   }
 }

@@ -54,6 +54,19 @@ object MlQueries {
       .orderBy($"label")
   }
 
+  /** m5: the exact-IPM training path end-to-end (reference ipm.cc):
+    * Nyström features → SMW interior-point dual solve → primal recovery
+    * → confusion matrix. Rows-only. */
+  def svmIpmEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val data = Tables.embeddings(spark, dir)
+      .withColumn("y", when($"label" % 2 === 0, 1.0).otherwise(-1.0))
+    val model = KernelSvmTrainer.fitIpm(data, "vec_id", "embedding", "y",
+      KernelSvmParams(kernel = Kernel.Rbf(0.05), numLandmarks = 32, tol = 1e-4),
+      c = 5.0, maxIter = 60)
+    SvmEvaluator.evaluate(model.predict(data, "embedding"), "y")
+  }
+
   /** m4: ICF factor sanity — per-row reconstruction mass (‖h_i‖² should
     * approach k(x_i,x_i)=1 for RBF as rank grows). Rows-only. */
   def icfFactor(spark: SparkSession, dir: String): DataFrame = {

@@ -283,6 +283,45 @@ object Relational {
       .orderBy($"user_id", $"ts", $"event_id")
   }
 
+  /** R22: full cube over two dimensions, subtotals coalesced to 'ALL'. */
+  def q23Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_extendedprice"), 2).as("sum_price"), count(lit(1)).as("n_rows"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+              coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+              $"sum_price", $"n_rows")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  /** R23: pivot (wide conditional aggregation) — per-user event value
+    * sums spread across event types. */
+  def q24Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"user_id" < 30)
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(round(sum($"value"), 2))
+      .orderBy($"user_id")
+  }
+
+  /** R24: INTERSECT/EXCEPT set operators — customers ordering in both /
+    * only the first of two years. */
+  def q25SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def custsIn(year: Int) = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit(s"$year-01-01").cast("timestamp") &&
+              $"o_orderdate" < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    val both = custsIn(1995).intersect(custsIn(2000))
+      .select(lit("both").as("bucket"), $"o_custkey")
+    val only95 = custsIn(1995).except(custsIn(2000))
+      .select(lit("only_1995").as("bucket"), $"o_custkey")
+    both.unionAll(only95).orderBy($"bucket", $"o_custkey")
+  }
+
   /** R20: approximate distinct (HLL++) next to the exact count. No SQL
     * oracle — DuckDB's approx sketch differs; driver does rows-only. */
   def q21ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
