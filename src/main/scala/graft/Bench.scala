@@ -18,7 +18,8 @@ object Bench {
       // queries are independent: drop caches leaked by iterative ops so
       // later queries aren't taxed by earlier ones' memory footprint
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -69,9 +69,15 @@ object MinHashDedup {
   def candidatePairsBySets(sets: DataFrame, bands: Int = Bands,
                            rowsPerBand: Int = RowsPerBand,
                            maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    // compress shingle STRINGS to xxhash64 longs once, up front: the
+    // signature pass and the set-intersection verification then run on
+    // primitive longs (identical Jaccard modulo ~2⁻⁶⁴ collisions), which
+    // cuts both CPU and the memory footprint of the cached/joined sets
+    val hashed = sets.select(col("id"),
+      array_distinct(transform(col("sh"), x => xxhash64(x))).as("sh"))
     // persist: the shingle→signature pipeline would otherwise be
     // recomputed once per self-join side and once per verification join
-    val cached = sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached = hashed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val numHashes = bands * rowsPerBand
     val banded = cached
       .select(col("id"),

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without an exchange on either side") {
+    val dir = java.nio.file.Files.createTempDirectory("buckets").toString
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    spark.sql("DROP TABLE IF EXISTS bt_lines")
+    val orders = (1L to 1000L).map(i => (i, i % 7)).toDF("okey", "status")
+    val lines = (1L to 5000L).map(i => (i % 1000 + 1, i * 1.0)).toDF("okey", "qty")
+    ScaleOps.writeBucketed(orders, "okey", 8, "bt_orders", s"$dir/o")
+    ScaleOps.writeBucketed(lines, "okey", 8, "bt_lines", s"$dir/l")
+    // force the sort-merge path (tiny test tables would otherwise be
+    // broadcast, which bypasses bucketing entirely)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bt_orders").join(spark.table("bt_lines"), "okey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-located join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), "bucketed path uses sort-merge")
+      assert(joined.count() === 5000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join spreads a hot key and preserves join semantics") {
+    // 10k rows of one hot key + some cold keys
+    val probe = ((1 to 10000).map(_ => 1L) ++ (2L to 50L)).toDF("k")
+    val build = (1L to 50L).map(k => (k, s"v$k")).toDF("bk", "v")
+    val plain = probe.join(build, probe("k") === build("bk"))
+      .groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = ScaleOps.saltedJoin(probe, build, "k", "bk", salt = 8)
+      .groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted === plain, "salted join returns identical multiset")
+    assert(salted(1L) === 10000L)
+  }
+
+  test("range layout prunes files for range predicates") {
+    val dir = java.nio.file.Files.createTempDirectory("range").toString + "/data"
+    val df = (1L to 10000L).map(i => (i, i % 97)).toDF("ts_key", "v")
+    ScaleOps.writeRangeLayout(df, "ts_key", 10, dir)
+    val back = spark.read.parquet(dir).filter($"ts_key".between(100, 200))
+    assert(back.count() === 101)
+    // 10 range partitions -> the filter touches a small subset of files;
+    // verify multiple files were written so pruning is meaningful
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files >= 8, s"expected ~10 part files, got $files")
+  }
+}
