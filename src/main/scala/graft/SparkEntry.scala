@@ -56,6 +56,7 @@ object SparkEntry {
     "m3_svm_multiclass_eval" -> (MlQueries.svmMulticlassEval _),
     "m4_icf_factor"        -> (MlQueries.icfFactor _),
     "m5_svm_ipm_eval"      -> (MlQueries.svmIpmEval _),
+    "m6_svm_icf_ipm_eval"  -> (MlQueries.svmIcfIpmEval _),
     "q23_cube"             -> (Relational.q23Cube _),
     "q24_pivot"            -> (Relational.q24Pivot _),
     "q25_setops"           -> (Relational.q25SetOps _),

@@ -67,6 +67,21 @@ object MlQueries {
     SvmEvaluator.evaluate(model.predict(data, "embedding"), "y")
   }
 
+  /** m6: the unabridged reference pipeline — greedy ICF of the RBF
+    * kernel → SMW-IPM dual solve → support-vector model scored with the
+    * original kernel. On a bounded sample (ICF is p passes over the
+    * data). Rows-only. */
+  def svmIcfIpmEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val data = Tables.embeddings(spark, dir)
+      .filter($"vec_id" < 500)
+      .withColumn("yy", when($"label" % 2 === 0, 1.0).otherwise(-1.0))
+    val model = IcfSvmTrainer.fit(data, "vec_id", "embedding", "yy",
+      Kernel.Rbf(0.05), rank = 16, c = 5.0, maxIter = 40, tol = 1e-3)
+    SvmEvaluator.evaluate(model.predict(data, "embedding"), "yy")
+      .withColumn("n_support_vectors", lit(model.numSupportVectors.toLong))
+  }
+
   /** m4: ICF factor sanity — per-row reconstruction mass (‖h_i‖² should
     * approach k(x_i,x_i)=1 for RBF as rank grows). Rows-only. */
   def icfFactor(spark: SparkSession, dir: String): DataFrame = {
