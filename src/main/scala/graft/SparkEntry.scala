@@ -60,6 +60,7 @@ object SparkEntry {
     "q23_cube"             -> (Relational.q23Cube _),
     "q24_pivot"            -> (Relational.q24Pivot _),
     "q25_setops"           -> (Relational.q25SetOps _),
+    "q26_asof_join"        -> (Relational.q26AsofJoin _),
     "mm1_media_features"   -> (MultimodalOps.mediaFeatures _),
     "mm2_frame_sample"     -> (MultimodalOps.frameSample _),
     "q22_sessions"         -> (Sessionization.sessionsBatch _),
@@ -371,6 +372,17 @@ object SparkEntry {
            SELECT o_custkey FROM orders
            WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2001-01-01') b
          ORDER BY bucket, o_custkey""",
+    "q26_asof_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND c.ts <= p.ts) AS last_click_ts
+         FROM events p
+         WHERE p.event_type = 'purchase'
+           AND EXISTS (SELECT 1 FROM events c
+                       WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                         AND c.ts <= p.ts)
+         ORDER BY user_id, purchase_id""",
     "q22_sessions" ->
       """SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
          count(*) AS n_events, round(sum(value), 2) AS sum_value

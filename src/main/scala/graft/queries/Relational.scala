@@ -322,6 +322,29 @@ object Relational {
     both.unionAll(only95).orderBy($"bucket", $"o_custkey")
   }
 
+  /** R25: as-of join — each purchase matched to the user's most recent
+    * click at-or-before it. Spark has no native ASOF; the scalable
+    * composition is ONE window pass over the interleaved event stream
+    * (single shuffle on user_id), not a range join: tag rows so clicks
+    * sort before purchases at equal timestamps, then carry the last
+    * click ts forward with last(..., ignoreNulls). */
+  def q26AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("tag", when($"event_type" === "click", 0).otherwise(1))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"tag", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click_ts",
+        last(when($"event_type" === "click", $"ts"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase" && $"last_click_ts".isNotNull)
+      .select($"user_id", $"event_id".as("purchase_id"),
+              $"ts".as("purchase_ts"), $"last_click_ts")
+      .orderBy($"user_id", $"purchase_id")
+  }
+
   /** R20: approximate distinct (HLL++) next to the exact count. No SQL
     * oracle — DuckDB's approx sketch differs; driver does rows-only. */
   def q21ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
