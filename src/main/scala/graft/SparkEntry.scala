@@ -61,6 +61,7 @@ object SparkEntry {
     "q24_pivot"            -> (Relational.q24Pivot _),
     "q25_setops"           -> (Relational.q25SetOps _),
     "q26_asof_join"        -> (Relational.q26AsofJoin _),
+    "p13_curation_pipeline" -> (graft.queries.CurationPipeline.query _),
     "mm1_media_features"   -> (MultimodalOps.mediaFeatures _),
     "mm2_frame_sample"     -> (MultimodalOps.frameSample _),
     "q22_sessions"         -> (Sessionization.sessionsBatch _),
@@ -372,6 +373,7 @@ object SparkEntry {
            SELECT o_custkey FROM orders
            WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2001-01-01') b
          ORDER BY bucket, o_custkey""",
+    "p13_curation_pipeline" -> graft.queries.CurationPipeline.oracleSql,
     "q26_asof_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
            (SELECT max(c.ts) FROM events c
