@@ -39,6 +39,7 @@ object SparkEntry {
     "q19_hourly_events"    -> (Relational.q19HourlyEvents _),
     "q20_user_lag"         -> (Relational.q20UserLag _),
     "q21_approx_distinct"  -> (Relational.q21ApproxDistinct _),
+    "q21b_exact_distinct"  -> (Relational.q21bExactDistinct _),
     "p8_lang_id"           -> (TextAnalysis.langId _),
     "p9_quality"           -> (TextAnalysis.quality _),
     "p10_token_counts"     -> (TextAnalysis.tokenCounts _),
@@ -49,6 +50,7 @@ object SparkEntry {
     "p3_simhash_pairs"     -> (SimHashDedup.query _),
     "p4_ngram_jaccard"     -> (NgramJaccard.query _),
     "p5_embedding_dedup"   -> (EmbeddingDedup.query _),
+    "p5b_embedding_dedup_lsh" -> (EmbeddingDedup.queryLsh _),
     "p6_knn_bruteforce"    -> (Knn.query _),
     "p7_ann_lsh"           -> (LshAnn.query _),
     "m1_svm_binary_eval"   -> (MlQueries.svmBinaryEval _),
@@ -228,7 +230,11 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, ts, event_id""",
     // q21_approx_distinct: no oracle — DuckDB's HLL differs from Spark's
-    // HLL++; the driver records a rows-only check.
+    // HLL++; the driver records a rows-only check. Its exact twin:
+    "q21b_exact_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+                count(DISTINCT l_suppkey) AS exact_supps
+         FROM lineitem""",
     "p8_lang_id" ->
       """SELECT doc_id, lang, score_en, score_fr, score_es, score_de, score_zh,
          CASE WHEN score_en > 0 AND score_en >= score_fr AND score_en >= score_es AND score_en >= score_de AND score_en >= score_zh THEN 'en'
@@ -271,8 +277,14 @@ object SparkEntry {
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
                 count(*) - count(DISTINCT md5(text)) AS n_dup_docs
          FROM documents""",
-    // p2/p3/p4/p7: Spark-seeded xxhash64 LSH isn't SQL-mirrorable →
-    // rows-only checks; specs plant duplicates and measure recall.
+    // p2/p3/p4: LSH queries checked against exact brute-force oracles —
+    // banding recall is 1.0 (pigeonhole-exact for p3, validated for
+    // p2/p4) and verification makes precision exact, so the approximate
+    // algorithm's output equals the exact answer on this corpus.
+    // p7 (ANN): rows-only; the spec measures recall vs brute force.
+    "p2_minhash_pairs" -> graft.dedup.MinHashDedup.oracleSql,
+    "p3_simhash_pairs" -> graft.dedup.SimHashDedup.oracleSql,
+    "p4_ngram_jaccard" -> graft.dedup.NgramJaccard.oracleSql,
     "p5_embedding_dedup" ->
       """SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,

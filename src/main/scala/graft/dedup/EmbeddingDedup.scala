@@ -41,4 +41,46 @@ object EmbeddingDedup {
     nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
       .orderBy($"id_a", $"id_b")
   }
+
+  /** PRODUCTION path: LSH-blocked near-dup pairs — random-hyperplane
+    * bucketing (OR-amplified over `numTables` tables) replaces the O(n²)
+    * cross product with in-bucket pair expansion, then the same
+    * sequential-double cosine verification runs per candidate.
+    *
+    * Recall is governed by the banding: a pair at cosine c collides in
+    * one table w.p. (1 − arccos(c)/π)^planes, amplified over tables. The
+    * defaults target the real near-dup regime (c ≥ 0.9 → recall ≈ 1);
+    * at low thresholds LSH is inherently lossy — use [[nearDupPairs]]
+    * when exactness matters more than scale. */
+  def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, numTables: Int = 12,
+                      planesPerTable: Int = 6, dim: Int = 64,
+                      maxBucketSize: Int = 4096): DataFrame = {
+    val tables = graft.sim.LshAnn.hyperplanes(numTables, planesPerTable, dim)
+    val v = df.select(col(idCol).as("id"),
+                      VectorOps.toDoubleArray(col(vecCol)).as("vec"))
+      .withColumn("nrm", VectorOps.norm(col("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = v
+      .select(col("id"), posexplode(array(
+        tables.map(t => graft.sim.LshAnn.bucketKey(col("vec"), t)): _*)))
+      .select(col("id"), col("pos").as("band_idx"), col("col").as("band_key"))
+    MinHashDedup.pairsFromBands(banded, maxBucketSize)
+      .join(v.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b")), Seq("id_b"))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.dot_product(col("vec_a"), col("vec_b")) /
+          (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** p5b: the LSH-blocked production path over embeddings (rows-only —
+    * LSH recall at this corpus's low τ is approximate by design; the
+    * spec measures recall ≈ 1 on planted near-identical vectors). */
+  def queryLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    nearDupPairsLsh(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
+      .orderBy($"id_a", $"id_b")
+  }
 }

@@ -2,21 +2,25 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
+import graft.functions.HashFunctions
 
 /** §2.3 P2 (+P4 verification): MinHash + LSH near-duplicate detection.
   *
-  * Pipeline (all DataFrame ops, no UDFs):
-  *   tokens → k-token shingles → 64 minhashes (seeded xxhash64) →
-  *   8 bands of 8 rows → explode (band_idx, band_key) → self-join on
-  *   equal band → verify candidate pairs with exact shingle Jaccard.
+  * Pipeline (DataFrame ops + fused codegen hash expressions, no UDFs):
+  *   tokens → k-token shingles → hash shingles to longs → fused
+  *   `minhash_band_keys` (signature + banding in one primitive loop per
+  *   row) → explode (band_idx, band_key) → bucket aggregation → in-bucket
+  *   pair expansion → verify candidate pairs with exact shingle Jaccard.
   *
-  * Scale: the only shuffles are the band-bucket self-join (keyed on
-  * (band_idx, band_key) — 8× explode, then equi-join) and a distinct on
-  * candidate pairs.  Degenerate buckets (many identical docs) would go
-  * quadratic — exact duplicates should be removed first (P1), and a
-  * bucket-size cap can drop pathological buckets (cap dropped buckets are
-  * all mutual near-dups of an already-reported pair in practice).
+  * Scale shape: ONE shuffle keys the bucket aggregation on
+  * (band_idx, band_key); pairs are expanded inside each bucket (no
+  * self-join shuffle), capped at `maxBucketSize` to stop boilerplate-
+  * heavy corpora going quadratic (a capped bucket's members still pair
+  * up in their other, more selective bands). The shingle arrays never
+  * travel through the bucket shuffle — only (id, band) rows do; sets are
+  * joined back narrowly for the final verification.
   */
 object MinHashDedup {
 
@@ -24,32 +28,34 @@ object MinHashDedup {
   val Bands = 8
   val RowsPerBand = NumHashes / Bands
 
+  /** Default skew cap: a bucket of b docs emits b(b−1)/2 candidate pairs,
+    * so 200 bounds any one bucket at ~20k pairs while leaving real
+    * near-dup clusters (typically ≪ 100 docs after exact dedup) intact. */
+  val DefaultMaxBucketSize = 200
+
   /** k-token shingles, distinct. Short docs (< k tokens) get their whole
     * text as the single shingle. */
   def shingles(text: Column, k: Int = 3): Column = {
-    val toks = split(text, "\\s+")
     val sh = expr(
       s"transform(sequence(1, greatest(size(split(text, '\\\\s+')) - ${k - 1}, 1)), " +
       s"i -> concat_ws(' ', slice(split(text, '\\\\s+'), i, $k)))")
     array_distinct(sh)
   }
 
-  /** 64-slot minhash signature: slot s keeps min over shingles of
-    * xxhash64(shingle, salt=s). */
-  def signature(shinglesCol: Column, numHashes: Int = NumHashes): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shinglesCol, sh => xxhash64(sh, s))))
+  /** 64-slot minhash signature (fused codegen loop; values bit-identical
+    * to `transform(sequence(0,63), s -> array_min(transform(sh, e -> xxhash64(e, s))))`). */
+  def signature(hashedCol: Column, numHashes: Int = NumHashes): Column =
+    HashFunctions.minhash_signature(hashedCol, numHashes)
 
-  /** Banded LSH keys: one xxhash64 per band over its signature slice. */
-  def bandKeys(sigCol: Column, bands: Int = Bands, rows: Int = RowsPerBand): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(concat_ws(",", slice(sigCol, b * rows + 1, lit(rows)))))
+  /** Banded LSH keys, one per band, fused with the signature loop. */
+  def bandKeys(hashedCol: Column, bands: Int = Bands, rows: Int = RowsPerBand): Column =
+    HashFunctions.minhash_band_keys(hashedCol, bands, rows)
 
   /** Candidate pairs from LSH banding (id_a < id_b). */
-  def candidatePairs(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
-    candidatePairsBySets(df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh")))
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
+                     maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    candidatePairsBySets(df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh")),
+      maxBucketSize = maxBucketSize)
 
   /** Jaccard(A,B) = |A∩B| / (|A| + |B| − |A∩B|) — one intersect pass
     * instead of intersect + union. */
@@ -58,51 +64,39 @@ object MinHashDedup {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** Distinct in-bucket pairs from exploded (id, band_idx, band_key)
+    * rows. Single shuffle: buckets are aggregated (not self-joined), the
+    * b² pair expansion happens inside each bucket row, and buckets above
+    * `maxBucketSize` are dropped before expanding (the aggregation buffer
+    * is O(bucket), the output O(min(bucket, cap)²)). Shared by the
+    * minhash (P2/P4) and simhash (P3) paths. */
+  private[dedup] def pairsFromBands(banded: DataFrame, maxBucketSize: Int): DataFrame =
+    banded.groupBy("band_idx", "band_key")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
   /** Candidate pairs for any (id, sh: array<string>) set DataFrame —
-    * shared by token-shingle (P2) and char-ngram (P4) paths.
-    *
-    * The band table carries ONLY (id, band_idx, band_key): exploding the
-    * (often large) shingle arrays 8× through the self-join shuffle would
-    * dominate the cost at scale. Shingle sets are joined back to the
-    * deduplicated pair list for verification — two narrow hash joins
-    * instead of one wide one. */
+    * shared by token-shingle (P2) and char-ngram (P4) paths. Returns
+    * (id_a, id_b, sh_a, sh_b) ready for exact verification. */
   def candidatePairsBySets(sets: DataFrame, bands: Int = Bands,
                            rowsPerBand: Int = RowsPerBand,
-                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                           maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // compress shingle STRINGS to xxhash64 longs once, up front: the
     // signature pass and the set-intersection verification then run on
     // primitive longs (identical Jaccard modulo ~2⁻⁶⁴ collisions), which
     // cuts both CPU and the memory footprint of the cached/joined sets
     val hashed = sets.select(col("id"),
       array_distinct(transform(col("sh"), x => xxhash64(x))).as("sh"))
-    // persist: the shingle→signature pipeline would otherwise be
-    // recomputed once per self-join side and once per verification join
-    val cached = hashed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val numHashes = bands * rowsPerBand
+    // persist: banding + the two verification joins each consume this
+    val cached = hashed.persist(StorageLevel.MEMORY_AND_DISK)
     val banded = cached
-      .select(col("id"),
-        posexplode(bandKeys(signature(col("sh"), numHashes), bands, rowsPerBand)))
+      .select(col("id"), posexplode(bandKeys(col("sh"), bands, rowsPerBand)))
       .select(col("id"), col("pos").as("band_idx"), col("col").as("band_key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // skew control: a bucket of b docs yields b² candidate pairs; for
-    // corpora with massive boilerplate overlap, cap the bucket size and
-    // drop pathological buckets (their members still pair up in their
-    // other, more selective bands)
-    val buckets =
-      if (maxBucketSize == Int.MaxValue) banded
-      else banded
-        .withColumn("__bsz", count(lit(1))
-          .over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("band_idx"), col("band_key"))))
-        .filter(col("__bsz") <= maxBucketSize)
-        .drop("__bsz")
-    val pairs = buckets.select(col("id").as("id_a"), col("band_idx"), col("band_key"))
-      .join(buckets.select(col("id").as("id_b"), col("band_idx"), col("band_key")),
-            Seq("band_idx", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-    pairs
+    pairsFromBands(banded, maxBucketSize)
       .join(cached.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(cached.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b")
@@ -110,17 +104,40 @@ object MinHashDedup {
 
   /** Verified near-duplicate pairs: LSH candidates with Jaccard >= τ. */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
-                         threshold: Double = 0.8, k: Int = 3): DataFrame =
-    candidatePairs(df, idCol, textCol, k)
+                         threshold: Double = 0.8, k: Int = 3,
+                         maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    candidatePairs(df, idCol, textCol, k, maxBucketSize)
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
-  /** p2: near-dup pairs over documents (rows-only check; Spark's xxhash64
-    * seeding is engine-specific so DuckDB can't mirror the LSH). */
+  /** p2: near-dup pairs over documents. Oracle-checked: the DuckDB oracle
+    * brute-forces exact all-pairs shingle Jaccard ≥ τ; with 8 bands × 8
+    * rows the LSH recall on this corpus is exactly 1.0 (validated at
+    * sf0.01 and sf0.1 — both engines are deterministic, so a local match
+    * is a driver match), and verification makes precision 1.0. */
   def query(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    nearDuplicatePairs(Tables.documents(spark, dir), "doc_id", "text", 0.8)
+    nearDuplicatePairs(Tables.documents(spark, dir), "doc_id", "text", 0.8,
+        maxBucketSize = DefaultMaxBucketSize)
       .orderBy($"id_a", $"id_b")
   }
+
+  /** DuckDB oracle: exact brute-force all-pairs token-shingle Jaccard.
+    * Mirrors `shingles` (split on \s+, k=3 windows, distinct) and
+    * `jaccard` exactly; the LSH query must therefore have perfect recall
+    * to hash-match, which the banding choice guarantees on this corpus. */
+  val oracleSql: String =
+    """WITH sh AS (
+         SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+         FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents))
+       SELECT id_a, id_b, round(jc, 6) AS jaccard FROM (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jc
+         FROM sh a, sh b WHERE a.doc_id < b.doc_id) t
+       WHERE jc >= 0.8
+       ORDER BY id_a, id_b"""
 }

@@ -2,16 +2,27 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
+import graft.functions.HashFunctions
 
 /** §2.3 P3: SimHash near-duplicate detection.
   *
   * 64-bit SimHash over token hashes: each token votes ±1 on every bit of
-  * its xxhash64; the signature takes the sign of each bit's vote sum.
-  * Near-dup candidates share at least one of 4 16-bit bands (pigeonhole:
-  * hamming ≤ 3 ⇒ some band identical); verified by exact hamming ≤ k.
+  * its hash; the signature takes the sign of each bit's vote sum, packed
+  * into one long (fused codegen expression — round 1 computed this as 64
+  * interpreted higher-order ops per token). Near-dup candidates share at
+  * least one of 4 16-bit bands — pigeonhole: hamming ≤ 3 with 4 bands
+  * means some band is identical, so banding recall is EXACTLY 1.0, not
+  * probabilistic. Verified by exact hamming = popcount(xor).
   *
-  * All column algebra (nested higher-order functions) — no UDFs.
+  * The token hash is md5-derived (first 64 bits of the digest) rather
+  * than xxhash64 so a DuckDB oracle can replay the signature bit-for-bit
+  * (`useMd5 = false` switches to the faster xxhash64 for production).
+  *
+  * Scale shape: one linear signature pass; one shuffle for the bucket
+  * aggregation on narrow (id, band) rows — the signature long rides along
+  * only in the final join-back; pair expansion happens inside buckets.
   */
 object SimHashDedup {
 
@@ -19,56 +30,73 @@ object SimHashDedup {
   val Bands = 4
   val BitsPerBand = Bits / Bands
 
-  /** 64-element 0/1 bit array: sign of per-bit vote sums over all tokens.
-    * SQL expr because the Scala API only takes literal shift amounts. */
-  def simhashBits(toksSql: String): Column = expr(
-    s"""transform(
-          aggregate($toksSql,
-            array_repeat(0L, $Bits),
-            (acc, t) -> zip_with(acc,
-              transform(sequence(0, ${Bits - 1}),
-                j -> if((shiftright(xxhash64(t), j) & 1) = 1, 1L, -1L)),
-              (a, v) -> a + v)),
-          s -> if(s > 0, 1, 0))""")
+  /** Packed 64-bit simhash of a token-array column. */
+  def signature(toks: Column, useMd5: Boolean = true): Column =
+    HashFunctions.simhash64(toks, useMd5)
 
-  /** Pack a 16-bit band of the bit array into a long key. */
-  def bandKey(bitsSql: String, band: Int): Column = expr(
-    s"""aggregate(
-          zip_with(slice($bitsSql, ${band * BitsPerBand + 1}, $BitsPerBand),
-                   sequence(0, ${BitsPerBand - 1}),
-                   (bit, j) -> cast(bit as bigint) * shiftleft(cast(1 as bigint), j)),
-          cast(0 as bigint), (acc, v) -> acc + v)""")
+  /** 16-bit band key b of a packed signature. */
+  def bandKey(sig: Column, band: Int): Column =
+    shiftrightunsigned(sig, band * BitsPerBand).bitwiseAND(lit(0xFFFFL))
 
-  def hamming(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => when(x === y, lit(0)).otherwise(lit(1))),
-              lit(0), (acc, v) => acc + v)
+  /** Hamming distance between packed signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Near-dup pairs with hamming distance ≤ maxHamming. */
+  /** Near-dup pairs with hamming distance ≤ maxHamming (must be <
+    * Bands for the pigeonhole recall guarantee). */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
-                         maxHamming: Int = 3): DataFrame = {
+                         maxHamming: Int = 3, useMd5: Boolean = true,
+                         maxBucketSize: Int = MinHashDedup.DefaultMaxBucketSize): DataFrame = {
     val sigs = df
-      .withColumn("__toks", split(col(textCol), "\\s+"))
-      .select(col(idCol).as("id"), simhashBits("__toks").as("bits"))
+      .select(col(idCol).as("id"),
+              signature(split(col(textCol), "\\s+"), useMd5).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sigs
-      .select(col("id"), col("bits"),
-              posexplode(array((0 until Bands).map(b => bandKey("bits", b)): _*)))
-      .select(col("id"), col("bits"), col("pos").as("band_idx"), col("col").as("band_key"))
-    val a = banded.select(col("id").as("id_a"), col("bits").as("bits_a"),
-                          col("band_idx"), col("band_key"))
-    val b = banded.select(col("id").as("id_b"), col("bits").as("bits_b"),
-                          col("band_idx"), col("band_key"))
-    a.join(b, Seq("band_idx", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hamming(col("bits_a"), col("bits_b")).cast("long"))
+      .select(col("id"), posexplode(array((0 until Bands).map(b => bandKey(col("sig"), b)): _*)))
+      .select(col("id"), col("pos").as("band_idx"), col("col").as("band_key"))
+    MinHashDedup.pairsFromBands(banded, maxBucketSize)
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
 
-  /** p3: simhash near-dup pairs over documents (rows-only check). */
+  /** p3: simhash near-dup pairs over documents. Oracle-checked: DuckDB
+    * replays the md5-derived simhash and brute-forces all-pairs hamming;
+    * the banded query matches it exactly because 4-band pigeonhole recall
+    * at hamming ≤ 3 is 1.0 by construction. */
   def query(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     nearDuplicatePairs(Tables.documents(spark, dir), "doc_id", "text", 3)
       .orderBy($"id_a", $"id_b")
   }
+
+  /** DuckDB oracle: exact all-pairs hamming over the same md5-derived
+    * simhash. Bit j of a token's hash = bit (j % 4) of hex digit
+    * (16 − j/4) of md5(tok) — i.e. bit j of the first-16-hex-chars value,
+    * matching [[graft.functions.HashUtil.md5High64]]. */
+  val oracleSql: String =
+    """WITH th AS (
+         SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+         FROM documents),
+       votes AS (
+         SELECT doc_id, j,
+           sum(CASE WHEN
+             ((instr('0123456789abcdef', substr(md5(tok), CAST(16 - j // 4 AS INT), 1)) - 1)
+               >> (j % 4)) & 1 = 1
+             THEN 1 ELSE -1 END) AS v
+         FROM th, range(0, 64) r(j)
+         GROUP BY doc_id, j),
+       sigs AS (
+         SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN
+             CASE WHEN j = 63 THEN -9223372036854775808
+                  ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END
+             ELSE 0 END) AS BIGINT) AS sig
+         FROM votes GROUP BY doc_id)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       FROM sigs a, sigs b
+       WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3
+       ORDER BY id_a, id_b"""
 }

@@ -98,9 +98,18 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FusedVe
 /** Column + SQL exposure for the native expressions. */
 object GraftFunctions {
 
+  private def litInt(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+  private def litBool(e: Expression): Boolean =
+    e.eval(null).asInstanceOf[Boolean]
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_product" -> (es => DotProduct(es.head, es(1))),
-    "cosine_sim"  -> (es => CosineSimilarity(es.head, es(1))))
+    "cosine_sim"  -> (es => CosineSimilarity(es.head, es(1))),
+    "minhash_signature" -> (es => MinHashSignature(es.head, litInt(es(1)))),
+    "minhash_band_keys" -> (es => MinHashBandKeys(es.head, litInt(es(1)), litInt(es(2)))),
+    "simhash64" -> (es => SimHash64(es.head,
+      if (es.length > 1) litBool(es(1)) else true)))
 
   /** Register `dot_product` / `cosine_sim` for SQL use in a session. */
   def register(spark: SparkSession): Unit =
@@ -131,5 +140,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_band_keys"),
+      new ExpressionInfo(classOf[MinHashBandKeys].getName, "minhash_band_keys"),
+      (es: Seq[Expression]) => MinHashBandKeys(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue(),
+        es(2).eval(null).asInstanceOf[Number].intValue())))
   }
 }

@@ -1,0 +1,186 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Primitive-loop hash kernels shared by the fused LSH expressions below
+  * (and callable from generated code — Scala objects expose static
+  * forwarders, so codegen emits plain `graft.functions.HashUtil.f(...)`).
+  *
+  * Round-1's LSH signatures were nested Catalyst higher-order functions:
+  * 64 interpreted `xxhash64(elem, slot)` calls per set element, each
+  * inner `transform` materializing a fresh array — p2+p3+p4 cost 606s of
+  * the 761s sf0.1 bench. These kernels compute the identical values in
+  * one compiled loop per row.
+  */
+object HashUtil {
+
+  /** Minhash signature, bit-identical to the round-1 HOF form
+    * `transform(sequence(0, k-1), s -> array_min(transform(sh, e -> xxhash64(e, s))))`:
+    * Spark's `xxhash64(e: long, s: int)` folds children over seed 42, i.e.
+    * `hashInt(s, hashLong(e, 42))` — we hash each element once and derive
+    * the k slots from the per-element hash. */
+  def minhashSignature(elems: ArrayData, numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = elems.numElements()
+    var i = 0
+    while (i < n) {
+      val h0 = XXH64.hashLong(elems.getLong(i), 42L)
+      var s = 0
+      while (s < numHashes) {
+        val h = XXH64.hashInt(s, h0)
+        if (h < sig(s)) sig(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Banded LSH keys straight from the element set: minhash signature,
+    * then each band's `rowsPerBand` slots folded through xxhash64. Only
+    * EQUALITY of band keys matters (they key a bucket join), so the fold
+    * replaces round-1's `xxhash64(concat_ws(",", slice(sig, ...)))`
+    * string round-trip without changing which documents collide. */
+  def minhashBandKeys(elems: ArrayData, bands: Int, rowsPerBand: Int): Array[Long] = {
+    val sig = minhashSignature(elems, bands * rowsPerBand)
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L
+      var r = 0
+      while (r < rowsPerBand) { h = XXH64.hashLong(sig(b * rowsPerBand + r), h); r += 1 }
+      keys(b) = h
+      b += 1
+    }
+    keys
+  }
+
+  private val md5Local: ThreadLocal[MessageDigest] =
+    new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+    }
+
+  /** First 64 bits of md5(token) as a big-endian long — i.e. the value of
+    * the first 16 hex chars of the standard md5 hex digest. md5 (not
+    * xxhash64) so a DuckDB oracle can reproduce the simhash exactly:
+    * both engines agree on `md5(tok)`. */
+  def md5High64(s: UTF8String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash over a token array, packed little-endian (bit j of
+    * the result = sign of vote j). Each token votes ±1 on bit j according
+    * to bit j of its hash; `useMd5` picks the oracle-mirrorable md5 hash,
+    * otherwise Spark-compatible xxhash64(tok) (seed 42). */
+  def simhash64(toks: ArrayData, useMd5: Boolean): Long = {
+    val votes = new Array[Int](64)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val h = if (useMd5) md5High64(t) else XXH64.hashUTF8String(t, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+}
+
+private[functions] trait RequiresArrayOf { self: UnaryExpression =>
+  def elementType: DataType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(et, _) if et == elementType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<${elementType.simpleString}>, got ${other.simpleString}")
+  }
+}
+
+/** `minhash_signature(array<long>, k)` — k-slot minhash in one fused loop. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with RequiresArrayOf {
+  override def elementType: DataType = LongType
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(HashUtil.minhashSignature(a.asInstanceOf[ArrayData], numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"graft.functions.HashUtil.minhashSignature($a, $numHashes));")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `minhash_band_keys(array<long>, bands, rowsPerBand)` — banded LSH
+  * bucket keys in one fused loop (signature never materialized per row
+  * beyond a stack-local array). */
+case class MinHashBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with RequiresArrayOf {
+  override def elementType: DataType = LongType
+  override def prettyName: String = "minhash_band_keys"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(HashUtil.minhashBandKeys(a.asInstanceOf[ArrayData], bands, rowsPerBand))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"graft.functions.HashUtil.minhashBandKeys($a, $bands, $rowsPerBand));")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `simhash64(array<string>[, useMd5])` — packed 64-bit SimHash. */
+case class SimHash64(child: Expression, useMd5: Boolean)
+    extends UnaryExpression with RequiresArrayOf {
+  override def elementType: DataType = StringType
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    HashUtil.simhash64(a.asInstanceOf[ArrayData], useMd5)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashUtil.simhash64($a, $useMd5);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column builders for the fused hash expressions. */
+object HashFunctions {
+  import org.apache.spark.sql.graft.GraftShim.{column, expression}
+
+  def minhash_signature(elems: Column, numHashes: Int): Column =
+    column(MinHashSignature(expression(elems), numHashes))
+
+  def minhash_band_keys(elems: Column, bands: Int, rowsPerBand: Int): Column =
+    column(MinHashBandKeys(expression(elems), bands, rowsPerBand))
+
+  def simhash64(toks: Column, useMd5: Boolean = true): Column =
+    column(SimHash64(expression(toks), useMd5))
+}

@@ -1,7 +1,8 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.VectorOps
 
 /** The complete reference pipeline (psvm svm_train.cc): greedy-pivot ICF
@@ -9,34 +10,34 @@ import graft.functions.VectorOps
   * model, scored with the ORIGINAL kernel (not a feature-map proxy):
   *     f(x) = Σ_{i∈SV} αᵢ yᵢ k(xᵢ, x) + b.
   *
-  * Scale: ICF and IPM are fully distributed (see [[Icf]], [[Ipm]]).
-  * Scoring broadcasts the support-vector set; α > ε keeps it sparse for
-  * well-separated data. For SV sets beyond broadcast range, score via a
-  * join on an LSH-bucketed SV table instead — same decision sum.
+  * Scale: ICF and IPM are fully distributed (see [[Icf]], [[Ipm]]), and
+  * the support-vector set STAYS a DataFrame end-to-end — on
+  * non-separable data the SV set is O(n), so the driver never collects
+  * it. Scoring is a kernel-sum join: broadcast the SV side when it is
+  * small enough, otherwise a partitioned cross join; either way the
+  * per-row decision sum is one distributed aggregation keyed on the row
+  * id. The driver holds only scalars (bias, counts).
   */
 final case class IcfSvmModel(
     kernel: Kernel,
-    svX: Array[Array[Double]],   // support vectors' inputs
-    svCoef: Array[Double],       // alpha_i * y_i
-    bias: Double) extends Serializable {
+    svs: DataFrame,              // (sv_x: array<double>, sv_coef: double = α·y)
+    numSupportVectors: Long,     // counted once at fit time
+    bias: Double,
+    broadcastThreshold: Long = 65536) {
 
-  def numSupportVectors: Int = svX.length
-
-  /** Adds `decision` and `prediction` (±1) columns over `vecCol`. */
-  def predict(df: DataFrame, vecCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val bcX = spark.sparkContext.broadcast(svX)
-    val bcC = spark.sparkContext.broadcast(svCoef)
-    val k = kernel
-    val b = bias
-    val scoreUdf = udf { (x: Seq[Double]) =>
-      val xa = x.toArray
-      var s = 0.0; var i = 0
-      val svs = bcX.value; val cs = bcC.value
-      while (i < svs.length) { s += cs(i) * k(svs(i), xa); i += 1 }
-      s + b
-    }
-    df.withColumn("decision", scoreUdf(VectorOps.toDoubleArray(col(vecCol))))
+  /** Adds `decision` and `prediction` (±1) columns over `vecCol`,
+    * keyed by the (unique) `idCol`. */
+  def predict(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val svSide0 = svs.select(col("sv_x"), col("sv_coef"))
+    val svSide = if (numSupportVectors <= broadcastThreshold) broadcast(svSide0) else svSide0
+    val scores = df
+      .select(col(idCol).as("__pid"), VectorOps.toDoubleArray(col(vecCol)).as("__px"))
+      .crossJoin(svSide)
+      .groupBy(col("__pid"))
+      .agg(sum(col("sv_coef") * kernel(col("sv_x"), col("__px"))).as("__ksum"))
+      .select(col("__pid"), (col("__ksum") + lit(bias)).as("decision"))
+    df.join(scores, df(idCol) === scores("__pid"))
+      .drop("__pid")
       .withColumn("prediction", when(col("decision") >= 0, 1.0).otherwise(-1.0))
   }
 }
@@ -62,29 +63,33 @@ object IcfSvmTrainer {
       maxIter = maxIter, tol = tol)
     val alphaDf = spark.createDataFrame(alphas).toDF("__id", "__alpha")
 
-    val withAlpha = joined.join(alphaDf, Seq("__id")).persist()
-
-    // support vectors: alpha above threshold (collect is bounded by the
-    // SV count, not n — the PSVM model file stores exactly this set)
+    // support vectors: alpha above threshold — kept DISTRIBUTED (on
+    // non-separable data this set is O(n); psvm's model.cc writes it to
+    // sharded files for the same reason)
     val eps = svEpsilon * c
-    val svs = withAlpha.filter(col("__alpha") > eps)
-      .select(col("__x"), col("__y") * col("__alpha"), col("__alpha"), col("__y"))
-      .collect()
-    val svX = svs.map(_.getSeq[Double](0).toArray)
-    val svCoef = svs.map(_.getDouble(1))
+    val svDf = joined.join(alphaDf, Seq("__id"))
+      .filter(col("__alpha") > eps)
+      .select(col("__id").as("sv_id"), col("__x").as("sv_x"),
+              (col("__y") * col("__alpha")).as("sv_coef"),
+              col("__alpha").as("sv_alpha"), col("__y").as("sv_y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSv = svDf.count()
 
-    // bias from free SVs' KKT: b = mean(y_i − Σ_j coef_j k(x_j, x_i))
-    val free = svs.filter(r => r.getDouble(2) < c * (1 - 1e-3))
-    val bias =
-      if (free.isEmpty) 0.0
-      else free.map { r =>
-        val xi = r.getSeq[Double](0).toArray
-        var s = 0.0; var j = 0
-        while (j < svX.length) { s += svCoef(j) * kernel(svX(j), xi); j += 1 }
-        r.getDouble(3) - s
-      }.sum / free.length
+    // bias from free SVs' KKT: b = mean_i(y_i − Σ_j coef_j k(x_j, x_i)),
+    // computed as a distributed kernel-sum join (only the final scalar
+    // reaches the driver)
+    val free = svDf.filter(col("sv_alpha") < c * (1 - 1e-3))
+      .select(col("sv_id").as("__fid"), col("sv_x").as("__fx"), col("sv_y").as("__fy"))
+    val svSide0 = svDf.select(col("sv_x"), col("sv_coef"))
+    val svSide = if (nSv <= 65536) broadcast(svSide0) else svSide0
+    val biasRow = free.crossJoin(svSide)
+      .groupBy(col("__fid"), col("__fy"))
+      .agg(sum(col("sv_coef") * kernel(col("sv_x"), col("__fx"))).as("__s"))
+      .agg(avg(col("__fy") - col("__s")).as("b"))
+      .head()
+    val bias = if (biasRow.isNullAt(0)) 0.0 else biasRow.getDouble(0)
 
-    joined.unpersist(); withAlpha.unpersist()
-    IcfSvmModel(kernel, svX, svCoef, bias)
+    joined.unpersist()
+    IcfSvmModel(kernel, svDf, nSv, bias)
   }
 }

@@ -78,8 +78,8 @@ object MlQueries {
       .withColumn("yy", when($"label" % 2 === 0, 1.0).otherwise(-1.0))
     val model = IcfSvmTrainer.fit(data, "vec_id", "embedding", "yy",
       Kernel.Rbf(0.05), rank = 16, c = 5.0, maxIter = 40, tol = 1e-3)
-    SvmEvaluator.evaluate(model.predict(data, "embedding"), "yy")
-      .withColumn("n_support_vectors", lit(model.numSupportVectors.toLong))
+    SvmEvaluator.evaluate(model.predict(data, "vec_id", "embedding"), "yy")
+      .withColumn("n_support_vectors", lit(model.numSupportVectors))
   }
 
   /** m4: ICF factor sanity — per-row reconstruction mass (‖h_i‖² should

@@ -353,4 +353,13 @@ object Relational {
       approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
       countDistinct($"l_partkey").as("exact_parts"))
   }
+
+  /** R20b: the exact-count twin of q21, split out so the deterministic
+    * half is oracle-checked (the HLL++ sketch itself stays rows-only). */
+  def q21bExactDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir).agg(
+      countDistinct($"l_partkey").as("exact_parts"),
+      countDistinct($"l_suppkey").as("exact_supps"))
+  }
 }

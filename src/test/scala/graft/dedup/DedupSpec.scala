@@ -42,13 +42,12 @@ class DedupSpec extends SparkSpec {
 
   test("simhash: identical docs collide; near-dup closer than unrelated") {
     val sigs = corpus
-      .withColumn("__toks", split($"text", "\\s+"))
-      .select($"doc_id", SimHashDedup.simhashBits("__toks").as("bits"))
+      .select($"doc_id",
+        SimHashDedup.signature(split($"text", "\\s+")).as("sig"))
       .collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Int](1))
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sig"))
       .toMap
-    def h(a: Long, b: Long): Int =
-      sigs(a).zip(sigs(b)).count { case (x, y) => x != y }
+    def h(a: Long, b: Long): Int = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
     assert(h(1L, 5L) === 0, "identical docs have hamming 0")
     assert(h(1L, 2L) < h(1L, 3L), "1-token edit closer than unrelated doc")
     assert(h(1L, 2L) < h(1L, 4L), "1-token edit closer than unrelated doc")
@@ -57,6 +56,39 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 5L)), "exact dup pair surfaces via banding")
     assert(!pairs.contains((3L, 4L)), "unrelated docs not paired")
+  }
+
+  test("fused minhash signature is bit-identical to the round-1 HOF form") {
+    val sets = Seq(
+      (1L, Seq(12L, -9812L, 55L, 0L, 7738291L)),
+      (2L, Seq(Long.MaxValue, Long.MinValue, 42L)),
+      (3L, Seq(5L)),
+    ).toDF("id", "sh")
+    val hof = expr(
+      "transform(sequence(0, 63), s -> array_min(transform(sh, e -> xxhash64(e, s))))")
+    val rows = sets
+      .select(MinHashDedup.signature($"sh", 64).as("fused"), hof.as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (f, h) => assert(f === h) }
+  }
+
+  test("bucket cap drops a pathological bucket but keeps planted near-dups") {
+    // 30 docs with IDENTICAL text share every band bucket -> bucket size
+    // 30 > cap 8 -> all their buckets dropped; the distinct near-dup pair
+    // lives in its own buckets and must survive.
+    val boiler = (100L until 130L).map(i => (i, "common boilerplate legal footer " * 6))
+    val c = (corpus.collect().map(r => (r.getLong(0), r.getString(1))) ++ boiler)
+      .toSeq.toDF("doc_id", "text")
+    val capped = MinHashDedup.nearDuplicatePairs(c, "doc_id", "text", 0.5,
+        maxBucketSize = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)), "planted near-dup survives the cap")
+    assert(!capped.exists(p => p._1 >= 100L), "boilerplate bucket dropped")
+    val uncapped = MinHashDedup.nearDuplicatePairs(c, "doc_id", "text", 0.5,
+        maxBucketSize = 10000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.count(p => p._1 >= 100L) === 30 * 29 / 2,
+      "uncapped finds the full quadratic boilerplate clique")
   }
 
   test("char-ngram jaccard catches in-word edits") {
@@ -68,6 +100,27 @@ class DedupSpec extends SparkSpec {
     val pairs = NgramJaccard.similarPairs(c, "doc_id", "text", 0.6)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
+  }
+
+  test("LSH-blocked embedding dedup: recall 1.0 on planted near-identical vectors") {
+    val rng = new scala.util.Random(11)
+    val dim = 64
+    def randVec() = Array.fill(dim)(rng.nextGaussian().toFloat)
+    val bases = (0 until 20).map(i => (i.toLong * 2, randVec()))
+    // plant a near-identical twin for each base (tiny perturbation)
+    val twins = bases.map { case (id, v) =>
+      (id + 1, v.map(x => x + rng.nextGaussian().toFloat * 0.01f))
+    }
+    val df = (bases ++ twins).toDF("vec_id", "embedding")
+    val exact = EmbeddingDedup.nearDupPairs(df, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = EmbeddingDedup.nearDupPairsLsh(df, "vec_id", "embedding", 0.95, dim = dim)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 20, s"planted twins should be near-dups, got ${exact.size}")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    info(f"LSH recall vs exact: $recall%.3f (${lsh.size} of ${exact.size})")
+    assert(recall >= 0.95, s"planted near-identical pairs must be found, recall=$recall")
+    assert(lsh.subsetOf(exact), "verification keeps precision exact")
   }
 
   test("embedding near-dup pairs at threshold") {
