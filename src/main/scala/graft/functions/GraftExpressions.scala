@@ -95,6 +95,67 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FusedVe
     copy(left = l, right = r)
 }
 
+/** Fused squared-L2 distance Σ(xᵢ−yᵢ)², sequential order identical to
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0, +)`. */
+case class SqDistance(left: Expression, right: Expression) extends FusedVectorBinary {
+  override def prettyName: String = "sq_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Fused L1 distance Σ|xᵢ−yᵢ| (Laplacian kernel), sequential order. */
+case class L1Distance(left: Expression, right: Expression) extends FusedVectorBinary {
+  override def prettyName: String = "l1_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += math.abs(x.getDouble(i) - y.getDouble(i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += java.lang.Math.abs($a.getDouble($i) - $b.getDouble($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column + SQL exposure for the native expressions. */
 object GraftFunctions {
 
@@ -106,6 +167,8 @@ object GraftFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_product" -> (es => DotProduct(es.head, es(1))),
     "cosine_sim"  -> (es => CosineSimilarity(es.head, es(1))),
+    "sq_distance" -> (es => SqDistance(es.head, es(1))),
+    "l1_distance" -> (es => L1Distance(es.head, es(1))),
     "minhash_signature" -> (es => MinHashSignature(es.head, litInt(es(1)))),
     "minhash_band_keys" -> (es => MinHashBandKeys(es.head, litInt(es(1)), litInt(es(2)))),
     "simhash64" -> (es => SimHash64(es.head,
@@ -126,6 +189,14 @@ object GraftFunctions {
     org.apache.spark.sql.graft.GraftShim.column(
       CosineSimilarity(org.apache.spark.sql.graft.GraftShim.expression(a),
                        org.apache.spark.sql.graft.GraftShim.expression(b)))
+  def sq_distance(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftShim.column(
+      SqDistance(org.apache.spark.sql.graft.GraftShim.expression(a),
+                 org.apache.spark.sql.graft.GraftShim.expression(b)))
+  def l1_distance(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftShim.column(
+      L1Distance(org.apache.spark.sql.graft.GraftShim.expression(a),
+                 org.apache.spark.sql.graft.GraftShim.expression(b)))
 }
 
 /** `SparkSessionExtensions` hook: wire the graft functions into any

@@ -26,10 +26,26 @@ object Icf {
 
   final case class IcfRow(id: Long, x: Array[Double], h: Array[Double], diag: Double)
 
-  /** Returns (id, icf_features: array<double>[rank]) with K ≈ H·Hᵀ. */
+  /** psvm's `rank_ratio` flag: p = ⌈ratio·n⌉ (capped at `maxRank`), with
+    * residual-trace early stop — the factorization halts as soon as the
+    * largest diagonal residual falls below `residualTol`, so easy (low
+    * effective rank) kernels pay only the passes they need. */
+  def factorizeAuto(df: DataFrame, idCol: String, vecCol: String,
+                    kernel: Kernel, rankRatio: Double,
+                    maxRank: Int = 256, residualTol: Double = 1e-8,
+                    checkpointEvery: Int = 16): DataFrame = {
+    val n = df.count()
+    val rank = math.max(1, math.min(maxRank, math.ceil(rankRatio * n).toInt))
+    factorize(df, idCol, vecCol, kernel, rank, checkpointEvery, residualTol)
+  }
+
+  /** Returns (id, icf_features: array<double>[rank]) with K ≈ H·Hᵀ.
+    * `residualTol > 0` enables early stop on the max diagonal residual
+    * (the produced factor is truncated to the columns actually built). */
   def factorize(df: DataFrame, idCol: String, vecCol: String,
                 kernel: Kernel, rank: Int,
-                checkpointEvery: Int = 16): DataFrame = {
+                checkpointEvery: Int = 16,
+                residualTol: Double = 0.0): DataFrame = {
     val spark = df.sparkSession
     import graft.functions.VectorOps
     import org.apache.spark.sql.functions.col
@@ -44,12 +60,15 @@ object Icf {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var j = 0
-    while (j < rank) {
+    var stopped = false
+    while (j < rank && !stopped) {
       val pivot = rdd
         .map(r => (r.diag, r.id, r.x, r.h))
         .reduce { (a, b) =>
           if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b
         }
+      if (residualTol > 0.0 && pivot._1 <= residualTol) { stopped = true }
+      else {
       val bc = spark.sparkContext.broadcast((pivot._2, pivot._3, pivot._4.clone(), pivot._1))
       val jj = j
       val prev = rdd
@@ -70,11 +89,15 @@ object Icf {
       rdd.count()          // materialize before unpersisting the parent
       prev.unpersist(false)
       j += 1
+      }
     }
 
+    val built = j
     val schema = StructType(Seq(
       StructField("id", LongType),
       StructField("icf_features", ArrayType(DoubleType))))
-    spark.createDataFrame(rdd.map(r => Row(r.id, r.h.toSeq)), schema)
+    spark.createDataFrame(
+      rdd.map(r => Row(r.id, (if (built < rank) r.h.take(built) else r.h).toSeq)),
+      schema)
   }
 }

@@ -25,6 +25,41 @@ final case class IcfSvmModel(
     bias: Double,
     broadcastThreshold: Long = 65536) {
 
+  /** Persist in the psvm/libsvm-style TEXT format (reference: psvm
+    * model.cc Save): a `header` part with kernel/rho metadata and
+    * sharded `sv` parts, one line per support vector —
+    * `<coef> 1:<x1> 2:<x2> …` with coef = α·y. The SV side is written
+    * straight from the distributed DataFrame (psvm likewise shards its
+    * model across machines); rho follows the libsvm sign convention
+    * f(x) = Σ coefᵢ k(xᵢ,x) − rho, so rho = −bias. */
+  def saveText(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val (kt, g, c0, d) = kernel match {
+      case Kernel.Linear => ("linear", 0.0, 0.0, 0)
+      case Kernel.Polynomial(gm, cc, dg) => ("polynomial", gm, cc, dg)
+      case Kernel.Rbf(gm) => ("rbf", gm, 0.0, 0)
+      case Kernel.Laplacian(gm) => ("laplacian", gm, 0.0, 0)
+    }
+    Seq(
+      "svm_type c_svc",
+      s"kernel_type $kt",
+      s"gamma ${g.toString}",
+      s"coef0 ${c0.toString}",
+      s"degree $d",
+      s"total_sv $numSupportVectors",
+      s"rho ${(-bias).toString}",
+      "SV"
+    ).toDS().coalesce(1).write.mode("overwrite").text(s"$path/header")
+    svs.select(col("sv_coef"), col("sv_x")).as[(Double, Seq[Double])]
+      .map { case (coef, x) =>
+        val sb = new StringBuilder(coef.toString)
+        var i = 0
+        while (i < x.length) { sb.append(' ').append(i + 1).append(':').append(x(i)); i += 1 }
+        sb.toString
+      }
+      .write.mode("overwrite").text(s"$path/sv")
+  }
+
   /** Adds `decision` and `prediction` (±1) columns over `vecCol`,
     * keyed by the (unique) `idCol`. */
   def predict(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
@@ -42,13 +77,45 @@ final case class IcfSvmModel(
   }
 }
 
+object IcfSvmModel {
+
+  /** Reload a text model dir written by [[IcfSvmModel.saveText]]. The SV
+    * parts are parsed distributedly — the model never touches the driver
+    * beyond the few header scalars. */
+  def loadText(spark: SparkSession, path: String): IcfSvmModel = {
+    import spark.implicits._
+    val header = spark.read.textFile(s"$path/header").collect()
+      .filter(_.contains(' '))
+      .map { l => val i = l.indexOf(' '); l.substring(0, i) -> l.substring(i + 1) }
+      .toMap
+    val kernel: Kernel = header("kernel_type") match {
+      case "linear" => Kernel.Linear
+      case "polynomial" => Kernel.Polynomial(header("gamma").toDouble,
+        header("coef0").toDouble, header("degree").toInt)
+      case "rbf" => Kernel.Rbf(header("gamma").toDouble)
+      case "laplacian" => Kernel.Laplacian(header("gamma").toDouble)
+    }
+    val svs = spark.read.textFile(s"$path/sv")
+      .map { line =>
+        val parts = line.split(' ')
+        val coef = parts(0).toDouble
+        val x = parts.drop(1).map(t => t.substring(t.indexOf(':') + 1).toDouble)
+        (x.toSeq, coef)
+      }
+      .toDF("sv_x", "sv_coef")
+    IcfSvmModel(kernel, svs, header("total_sv").toLong, -header("rho").toDouble)
+  }
+}
+
 object IcfSvmTrainer {
 
-  /** M6+M7+M8 end-to-end: labels must be ±1 in labelCol. */
+  /** M6+M7+M8 end-to-end: labels must be ±1 in labelCol;
+    * `posWeight`/`negWeight` scale C per class (libsvm `-wi`). */
   def fit(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
           kernel: Kernel, rank: Int, c: Double = 1.0,
           maxIter: Int = 60, tol: Double = 1e-5,
-          svEpsilon: Double = 1e-4): IcfSvmModel = {
+          svEpsilon: Double = 1e-4,
+          posWeight: Double = 1.0, negWeight: Double = 1.0): IcfSvmModel = {
     val spark = df.sparkSession
 
     val h = Icf.factorize(df, idCol, vecCol, kernel, rank)
@@ -60,7 +127,7 @@ object IcfSvmTrainer {
       .persist()
 
     val (alphas, _, _) = Ipm.solve(joined, "__id", "__y", "icf_features", c,
-      maxIter = maxIter, tol = tol)
+      maxIter = maxIter, tol = tol, posWeight = posWeight, negWeight = negWeight)
     val alphaDf = spark.createDataFrame(alphas).toDF("__id", "__alpha")
 
     // support vectors: alpha above threshold — kept DISTRIBUTED (on
@@ -78,7 +145,8 @@ object IcfSvmTrainer {
     // bias from free SVs' KKT: b = mean_i(y_i − Σ_j coef_j k(x_j, x_i)),
     // computed as a distributed kernel-sum join (only the final scalar
     // reaches the driver)
-    val free = svDf.filter(col("sv_alpha") < c * (1 - 1e-3))
+    val cCol = when(col("sv_y") > 0, c * posWeight).otherwise(c * negWeight)
+    val free = svDf.filter(col("sv_alpha") < cCol * (1 - 1e-3))
       .select(col("sv_id").as("__fid"), col("sv_x").as("__fx"), col("sv_y").as("__fy"))
     val svSide0 = svDf.select(col("sv_x"), col("sv_coef"))
     val svSide = if (nSv <= 65536) broadcast(svSide0) else svSide0

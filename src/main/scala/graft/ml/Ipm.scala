@@ -34,8 +34,13 @@ object Ipm {
   /** Solve the dual on (id, y∈{±1}, h: Array[Double] rank-p rows).
     * Returns per-row alphas (collected — O(n) doubles, diagnostics/test
     * use; production scoring keeps alphas distributed, see predictDf). */
+  /** `posWeight`/`negWeight` scale the box constraint per class
+    * (libsvm `-wi`, psvm svm_train weighted-C): 0 ≤ αᵢ ≤ C·w_{yᵢ}. */
   def solve(data: DataFrame, idCol: String, labelCol: String, hCol: String,
-            c: Double, maxIter: Int = 50, tol: Double = 1e-6): (RDD[(Long, Double)], Int, Double) = {
+            c: Double, maxIter: Int = 50, tol: Double = 1e-6,
+            posWeight: Double = 1.0, negWeight: Double = 1.0): (RDD[(Long, Double)], Int, Double) = {
+    val cPos = c * posWeight
+    val cNeg = c * negWeight
     import org.apache.spark.sql.functions.col
     val rows: RDD[(Long, Double, Array[Double])] = data
       .select(col(idCol).cast("long"), col(labelCol).cast("double"), col(hCol))
@@ -53,7 +58,7 @@ object Ipm {
       else Iterator.single((
         buf.map(_._1),
         Block(buf.map(_._2), buf.map(t => t._3.map(v => t._2 * v)), // G = diag(y)·H
-              Array.fill(buf.length)(c / 2.0))))
+              buf.map(t => (if (t._2 > 0) cPos else cNeg) / 2.0))))
     }.persist(StorageLevel.MEMORY_AND_DISK)
     blocks.count()
     rows.unpersist(false)
@@ -97,7 +102,8 @@ object Ipm {
             while (j < p) { qa += hi(j) * gTalphaB.value(j); j += 1 }
             val grad0 = qa - 1.0 + nu * b.y(i)   // ∇ without barrier
             val ai = b.alpha(i)
-            g += (if (grad0 > 0) ai * grad0 else (c - ai) * -grad0)
+            val ci = if (b.y(i) > 0) cPos else cNeg
+            g += (if (grad0 > 0) ai * grad0 else (ci - ai) * -grad0)
             ya += b.y(i) * ai
             i += 1
           }
@@ -118,11 +124,12 @@ object Ipm {
             var i = 0
             while (i < b.alpha.length) {
               val hi = b.h(i); val ai = b.alpha(i)
+              val ci = if (b.y(i) > 0) cPos else cNeg
               var qa = 0.0; var j = 0
               while (j < p) { qa += hi(j) * gTalphaB.value(j); j += 1 }
               val grad = qa - 1.0 + nu * b.y(i) -
-                (1.0 / (t * ai)) + (1.0 / (t * (c - ai)))
-              val dInv = 1.0 / (1.0 / (t * ai * ai) + 1.0 / (t * (c - ai) * (c - ai)))
+                (1.0 / (t * ai)) + (1.0 / (t * (ci - ai)))
+              val dInv = 1.0 / (1.0 / (t * ai * ai) + 1.0 / (t * (ci - ai) * (ci - ai)))
               var j1 = 0
               while (j1 < p) {
                 val w = dInv * hi(j1)
@@ -137,11 +144,12 @@ object Ipm {
             var acc1 = sYdy; var acc2 = sYdg; var i2 = 0
             while (i2 < b.alpha.length) {
               val hi = b.h(i2); val ai = b.alpha(i2)
+              val ci = if (b.y(i2) > 0) cPos else cNeg
               var qa = 0.0; var j = 0
               while (j < p) { qa += hi(j) * gTalphaB.value(j); j += 1 }
               val grad = qa - 1.0 + nu * b.y(i2) -
-                (1.0 / (t * ai)) + (1.0 / (t * (c - ai)))
-              val dInv = 1.0 / (1.0 / (t * ai * ai) + 1.0 / (t * (c - ai) * (c - ai)))
+                (1.0 / (t * ai)) + (1.0 / (t * (ci - ai)))
+              val dInv = 1.0 / (1.0 / (t * ai * ai) + 1.0 / (t * (ci - ai) * (ci - ai)))
               acc1 += b.y(i2) * dInv * b.y(i2)
               acc2 += b.y(i2) * dInv * grad
               i2 += 1
@@ -173,11 +181,12 @@ object Ipm {
           var i = 0
           while (i < b.alpha.length) {
             val hi = b.h(i); val ai = b.alpha(i)
+            val ci = if (b.y(i) > 0) cPos else cNeg
             var qa = 0.0; var j = 0
             while (j < p) { qa += hi(j) * gTalphaB.value(j); j += 1 }
             val grad = qa - 1.0 + nu * b.y(i) -
-              (1.0 / (t * ai)) + (1.0 / (t * (c - ai)))
-            val dInv = 1.0 / (1.0 / (t * ai * ai) + 1.0 / (t * (c - ai) * (c - ai)))
+              (1.0 / (t * ai)) + (1.0 / (t * (ci - ai)))
+            val dInv = 1.0 / (1.0 / (t * ai * ai) + 1.0 / (t * (ci - ai) * (ci - ai)))
             var smwU = 0.0; var smwW = 0.0; var j2 = 0
             while (j2 < p) { smwU += hi(j2) * corrUB.value(j2); smwW += hi(j2) * corrWB.value(j2); j2 += 1 }
             val u = dInv * (grad - smwU)
@@ -185,7 +194,7 @@ object Ipm {
             val dAlpha = -u - deltaNu * w
             deltas(i) = dAlpha
             if (dAlpha < 0 && ai + dAlpha < 0) minStep = math.min(minStep, -ai / dAlpha * 0.99)
-            if (dAlpha > 0 && ai + dAlpha > c) minStep = math.min(minStep, (c - ai) / dAlpha * 0.99)
+            if (dAlpha > 0 && ai + dAlpha > ci) minStep = math.min(minStep, (ci - ai) / dAlpha * 0.99)
             i += 1
           }
           (ids, b, deltas, minStep)
@@ -195,8 +204,9 @@ object Ipm {
           val na = new Array[Double](b.alpha.length)
           var i = 0
           while (i < na.length) {
-            na(i) = math.min(math.max(b.alpha(i) + step * deltas(i), 1e-12 * c),
-                             c * (1.0 - 1e-12))
+            val ci = if (b.y(i) > 0) cPos else cNeg
+            na(i) = math.min(math.max(b.alpha(i) + step * deltas(i), 1e-12 * ci),
+                             ci * (1.0 - 1e-12))
             i += 1
           }
           (ids, Block(b.y, b.h, na))

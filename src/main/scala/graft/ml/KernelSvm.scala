@@ -17,12 +17,18 @@ import org.apache.spark.sql.functions._
   * Labels follow the libsvm ±1 convention on input and output; they are
   * remapped to {0,1} only around the MLlib fit.
   */
+/** `posWeight`/`negWeight` are per-class cost multipliers (libsvm `-wi`,
+  * psvm weighted C) for imbalanced data: the +1/−1 class's errors are
+  * weighted `posWeight`/`negWeight` in the primal fit, and the dual box
+  * constraint becomes 0 ≤ αᵢ ≤ C·w_{yᵢ} in the IPM path. */
 final case class KernelSvmParams(
     kernel: Kernel = Kernel.Rbf(0.1),
     numLandmarks: Int = 64,
     regParam: Double = 1e-3,
     maxIter: Int = 50,
-    tol: Double = 1e-6)
+    tol: Double = 1e-6,
+    posWeight: Double = 1.0,
+    negWeight: Double = 1.0)
 
 final case class KernelSvmModel(
     featureMap: NystromMap,
@@ -32,7 +38,7 @@ final case class KernelSvmModel(
   /** Decision value f(x) = w·φ(x) + b as a column over `vecCol`. */
   private def decisionCol(featCol: Column): Column = {
     val w = array(weights.map(lit): _*)
-    graft.functions.VectorOps.dot(featCol, w) + lit(intercept)
+    graft.functions.GraftFunctions.dot_product(featCol, w) + lit(intercept)
   }
 
   /** Adds `decision` (double) and `prediction` (±1) columns. */
@@ -99,12 +105,16 @@ object KernelSvmTrainer {
     val feats = Nystrom.transform(df, vecCol, map, "__phi")
       .withColumn("__features", array_to_vector(col("__phi")))
       .withColumn("__label01", when(col(labelCol) > 0, 1.0).otherwise(0.0))
+      .withColumn("__weight",
+        when(col(labelCol) > 0, params.posWeight).otherwise(params.negWeight))
       .coalesce(parts)
       .persist()
     val svc = new LinearSVC()
       .setFeaturesCol("__features").setLabelCol("__label01")
       .setRegParam(params.regParam).setMaxIter(params.maxIter)
       .setTol(params.tol).setFitIntercept(true)
+    if (params.posWeight != 1.0 || params.negWeight != 1.0)
+      svc.setWeightCol("__weight")
     val m = svc.fit(feats)
     feats.unpersist()
     KernelSvmModel(map, m.coefficients.toArray, m.intercept)
@@ -120,7 +130,8 @@ object KernelSvmTrainer {
     val map = Nystrom.fit(df, idCol, vecCol, params.kernel, params.numLandmarks)
     val feats = Nystrom.transform(df, vecCol, map, "__phi").persist()
     val (alphas, _, _) = Ipm.solve(feats, idCol, labelCol, "__phi", c,
-      maxIter = maxIter, tol = params.tol)
+      maxIter = maxIter, tol = params.tol,
+      posWeight = params.posWeight, negWeight = params.negWeight)
     val withAlpha = feats
       .join(feats.sparkSession.createDataFrame(alphas)
         .toDF(idCol + "_a", "__alpha"), col(idCol) === col(idCol + "_a"))
@@ -135,9 +146,12 @@ object KernelSvmTrainer {
           acc
         },
         combOp = { (x, y) => var j = 0; while (j < p) { x(j) += y(j); j += 1 }; x })
-    // bias from free SVs: b = mean(y_i − w·phi_i)
+    // bias from free SVs: b = mean(y_i − w·phi_i); the upper bound is the
+    // per-class C when class weights are set
     val eps = 1e-3 * c
-    val free = withAlpha.filter(col("__alpha") > eps && col("__alpha") < c - eps)
+    val cCol = when(col(labelCol) > 0, c * params.posWeight)
+      .otherwise(c * params.negWeight)
+    val free = withAlpha.filter(col("__alpha") > eps && col("__alpha") < cCol - eps)
       .select(col(labelCol).cast("double"), col("__phi"))
       .rdd.map { r =>
         val phi = r.getSeq[Double](1)
@@ -164,6 +178,7 @@ object KernelSvmTrainer {
       .setClassifier(new LinearSVC()
         .setRegParam(params.regParam).setMaxIter(params.maxIter).setTol(params.tol))
       .setFeaturesCol("__features").setLabelCol("__label")
+      .setParallelism(8)   // OVR classes are independent fits
     val out = ovr.fit(feats).transform(feats)
       .withColumnRenamed("prediction", "prediction_class")
       .drop("__features", "__phi", "rawPrediction")

@@ -4,9 +4,10 @@ import org.apache.spark.sql.Column
 import graft.functions.VectorOps
 
 /** §2.1 M2–M5: the four PSVM kernels (reference: psvm kernel.cc,
-  * kernel_type 0–3), as codegen-friendly column functions over
-  * array<double> vectors, plus plain-Scala twins for driver-side math
-  * (Nyström/ICF pivots).
+  * kernel_type 0–3). Column forms use the fused native expressions
+  * (single codegen'd loop per pair, sequential accumulation identical to
+  * the HOF forms and the DuckDB oracles); plain-Scala twins serve
+  * driver/executor-local math (Nyström/ICF pivots).
   */
 sealed trait Kernel extends Serializable {
   /** Column form: k(a, b) over two array<double> columns. */
@@ -25,7 +26,8 @@ object Kernel {
 
   case object Linear extends Kernel {
     val name = "linear"
-    def apply(a: Column, b: Column): Column = VectorOps.dot(a, b)
+    def apply(a: Column, b: Column): Column =
+      graft.functions.GraftFunctions.dot_product(a, b)
     def apply(a: Array[Double], b: Array[Double]): Double = dotLocal(a, b)
   }
 
@@ -33,7 +35,7 @@ object Kernel {
     val name = "polynomial"
     def apply(a: Column, b: Column): Column = {
       import org.apache.spark.sql.functions.{lit, pow}
-      pow(lit(gamma) * VectorOps.dot(a, b) + lit(coef0), lit(degree))
+      pow(lit(gamma) * graft.functions.GraftFunctions.dot_product(a, b) + lit(coef0), lit(degree))
     }
     def apply(a: Array[Double], b: Array[Double]): Double =
       math.pow(gamma * dotLocal(a, b) + coef0, degree)
@@ -43,7 +45,7 @@ object Kernel {
     val name = "rbf"
     def apply(a: Column, b: Column): Column = {
       import org.apache.spark.sql.functions.{exp, lit}
-      exp(lit(-gamma) * VectorOps.sqDistance(a, b))
+      exp(lit(-gamma) * graft.functions.GraftFunctions.sq_distance(a, b))
     }
     def apply(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -56,7 +58,7 @@ object Kernel {
     val name = "laplacian"
     def apply(a: Column, b: Column): Column = {
       import org.apache.spark.sql.functions.{exp, lit}
-      exp(lit(-gamma) * VectorOps.l1Distance(a, b))
+      exp(lit(-gamma) * graft.functions.GraftFunctions.l1_distance(a, b))
     }
     def apply(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0

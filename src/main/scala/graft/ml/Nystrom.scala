@@ -43,14 +43,48 @@ final case class NystromMap(
     out
   }
 
-  /** Column form of the feature map. The kernel evaluations against the
-    * broadcast landmark matrix are a tight JVM loop (Scala UDF) — one
-    * narrow map, no shuffle; everything before/after stays codegen'd. */
-  def featuresCol: Column = {
-    val self = this
-    val f = udf((x: Seq[Double]) => self.features(x.toArray))
-    f(col("__vec"))
+  /** [[features]] straight off Catalyst array data — called from the
+    * generated code of [[NystromFeatures]], no per-row boxing. */
+  def featuresFromArrayData(
+      a: org.apache.spark.sql.catalyst.util.ArrayData): Array[Double] =
+    features(a.toDoubleArray())
+
+  /** Column form of the feature map: a native expression whose generated
+    * code calls the tight JVM loop above with the map held as a codegen
+    * reference object — one narrow map, no shuffle, no UDF ser/deser
+    * boundary, so the surrounding projection stays in whole-stage
+    * codegen. */
+  def featuresCol: Column =
+    org.apache.spark.sql.graft.GraftShim.column(
+      NystromFeatures(
+        org.apache.spark.sql.graft.GraftShim.expression(col("__vec")), this))
+}
+
+/** Fused `φ(x)` over an array<double> column (see [[NystromMap.featuresCol]]). */
+case class NystromFeatures(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    map: NystromMap)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types._
+
+  override def prettyName: String = "nystrom_features"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(map.featuresFromArrayData(a.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("nystromMap", map, classOf[NystromMap].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"$mapRef.featuresFromArrayData($a));")
   }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): NystromFeatures =
+    copy(child = c)
 }
 
 object Nystrom {

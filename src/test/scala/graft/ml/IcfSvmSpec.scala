@@ -25,6 +25,60 @@ class IcfSvmSpec extends SparkSpec {
     assert(acc === 1.0, s"separable data must classify perfectly, got $acc")
   }
 
+  test("psvm-style text model roundtrips exactly") {
+    val rng = new scala.util.Random(41)
+    val pts = (0 until 60).map { i =>
+      val pos = i % 2 == 0
+      val cx = if (pos) 1.5 else -1.5
+      (i.toLong,
+       Array(cx + rng.nextGaussian() * 0.5, -cx + rng.nextGaussian() * 0.5),
+       if (pos) 1.0 else -1.0)
+    }
+    val df = pts.toDF("id", "vec", "y")
+    val model = IcfSvmTrainer.fit(df, "id", "vec", "y",
+      Kernel.Rbf(0.5), rank = 16, c = 1.0, maxIter = 40)
+    val dir = java.nio.file.Files.createTempDirectory("icfsvm_text").toString
+    model.saveText(spark, dir)
+    val loaded = IcfSvmModel.loadText(spark, dir)
+    assert(loaded.numSupportVectors === model.numSupportVectors)
+    assert(loaded.bias === model.bias, "rho/bias roundtrips via Double.toString")
+    assert(loaded.kernel === model.kernel)
+    val orig = model.predict(df, "id", "vec")
+      .select("id", "decision").as[(Long, Double)].collect().toMap
+    val back = loaded.predict(df, "id", "vec")
+      .select("id", "decision").as[(Long, Double)].collect().toMap
+    pts.foreach { case (id, _, _) =>
+      assert(math.abs(orig(id) - back(id)) < 1e-12,
+        s"decision for $id drifted: ${orig(id)} vs ${back(id)}")
+    }
+  }
+
+  test("per-class C weights shift the confusion matrix toward the rare class") {
+    // 10:1 imbalanced overlapping blobs: unweighted C under-recalls the
+    // rare positive class; boosting posWeight must raise tp (recall).
+    val rng = new scala.util.Random(13)
+    val pts = (0 until 220).map { i =>
+      val pos = i % 11 == 0                       // ~9% positive
+      val cx = if (pos) 0.8 else -0.8             // heavy overlap
+      (i.toLong,
+       Array(cx + rng.nextGaussian(), cx + rng.nextGaussian()),
+       if (pos) 1.0 else -1.0)
+    }
+    val df = pts.toDF("id", "vec", "y").persist()
+    def tpOf(posWeight: Double): Long = {
+      val m = IcfSvmTrainer.fit(df, "id", "vec", "y",
+        Kernel.Rbf(0.5), rank = 16, c = 1.0, maxIter = 40,
+        posWeight = posWeight)
+      SvmEvaluator.evaluate(m.predict(df, "id", "vec"), "y")
+        .head.getAs[Long]("tp")
+    }
+    val tpPlain = tpOf(1.0)
+    val tpWeighted = tpOf(10.0)
+    info(s"tp unweighted=$tpPlain, tp with posWeight=10: $tpWeighted")
+    assert(tpWeighted > tpPlain,
+      "upweighting the rare class must recover more of its points")
+  }
+
   test("non-separable data: SV set stays distributed (O(n) SVs, no driver copy)") {
     // random labels -> nothing is separable -> nearly every point is a
     // support vector; the model must hold them as a DataFrame and still

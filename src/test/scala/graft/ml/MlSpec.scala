@@ -73,6 +73,27 @@ class MlSpec extends SparkSpec {
     assert(resid.sum / pts.size < 0.05, s"avg residual ${resid.sum / pts.size}")
   }
 
+  test("icf rank_ratio auto-rank + residual early stop") {
+    // exact duplicates of 3 distinct points: the RBF kernel has rank 3,
+    // so with a residual tolerance the factorization must stop after ~3
+    // columns no matter how large ratio*n is.
+    val bases = Seq(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 1.0))
+    val pts = (0 until 30).map(i => i.toLong -> bases(i % 3).clone())
+    val df = pts.toDF("id", "vec")
+    val h = Icf.factorizeAuto(df, "id", "vec", Kernel.Rbf(0.5),
+        rankRatio = 0.5, residualTol = 1e-10)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val builtRank = h.values.head.length
+    assert(builtRank <= 4, s"rank-3 kernel must early-stop, built $builtRank cols")
+    // and the truncated factor still reconstructs the kernel
+    var maxErr = 0.0
+    for (i <- pts.indices; j <- pts.indices) {
+      val approx = h(i.toLong).zip(h(j.toLong)).map { case (u, v) => u * v }.sum
+      maxErr = math.max(maxErr, math.abs(approx - Kernel.Rbf(0.5)(pts(i)._2, pts(j)._2)))
+    }
+    assert(maxErr < 1e-6, s"early-stopped ICF reconstruction err $maxErr")
+  }
+
   test("kernel svm separates two gaussian blobs and survives save/load") {
     val rng = new scala.util.Random(11)
     val pos = (0 until 80).map(i => (i.toLong, Array(2.0 + rng.nextGaussian() * 0.3,
