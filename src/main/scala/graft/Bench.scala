@@ -10,6 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: touch each table + force codegen/JIT of the common
+    // expression paths once, so the first timed query doesn't absorb
+    // JVM startup (standard bench hygiene; adds ~5s wall-clock, removes
+    // ~10s of warmup noise from the first query's figure)
+    Tables.all.foreach { t =>
+      try { Tables.load(spark, sfDir, t).limit(64).count() }
+      catch { case _: Throwable => () }
+    }
+    try { SparkEntry.queries("m2_kernel_values")(spark, sfDir).count() }
+    catch { case _: Throwable => () }
+    spark.catalog.clearCache(); System.gc()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

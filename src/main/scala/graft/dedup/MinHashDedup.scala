@@ -64,6 +64,14 @@ object MinHashDedup {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** Jaccard for SORTED distinct long arrays (what
+    * [[candidatePairsBySets]] emits): fused merge-intersect, no per-pair
+    * hash set — the verification step scores 100k+ candidates. */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = graft.functions.HashFunctions.sorted_intersect_size(a, b).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
   /** Distinct in-bucket pairs from exploded (id, band_idx, band_key)
     * rows. Single shuffle: buckets are aggregated (not self-joined), the
     * b² pair expansion happens inside each bucket row, and buckets above
@@ -88,9 +96,11 @@ object MinHashDedup {
     // compress shingle STRINGS to xxhash64 longs once, up front: the
     // signature pass and the set-intersection verification then run on
     // primitive longs (identical Jaccard modulo ~2⁻⁶⁴ collisions), which
-    // cuts both CPU and the memory footprint of the cached/joined sets
+    // cuts both CPU and the memory footprint of the cached/joined sets.
+    // SORTED so verification can merge-intersect (jaccardSorted) —
+    // minhash/banding are order-insensitive.
     val hashed = sets.select(col("id"),
-      array_distinct(transform(col("sh"), x => xxhash64(x))).as("sh"))
+      array_sort(array_distinct(transform(col("sh"), x => xxhash64(x)))).as("sh"))
     // persist: banding + the two verification joins each consume this
     val cached = hashed.persist(StorageLevel.MEMORY_AND_DISK)
     val banded = cached
@@ -107,7 +117,7 @@ object MinHashDedup {
                          threshold: Double = 0.8, k: Int = 3,
                          maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     candidatePairs(df, idCol, textCol, k, maxBucketSize)
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .withColumn("jaccard", round(jaccardSorted(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 

@@ -32,7 +32,7 @@ object NgramJaccard {
     val sets = df.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("sh"))
     MinHashDedup.candidatePairsBySets(sets, bands = 8, rowsPerBand = 8,
         maxBucketSize = maxBucketSize)
-      .withColumn("jaccard", round(MinHashDedup.jaccard(col("sh_a"), col("sh_b")), 6))
+      .withColumn("jaccard", round(MinHashDedup.jaccardSorted(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -63,6 +63,19 @@ object HashUtil {
     keys
   }
 
+  /** |A ∩ B| for two sorted distinct long arrays — linear merge walk. */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
   private val md5Local: ThreadLocal[MessageDigest] =
     new ThreadLocal[MessageDigest] {
       override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
@@ -171,6 +184,35 @@ case class SimHash64(child: Expression, useMd5: Boolean)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `sorted_intersect_size(array<long>, array<long>)` — |A ∩ B| for two
+  * SORTED distinct long arrays via a linear merge walk: no per-row hash
+  * set (Spark's `array_intersect` builds one), which matters when an LSH
+  * verification step scores hundreds of thousands of candidate pairs. */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "sorted_intersect_size"
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<long> arguments")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.sortedIntersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashUtil.sortedIntersectSize($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column builders for the fused hash expressions. */
 object HashFunctions {
   import org.apache.spark.sql.graft.GraftShim.{column, expression}
@@ -183,4 +225,7 @@ object HashFunctions {
 
   def simhash64(toks: Column, useMd5: Boolean = true): Column =
     column(SimHash64(expression(toks), useMd5))
+
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    column(SortedIntersectSize(expression(a), expression(b)))
 }

@@ -32,10 +32,14 @@ object ScaleOps {
     * a salt column mixed into the join key. */
   def saltedJoin(probe: DataFrame, build: DataFrame,
                  probeKey: String, buildKey: String, salt: Int): DataFrame = {
-    // deterministic pseudo-random salt from the row content: stable
-    // across retries (rand() is not) and uniform enough for spreading
+    // salt from a hash of ALL probe columns: content-deterministic (the
+    // same row always lands on the same replica, unlike rand() or
+    // monotonically_increasing_id(), which depend on partition layout
+    // and would reshuffle rows across retries) and uniform enough to
+    // spread a hot key over `salt` reducers — correctness only needs the
+    // salt to match ONE of the build side's replicas, which all exist
     val probeS = probe.withColumn("__salt",
-      pmod(xxhash64(col(probeKey), monotonically_increasing_id()), lit(salt)))
+      pmod(xxhash64(probe.columns.map(col): _*), lit(salt)))
     val buildS = build
       .withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
     probeS.join(buildS,
