@@ -59,6 +59,8 @@ object SparkEntry {
     "m4_icf_factor"        -> (MlQueries.icfFactor _),
     "m5_svm_ipm_eval"      -> (MlQueries.svmIpmEval _),
     "m6_svm_icf_ipm_eval"  -> (MlQueries.svmIcfIpmEval _),
+    "m7_libsvm_roundtrip"  -> (MlQueries.libsvmRoundtrip _),
+    "q27_decimal_money"    -> (Relational.q27DecimalMoney _),
     "q23_cube"             -> (Relational.q23Cube _),
     "q24_pivot"            -> (Relational.q24Pivot _),
     "q25_setops"           -> (Relational.q25SetOps _),
@@ -309,6 +311,23 @@ object SparkEntry {
          ORDER BY query_id, rank""",
     // m1/m3 (iterative SVM fits) and m4 (ICF) aren't SQL-expressible →
     // rows-only checks; MlSpec covers them with planted-geometry oracles.
+    "m7_libsvm_roundtrip" ->
+      """SELECT CAST(label AS DOUBLE) AS label, count(*) AS n_rows,
+         round(sum(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6)
+           AS feature_mass
+         FROM embeddings
+         GROUP BY 1
+         ORDER BY 1""",
+    "q27_decimal_money" ->
+      """SELECT l_returnflag,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(15,2))
+                * (CAST(1.00 AS DECIMAL(15,2)) - CAST(l_discount AS DECIMAL(15,2)))
+                AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         count(*) AS n_rows
+         FROM lineitem
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
     "m2_kernel_values" ->
       """SELECT id_a, id_b,
          round(dot, 6) AS k_linear,

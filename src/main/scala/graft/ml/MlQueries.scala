@@ -27,6 +27,26 @@ object MlQueries {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** m7: LIBSVM text round-trip (reference: psvm document.cc reader) —
+    * embeddings are written as `label idx:val …` lines, read back through
+    * the distributed libsvm source, and summarized; the oracle computes
+    * the same summary straight from the parquet table, so any
+    * serialization loss would hash-mismatch. */
+  def libsvmRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label".cast("double").as("label"),
+              VectorOps.toDoubleArray($"embedding").as("vec"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_libsvm").toString
+    LibSvmIO.write(e, "label", "vec", tmp)
+    LibSvmIO.read(spark, tmp)
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(aggregate($"features", lit(0.0), (acc, x) => acc + x)), 6)
+             .as("feature_mass"))
+      .orderBy($"label")
+  }
+
   /** m1: end-to-end binary kernel SVM — train on embeddings with ±1
     * labels (label parity), score the training set, emit the confusion
     * matrix + metrics (rows-only: iterative fit isn't SQL). */

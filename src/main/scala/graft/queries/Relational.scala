@@ -362,4 +362,28 @@ object Relational {
       countDistinct($"l_partkey").as("exact_parts"),
       countDistinct($"l_suppkey").as("exact_supps"))
   }
+
+  /** R26: DECIMAL money arithmetic — what a production engine ships for
+    * currency instead of double+round. Inputs are 2-dp prices/discounts,
+    * so the casts are exact; products carry scale 4 end-to-end (no
+    * rounding anywhere), and decimal sums are order-independent — unlike
+    * the double queries, this aggregation is bit-stable under any
+    * partitioning at any scale factor. (Only the final projection casts
+    * to double, because the comparison harness reads DECIMAL through
+    * pandas as float; the exact decimal total converts to one canonical
+    * double in both engines.) */
+  def q27DecimalMoney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        $"l_extendedprice".cast("decimal(15,2)").as("price"),
+        $"l_discount".cast("decimal(15,2)").as("disc"))
+      .groupBy($"l_returnflag")
+      .agg(
+        sum($"price").cast("double").as("sum_price"),
+        sum(($"price" * (lit(BigDecimal("1.00")).cast("decimal(15,2)") - $"disc"))
+          .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
 }
