@@ -69,6 +69,8 @@ object SparkEntry {
     "mm1_media_features"   -> (MultimodalOps.mediaFeatures _),
     "mm2_frame_sample"     -> (MultimodalOps.frameSample _),
     "q22_sessions"         -> (Sessionization.sessionsBatch _),
+    "s1_stream_hourly"     -> (graft.streaming.EventStreams.s1StreamHourly _),
+    "s3_stream_dedup"      -> (graft.streaming.EventStreams.s3StreamDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -416,6 +418,18 @@ object SparkEntry {
                        WHERE c.event_type = 'click' AND c.user_id = p.user_id
                          AND c.ts <= p.ts)
          ORDER BY user_id, purchase_id""",
+    // s1/s3 run the actual Structured Streaming engine (AvailableNow →
+    // memory sink); the oracles are the batch-equivalent SQL.
+    "s1_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
+    "s3_stream_dedup" ->
+      """SELECT count(DISTINCT event_id) AS n_events,
+                count(DISTINCT user_id) AS n_users
+         FROM events""",
     "q22_sessions" ->
       """SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
          count(*) AS n_events, round(sum(value), 2) AS sum_value

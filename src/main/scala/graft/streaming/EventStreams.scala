@@ -34,6 +34,54 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  // ---- driver-visible streaming queries ----
+  // These run the REAL streaming engine over the events parquet as a
+  // file-source stream with Trigger.AvailableNow (process everything,
+  // then stop) into a memory sink, so the driver's DuckDB gate can
+  // hash-compare genuine Structured Streaming output against the
+  // batch-equivalent SQL. At cluster scale the same code tails a
+  // directory/Kafka topic instead of finishing.
+
+  private def eventStream(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    // the file stream source lists a DIRECTORY (that's its contract —
+    // new files arrive over time); the test table is a single parquet
+    // file, so stage a symlink to it in a temp dir
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    try java.nio.file.Files.createSymbolicLink(staged.resolve("events.parquet"), src)
+    catch { case _: Throwable =>
+      java.nio.file.Files.copy(src, staged.resolve("events.parquet")) }
+    val schema = spark.read.parquet(src.toString).schema
+    spark.readStream.schema(schema).parquet(staged.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def runToMemory(out: DataFrame, mode: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    out.sparkSession.table(name)
+  }
+
+  /** s1: S1 through the streaming engine, hash-compared to the batch
+    * windowed aggregation (complete mode — every window survives). */
+  def s1StreamHourly(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    runToMemory(hourlyWindowed(eventStream(spark, dir)), "complete")
+      .select(col("window_start"), col("event_type"), col("n_events"),
+              round(col("sum_value"), 2).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** s3: S3 through the streaming engine — dedup on event_id, then a
+    * batch summary of the sink (oracle: DISTINCT over the table). */
+  def s3StreamDedup(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    runToMemory(dedupedEvents(eventStream(spark, dir)), "append")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"))
+
   // ---- S2: gap-based sessionization via flatMapGroupsWithState ----
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
