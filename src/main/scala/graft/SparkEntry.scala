@@ -53,6 +53,7 @@ object SparkEntry {
     "p5b_embedding_dedup_lsh" -> (EmbeddingDedup.queryLsh _),
     "p6_knn_bruteforce"    -> (Knn.query _),
     "p7_ann_lsh"           -> (LshAnn.query _),
+    "p7b_ann_ivf"          -> (graft.sim.IvfAnn.query _),
     "m1_svm_binary_eval"   -> (MlQueries.svmBinaryEval _),
     "m2_kernel_values"     -> (MlQueries.kernelValues _),
     "m3_svm_multiclass_eval" -> (MlQueries.svmMulticlassEval _),

@@ -20,6 +20,30 @@ class SimSearchSpec extends SparkSpec {
     }
   }
 
+  test("ivf ann: high recall on clustered data, probes only nprobe cells") {
+    // 8 well-separated clusters of 40 vectors: true neighbors share a
+    // cluster, so probing the nearest cells must recover nearly all of
+    // them — the regime IVF is built for.
+    val rng = new scala.util.Random(29)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rng.nextGaussian() * 5.0))
+    val pts = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.3).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 16)
+    val exact = Knn.bruteForce(df, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = IvfAnn.annTopK(df, q, "vec_id", "embedding", 10,
+        nlist = 8, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    info(f"IVF recall@10 = $recall%.3f on clustered fixture")
+    assert(recall >= 0.9, f"clustered data must probe well, recall=$recall%.3f")
+    assert(ivf.size <= exact.size)
+  }
+
   test("lsh ann achieves reasonable recall vs brute force") {
     val e = graft.Tables.embeddings(spark, dir)
     val q = e.filter($"vec_id" < 20)
