@@ -70,6 +70,7 @@ object SparkEntry {
     "mm1_media_features"   -> (MultimodalOps.mediaFeatures _),
     "mm2_frame_sample"     -> (MultimodalOps.frameSample _),
     "q22_sessions"         -> (Sessionization.sessionsBatch _),
+    "u1_bucketed_join"     -> (graft.operators.ScaleOps.u1BucketedJoinQuery _),
     "s1_stream_hourly"     -> (graft.streaming.EventStreams.s1StreamHourly _),
     "s3_stream_dedup"      -> (graft.streaming.EventStreams.s3StreamDedup _),
   )
@@ -419,6 +420,15 @@ object SparkEntry {
                        WHERE c.event_type = 'click' AND c.user_id = p.user_id
                          AND c.ts <= p.ts)
          ORDER BY user_id, purchase_id""",
+    // u1 goes through bucketed catalog tables; the oracle reads raw
+    // parquet — equality proves the bucketed write/read path is lossless.
+    "u1_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS sum_price
+         FROM orders, customer
+         WHERE o_custkey = c_custkey
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
     // s1/s3 run the actual Structured Streaming engine (AvailableNow →
     // memory sink); the oracles are the batch-equivalent SQL.
     "s1_stream_hourly" ->

@@ -47,6 +47,27 @@ object ScaleOps {
       .drop("__salt")
   }
 
+  /** u1: driver-visible bucketed-join query — writes orders and customer
+    * bucketed by custkey (8 buckets) into a temp warehouse path, joins
+    * through the catalog tables, and aggregates per market segment. The
+    * oracle computes the same aggregate from the raw tables, proving the
+    * bucketed write/read path loses nothing; the exchange-free plan shape
+    * itself is asserted by ScaleOpsSpec. */
+  def u1BucketedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    writeBucketed(graft.Tables.orders(spark, dir), "o_custkey", 8,
+      "graft_u1_orders", s"$tmp/orders")
+    writeBucketed(graft.Tables.customer(spark, dir), "c_custkey", 8,
+      "graft_u1_customer", s"$tmp/customer")
+    spark.table("graft_u1_orders")
+      .join(spark.table("graft_u1_customer"),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Range-partition + sort: the write layout for range-pruned scans
     * (timestamp ranges prune files via min/max stats). */
   def writeRangeLayout(df: DataFrame, rangeCol: String, partitions: Int,
