@@ -62,6 +62,7 @@ object SparkEntry {
     "m6_svm_icf_ipm_eval"  -> (MlQueries.svmIcfIpmEval _),
     "m7_libsvm_roundtrip"  -> (MlQueries.libsvmRoundtrip _),
     "q27_decimal_money"    -> (Relational.q27DecimalMoney _),
+    "q28_percentiles"      -> (Relational.q28Percentiles _),
     "q23_cube"             -> (Relational.q23Cube _),
     "q24_pivot"            -> (Relational.q24Pivot _),
     "q25_setops"           -> (Relational.q25SetOps _),
@@ -315,6 +316,14 @@ object SparkEntry {
          ORDER BY query_id, rank""",
     // m1/m3 (iterative SVM fits) and m4 (ICF) aren't SQL-expressible →
     // rows-only checks; MlSpec covers them with planted-geometry oracles.
+    "q28_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
+         round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
+         round(quantile_cont(l_quantity, 0.5), 2) AS p50_qty
+         FROM lineitem
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
     "m7_libsvm_roundtrip" ->
       """SELECT CAST(label AS DOUBLE) AS label, count(*) AS n_rows,
          round(sum(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6)

@@ -363,6 +363,21 @@ object Relational {
       countDistinct($"l_suppkey").as("exact_supps"))
   }
 
+  /** R27: exact interpolated percentiles (percentile_cont semantics) per
+    * group — median + p95 of extended price by return flag. Spark's
+    * `percentile` is the exact (sort-based) aggregate, so DuckDB's
+    * `quantile_cont` mirrors it bit-for-bit after rounding. */
+  def q28Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"),
+        round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   /** R26: DECIMAL money arithmetic — what a production engine ships for
     * currency instead of double+round. Inputs are 2-dp prices/discounts,
     * so the casts are exact; products carry scale 4 end-to-end (no
