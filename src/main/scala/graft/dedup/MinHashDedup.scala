@@ -56,10 +56,14 @@ object MinHashDedup {
   def bandKeys(hashedCol: Column, bands: Int = Bands, rows: Int = RowsPerBand): Column =
     HashFunctions.minhash_band_keys(hashedCol, bands, rows)
 
-  /** Candidate pairs from LSH banding (id_a < id_b). */
+  /** Candidate pairs from LSH banding (id_a < id_b). Uses the fused
+    * `token_shingle_hashes` expression — shingle construction, hashing,
+    * distinct and sort in one compiled pass per document. */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
                      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
-    candidatePairsBySets(df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh")),
+    candidatePairsByHashed(
+      df.select(col(idCol).as("id"),
+        graft.functions.HashFunctions.token_shingle_hashes(col(textCol), k).as("sh")),
       maxBucketSize = maxBucketSize)
 
   /** Jaccard(A,B) = |A∩B| / (|A| + |B| − |A∩B|) — one intersect pass
@@ -97,15 +101,24 @@ object MinHashDedup {
     * (id_a, id_b, sh_a, sh_b) ready for exact verification. */
   def candidatePairsBySets(sets: DataFrame, bands: Int = Bands,
                            rowsPerBand: Int = RowsPerBand,
-                           maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+                           maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     // compress shingle STRINGS to xxhash64 longs once, up front: the
     // signature pass and the set-intersection verification then run on
     // primitive longs (identical Jaccard modulo ~2⁻⁶⁴ collisions), which
     // cuts both CPU and the memory footprint of the cached/joined sets.
     // SORTED so verification can merge-intersect (jaccardSorted) —
     // minhash/banding are order-insensitive.
-    val hashed = sets.select(col("id"),
-      array_sort(array_distinct(transform(col("sh"), x => xxhash64(x)))).as("sh"))
+    candidatePairsByHashed(
+      sets.select(col("id"),
+        array_sort(array_distinct(transform(col("sh"), x => xxhash64(x)))).as("sh")),
+      bands, rowsPerBand, maxBucketSize)
+
+  /** Candidate pairs for a pre-hashed (id, sh: sorted array<long>) set
+    * DataFrame — the shared LSH core for P2 (token shingles) and P4
+    * (char n-grams). */
+  def candidatePairsByHashed(hashed: DataFrame, bands: Int = Bands,
+                             rowsPerBand: Int = RowsPerBand,
+                             maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // persist: banding + the two verification joins each consume this
     val cached = hashed.persist(StorageLevel.MEMORY_AND_DISK)
     val banded = cached

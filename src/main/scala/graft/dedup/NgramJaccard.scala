@@ -29,8 +29,11 @@ object NgramJaccard {
   def similarPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.9, n: Int = 3,
                    maxBucketSize: Int = MinHashDedup.DefaultMaxBucketSize): DataFrame = {
-    val sets = df.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("sh"))
-    MinHashDedup.candidatePairsBySets(sets, bands = 8, rowsPerBand = 8,
+    // fused char_ngram_hashes: n-gram windows, hashing, distinct and
+    // sort in one compiled pass per document
+    val sets = df.select(col(idCol).as("id"),
+      graft.functions.HashFunctions.char_ngram_hashes(col(textCol), n).as("sh"))
+    MinHashDedup.candidatePairsByHashed(sets, bands = 8, rowsPerBand = 8,
         maxBucketSize = maxBucketSize)
       .withColumn("jaccard", round(MinHashDedup.jaccardSorted(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)

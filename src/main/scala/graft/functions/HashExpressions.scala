@@ -63,6 +63,56 @@ object HashUtil {
     keys
   }
 
+  private def sortedDistinct(a: Array[Long], n: Int): Array[Long] = {
+    java.util.Arrays.sort(a, 0, n)
+    var w = 0; var i = 0
+    while (i < n) {
+      if (w == 0 || a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(a, w)
+  }
+
+  /** Sorted distinct xxhash64 values of the character n-grams of `text`
+    * (whole string when shorter) — one fused pass, value-identical to
+    * `array_sort(array_distinct(transform(ngrams, x -> xxhash64(x))))`
+    * over `substring(text, i, n)` windows. */
+  def charNgramHashes(text: UTF8String, n: Int): Array[Long] = {
+    val len = text.numChars()
+    val wins = math.max(len - n + 1, 1)
+    val out = new Array[Long](wins)
+    var i = 0
+    while (i < wins) {
+      out(i) = XXH64.hashUTF8String(text.substringSQL(i + 1, n), 42L)
+      i += 1
+    }
+    sortedDistinct(out, wins)
+  }
+
+  /** Sorted distinct xxhash64 values of k-token shingles (split on \s+,
+    * shingle = tokens joined by one space; short docs yield their whole
+    * token string) — fused twin of the shingles→hash column pipeline. */
+  def tokenShingleHashes(text: UTF8String, k: Int): Array[Long] = {
+    val toks = text.toString.split("\\s+", -1)
+    val wins = math.max(toks.length - k + 1, 1)
+    val out = new Array[Long](wins)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < wins) {
+      sb.setLength(0)
+      val end = math.min(i + k, toks.length)
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 42L)
+      i += 1
+    }
+    sortedDistinct(out, wins)
+  }
+
   /** |A ∩ B| for two sorted distinct long arrays — linear merge walk. */
   def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
@@ -184,6 +234,39 @@ case class SimHash64(child: Expression, useMd5: Boolean)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+private[functions] abstract class TextToHashSet extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.simpleString}")
+  }
+}
+
+/** `char_ngram_hashes(text, n)` — fused shingle+hash set builder. */
+case class CharNgramHashes(child: Expression, n: Int) extends TextToHashSet {
+  override def prettyName: String = "char_ngram_hashes"
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(HashUtil.charNgramHashes(a.asInstanceOf[UTF8String], n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"graft.functions.HashUtil.charNgramHashes($a, $n));")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `token_shingle_hashes(text, k)` — fused shingle+hash set builder. */
+case class TokenShingleHashes(child: Expression, k: Int) extends TextToHashSet {
+  override def prettyName: String = "token_shingle_hashes"
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(HashUtil.tokenShingleHashes(a.asInstanceOf[UTF8String], k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"graft.functions.HashUtil.tokenShingleHashes($a, $k));")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `sorted_intersect_size(array<long>, array<long>)` — |A ∩ B| for two
   * SORTED distinct long arrays via a linear merge walk: no per-row hash
   * set (Spark's `array_intersect` builds one), which matters when an LSH
@@ -228,4 +311,10 @@ object HashFunctions {
 
   def sorted_intersect_size(a: Column, b: Column): Column =
     column(SortedIntersectSize(expression(a), expression(b)))
+
+  def char_ngram_hashes(text: Column, n: Int): Column =
+    column(CharNgramHashes(expression(text), n))
+
+  def token_shingle_hashes(text: Column, k: Int): Column =
+    column(TokenShingleHashes(expression(text), k))
 }

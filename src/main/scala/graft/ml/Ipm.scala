@@ -52,6 +52,9 @@ object Ipm {
     val sc = rows.sparkContext
 
     // block layout: ids stay alongside so alphas can be re-keyed at the end
+    // (keep the input's partitioning: coalescing small inputs to one
+    // block was measured SLOWER — it serializes each iteration's
+    // aggregation passes, which outweighs the saved task overhead)
     var blocks: RDD[(Array[Long], Block)] = rows.mapPartitions { it =>
       val buf = it.toArray
       if (buf.isEmpty) Iterator.empty

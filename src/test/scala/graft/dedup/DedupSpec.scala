@@ -72,6 +72,32 @@ class DedupSpec extends SparkSpec {
     rows.foreach { case (f, h) => assert(f === h) }
   }
 
+  test("fused shingle+hash set builders equal the HOF pipelines bit-for-bit") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "ab"),                            // shorter than one window
+      (3L, " leading  and trailing spaces "),
+      (4L, "internationalization"),
+    ).toDF("id", "text")
+    val hofTok = expr(
+      "array_sort(array_distinct(transform(" +
+      "transform(sequence(1, greatest(size(split(text, '\\\\s+')) - 2, 1)), " +
+      "i -> concat_ws(' ', slice(split(text, '\\\\s+'), i, 3))), x -> xxhash64(x))))")
+    val hofNg = expr(
+      "array_sort(array_distinct(transform(" +
+      "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)), " +
+      "x -> xxhash64(x))))")
+    import graft.functions.HashFunctions
+    texts.select(
+        HashFunctions.token_shingle_hashes($"text", 3).as("f_tok"), hofTok.as("h_tok"),
+        HashFunctions.char_ngram_hashes($"text", 3).as("f_ng"), hofNg.as("h_ng"))
+      .as[(Seq[Long], Seq[Long], Seq[Long], Seq[Long])].collect()
+      .foreach { case (ft, ht, fn, hn) =>
+        assert(ft === ht, "token shingle hashes")
+        assert(fn === hn, "char ngram hashes")
+      }
+  }
+
   test("bucket cap drops a pathological bucket but keeps planted near-dups") {
     // 30 docs with IDENTICAL text share every band bucket -> bucket size
     // 30 > cap 8 -> all their buckets dropped; the distinct near-dup pair
