@@ -1,0 +1,97 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.Tables
+
+/** §2.3 P14: near-duplicate CLUSTERING — pairs are not enough to dedup a
+  * corpus; the production step groups the pair graph into connected
+  * components and keeps one representative per component.
+  *
+  * Distributed min-label propagation: every vertex starts labeled with
+  * its own id; each round it takes the min of its label and its
+  * neighbors' labels; at convergence every vertex carries the MIN id of
+  * its component (deterministic — no tie-breaking needed). Rounds are
+  * joins + aggregations keyed on vertex id; the driver sees only the
+  * per-round changed-count scalar. Near-dup components have tiny
+  * diameters (dups of dups), so this converges in a handful of rounds;
+  * the classic large-star/small-star optimization applies unchanged if
+  * a corpus ever produces long chains.
+  */
+object DedupClusters {
+
+  /** Connected components of an undirected edge list (src, dst).
+    * Returns (id, cluster_id = min id in the component). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager localCheckpoint each round: the loop would otherwise DOUBLE
+    // the logical plan per iteration (labels feeds both the neighbor
+    // aggregation and the convergence join) and Catalyst analysis blows
+    // up exponentially — the standard iterative-DataFrame lineage trap.
+    var labels = und.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // neighbor labels: for each edge (a,b), b's current label flows to a
+      val nbr = und.join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.join(nbr, Seq("id"))
+        .select(col("id"), least(col("comp"), col("nbr_comp")).as("comp"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    und.unpersist(false)
+    labels
+  }
+
+  /** p14: cluster the p2 near-dup pairs (token-shingle Jaccard ≥ 0.8)
+    * and emit (doc_id, cluster_id) for every clustered document.
+    * Oracle-checked: DuckDB reproduces the pair graph exactly (p2's
+    * oracle) and labels components with a recursive-CTE transitive
+    * closure — min-label propagation converges to the same labels. */
+  def query(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = MinHashDedup.nearDuplicatePairs(
+      Tables.documents(spark, dir), "doc_id", "text", 0.8)
+    connectedComponents(pairs.select($"id_a".as("src"), $"id_b".as("dst")))
+      .select($"id".as("doc_id"), $"comp".as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle: p2's exact pair graph + recursive transitive closure;
+    * each clustered doc gets the min reachable id as its cluster label. */
+  val oracleSql: String =
+    """WITH RECURSIVE sh AS (
+         SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+         FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents)),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sh a, sh b
+         WHERE a.doc_id < b.doc_id
+           AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+       edges AS (
+         SELECT id_a AS a, id_b AS b FROM pairs
+         UNION ALL
+         SELECT id_b AS a, id_a AS b FROM pairs),
+       reach(id, r) AS (
+         SELECT a, a FROM edges
+         UNION
+         SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
+       SELECT id AS doc_id, min(r) AS cluster_id
+       FROM reach
+       GROUP BY id
+       ORDER BY doc_id"""
+}

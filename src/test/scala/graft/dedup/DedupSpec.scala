@@ -149,6 +149,20 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), "verification keeps precision exact")
   }
 
+  test("connected components label chained near-dups with the min id") {
+    // chain 1-2, 2-3 plus isolated pair 7-9: components {1,2,3} and {7,9}
+    val edges = Seq((2L, 1L), (2L, 3L), (9L, 7L)).toDF("src", "dst")
+    val comp = DedupClusters.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // a longer chain still converges (diameter > 2)
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp2 = DedupClusters.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(comp2.values.toSet === Set(1L), "one component labeled by min id")
+    assert(comp2.keySet === (1L to 8L).toSet)
+  }
+
   test("embedding near-dup pairs at threshold") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
