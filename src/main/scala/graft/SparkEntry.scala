@@ -73,6 +73,8 @@ object SparkEntry {
     "mm2_frame_sample"     -> (MultimodalOps.frameSample _),
     "q22_sessions"         -> (Sessionization.sessionsBatch _),
     "u1_bucketed_join"     -> (graft.operators.ScaleOps.u1BucketedJoinQuery _),
+    "u2_salted_join"       -> (graft.operators.ScaleOps.u2SaltedJoinQuery _),
+    "u3_range_layout"      -> (graft.operators.ScaleOps.u3RangeLayoutQuery _),
     "s1_stream_hourly"     -> (graft.streaming.EventStreams.s1StreamHourly _),
     "s3_stream_dedup"      -> (graft.streaming.EventStreams.s3StreamDedup _),
   )
@@ -440,6 +442,22 @@ object SparkEntry {
          WHERE o_custkey = c_custkey
          GROUP BY c_mktsegment
          ORDER BY c_mktsegment""",
+    // u2/u3: the oracle runs the un-salted join / the raw table scan —
+    // equality proves the scale layouts change plans, not answers.
+    "u2_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+         round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem, supplier
+         WHERE l_suppkey = s_suppkey
+         GROUP BY s_nationkey
+         ORDER BY s_nationkey""",
+    "u3_range_layout" ->
+      """SELECT event_type, count(*) AS n_events,
+         round(sum(value), 2) AS sum_value
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03'
+         GROUP BY event_type
+         ORDER BY event_type""",
     // s1/s3 run the actual Structured Streaming engine (AvailableNow →
     // memory sink); the oracles are the batch-equivalent SQL.
     "s1_stream_hourly" ->

@@ -75,4 +75,39 @@ object ScaleOps {
     df.repartitionByRange(partitions, col(rangeCol))
       .sortWithinPartitions(col(rangeCol))
       .write.mode("overwrite").parquet(path)
+
+  /** u2: driver-visible salted-join query — lineitem (probe, hot keys)
+    * ⋈ supplier (build, replicated per salt) via [[saltedJoin]], then a
+    * per-nation aggregate. The oracle runs the plain join: equality
+    * proves salting never changes join semantics, only the shuffle
+    * layout. */
+  def u2SaltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val line = graft.Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_extendedprice"))
+    val supp = graft.Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    saltedJoin(line, supp, "l_suppkey", "s_suppkey", salt = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+           round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** u3: driver-visible range-layout query — events rewritten
+    * range-partitioned+sorted by ts into a temp path, then a time-range
+    * aggregate over the pruned layout. The oracle aggregates the raw
+    * table: equality proves the layout rewrite is lossless (file
+    * pruning via min/max stats is the scale win; the spec asserts the
+    * plan shape). */
+  def u3RangeLayoutQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_range").toString
+    writeRangeLayout(graft.Tables.events(spark, dir), "ts", 8, tmp)
+    spark.read.parquet(tmp)
+      .filter(col("ts") >= lit("2024-01-02").cast("timestamp") &&
+              col("ts") <  lit("2024-01-03").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
 }
