@@ -44,6 +44,7 @@ object SparkEntry {
     "p9_quality"           -> (TextAnalysis.quality _),
     "p10_token_counts"     -> (TextAnalysis.tokenCounts _),
     "p11_fingerprint"      -> (TextAnalysis.fingerprint _),
+    "p15_tfidf_topterms"   -> (graft.text.TfIdf.query _),
     "p1_dedup_exact"       -> (ExactDedup.query _),
     "p1b_dedup_summary"    -> (ExactDedup.summaryQuery _),
     "p2_minhash_pairs"     -> (MinHashDedup.query _),
@@ -278,6 +279,7 @@ object SparkEntry {
     "p11_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
+    "p15_tfidf_topterms" -> graft.text.TfIdf.oracleSql,
     "p1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
          FROM documents

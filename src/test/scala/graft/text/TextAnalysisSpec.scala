@@ -59,4 +59,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) === fps(2L))
     assert(fps(1L) !== fps(3L))
   }
+
+  test("tf-idf ranks a document's rare term above corpus-wide terms") {
+    // "zebra" appears once, only in doc 1; "common" appears in every doc
+    val df = TfIdf.topTerms(docs(
+      1L -> "common zebra",
+      2L -> "common common common common",
+      3L -> "common filler words here",
+      4L -> "common more filler words"), "doc_id", "text", 2)
+    val doc1 = df.filter($"doc_id" === 1L).orderBy($"rank")
+      .select("term").as[String].collect()
+    assert(doc1.head === "zebra",
+      s"rare term must outrank the corpus-wide term, got ${doc1.toSeq}")
+  }
 }
