@@ -26,5 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g default: the host has 128 GiB; GC headroom keeps bench timings
+  // stable when the driver runs the suite through sbt
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

@@ -76,6 +76,7 @@ object SparkEntry {
     "u1_bucketed_join"     -> (graft.operators.ScaleOps.u1BucketedJoinQuery _),
     "u2_salted_join"       -> (graft.operators.ScaleOps.u2SaltedJoinQuery _),
     "u3_range_layout"      -> (graft.operators.ScaleOps.u3RangeLayoutQuery _),
+    "u5_compaction"        -> (graft.operators.ScaleOps.u5CompactionQuery _),
     "s1_stream_hourly"     -> (graft.streaming.EventStreams.s1StreamHourly _),
     "s3_stream_dedup"      -> (graft.streaming.EventStreams.s3StreamDedup _),
   )
@@ -453,6 +454,12 @@ object SparkEntry {
          WHERE l_suppkey = s_suppkey
          GROUP BY s_nationkey
          ORDER BY s_nationkey""",
+    "u5_compaction" ->
+      """SELECT l_linestatus, count(*) AS n_rows,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         GROUP BY l_linestatus
+         ORDER BY l_linestatus""",
     "u3_range_layout" ->
       """SELECT event_type, count(*) AS n_events,
          round(sum(value), 2) AS sum_value

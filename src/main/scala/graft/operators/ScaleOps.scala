@@ -76,6 +76,33 @@ object ScaleOps {
       .sortWithinPartitions(col(rangeCol))
       .write.mode("overwrite").parquet(path)
 
+  /** Compact a parquet dataset toward `targetMB` per output file — the
+    * small-files remedy for long-running ingest (NameNode/listing
+    * pressure, tiny-task overhead). Reads the current footprint from the
+    * filesystem, repartitions to ceil(bytes/target), and rewrites. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetMB: Int = 256): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val parts = math.max(1, math.ceil(bytes.toDouble / (targetMB.toLong << 20)).toInt)
+    spark.read.parquet(inPath).repartition(parts)
+      .write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath)
+  }
+
+  /** u5: driver-visible compaction query — rewrites lineitem compacted
+    * and aggregates the compacted copy; the oracle aggregates the raw
+    * table, proving the rewrite is lossless. */
+  def u5CompactionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    compact(spark, s"$dir/lineitem.parquet", tmp, targetMB = 64)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_linestatus"))
+  }
+
   /** u2: driver-visible salted-join query — lineitem (probe, hot keys)
     * ⋈ supplier (build, replicated per salt) via [[saltedJoin]], then a
     * per-nation aggregate. The oracle runs the plain join: equality
