@@ -23,7 +23,7 @@ object DedupClusters {
 
   /** Connected components of an undirected edge list (src, dst).
     * Returns (id, cluster_id = min id in the component). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -37,6 +37,8 @@ object DedupClusters {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      // (convergence is REQUIRED below — silently returning mixed labels
+      // would split one logical cluster into several)
       // neighbor labels: for each edge (a,b), b's current label flows to a
       val nbr = und.join(labels.withColumnRenamed("id", "b"), Seq("b"))
         .groupBy(col("a").as("id"))
@@ -51,6 +53,10 @@ object DedupClusters {
       iter += 1
     }
     und.unpersist(false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+        "raise maxIter (component diameter exceeds the bound)")
     labels
   }
 

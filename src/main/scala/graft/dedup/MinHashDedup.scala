@@ -39,12 +39,14 @@ object MinHashDedup {
   val DefaultMaxBucketSize = 200
 
   /** k-token shingles, distinct. Short docs (< k tokens) get their whole
-    * text as the single shingle. */
+    * text as the single shingle. (The hot path uses the fused
+    * `token_shingle_hashes` expression; this Column form exists for
+    * generic set building and independent validation.) */
   def shingles(text: Column, k: Int = 3): Column = {
-    val sh = expr(
-      s"transform(sequence(1, greatest(size(split(text, '\\\\s+')) - ${k - 1}, 1)), " +
-      s"i -> concat_ws(' ', slice(split(text, '\\\\s+'), i, $k)))")
-    array_distinct(sh)
+    val toks = split(text, "\\s+")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
   /** 64-slot minhash signature (fused codegen loop; values bit-identical

@@ -211,10 +211,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("sq_distance"),
+      new ExpressionInfo(classOf[SqDistance].getName, "sq_distance"),
+      (es: Seq[Expression]) => SqDistance(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("l1_distance"),
+      new ExpressionInfo(classOf[L1Distance].getName, "l1_distance"),
+      (es: Seq[Expression]) => L1Distance(es.head, es(1))))
+    def litInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue()
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (es: Seq[Expression]) => MinHashSignature(es.head, litInt(es(1)))))
     ext.injectFunction((FunctionIdentifier("minhash_band_keys"),
       new ExpressionInfo(classOf[MinHashBandKeys].getName, "minhash_band_keys"),
-      (es: Seq[Expression]) => MinHashBandKeys(es.head,
-        es(1).eval(null).asInstanceOf[Number].intValue(),
-        es(2).eval(null).asInstanceOf[Number].intValue())))
+      (es: Seq[Expression]) => MinHashBandKeys(es.head, litInt(es(1)), litInt(es(2)))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es.head,
+        if (es.length > 1) es(1).eval(null).asInstanceOf[Boolean] else true)))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (es: Seq[Expression]) => SortedIntersectSize(es.head, es(1))))
   }
 }

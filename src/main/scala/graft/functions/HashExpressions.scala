@@ -32,6 +32,8 @@ object HashUtil {
     val n = elems.numElements()
     var i = 0
     while (i < n) {
+      if (elems.isNullAt(i)) { i += 1 }
+      else {
       val h0 = XXH64.hashLong(elems.getLong(i), 42L)
       var s = 0
       while (s < numHashes) {
@@ -40,6 +42,7 @@ object HashUtil {
         s += 1
       }
       i += 1
+      }
     }
     sig
   }
@@ -114,14 +117,20 @@ object HashUtil {
   }
 
   /** |A ∩ B| for two sorted distinct long arrays — linear merge walk. */
+  /** Null slots (possible only for untrusted SQL input — the fused set
+    * builders emit containsNull=false) are skipped, not counted. */
   def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var n = 0
     while (i < na && j < nb) {
+      if (a.isNullAt(i)) { i += 1 }
+      else if (b.isNullAt(j)) { j += 1 }
+      else {
       val x = a.getLong(i); val y = b.getLong(j)
       if (x == y) { n += 1; i += 1; j += 1 }
       else if (x < y) i += 1
       else j += 1
+      }
     }
     n
   }
@@ -154,6 +163,8 @@ object HashUtil {
     val n = toks.numElements()
     var i = 0
     while (i < n) {
+      if (toks.isNullAt(i)) { i += 1 }
+      else {
       val t = toks.getUTF8String(i)
       val h = if (useMd5) md5High64(t) else XXH64.hashUTF8String(t, 42L)
       var j = 0
@@ -162,6 +173,7 @@ object HashUtil {
         j += 1
       }
       i += 1
+      }
     }
     var sig = 0L
     var j = 0

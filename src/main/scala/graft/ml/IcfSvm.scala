@@ -70,9 +70,12 @@ final case class IcfSvmModel(
       .crossJoin(svSide)
       .groupBy(col("__pid"))
       .agg(sum(col("sv_coef") * kernel(col("sv_x"), col("__px"))).as("__ksum"))
-      .select(col("__pid"), (col("__ksum") + lit(bias)).as("decision"))
-    df.join(scores, df(idCol) === scores("__pid"))
-      .drop("__pid")
+    // LEFT join + coalesce: a degenerate model with zero support vectors
+    // (e.g. single-class data) must still score every row (bias only),
+    // not drop them all through an inner join against an empty side
+    df.join(scores, df(idCol) === scores("__pid"), "left")
+      .withColumn("decision", coalesce(col("__ksum"), lit(0.0)) + lit(bias))
+      .drop("__pid", "__ksum")
       .withColumn("prediction", when(col("decision") >= 0, 1.0).otherwise(-1.0))
   }
 }
@@ -132,10 +135,14 @@ object IcfSvmTrainer {
 
     // support vectors: alpha above threshold — kept DISTRIBUTED (on
     // non-separable data this set is O(n); psvm's model.cc writes it to
-    // sharded files for the same reason)
-    val eps = svEpsilon * c
+    // sharded files for the same reason). The threshold scales with the
+    // PER-CLASS C: with class weights, a downweighted class's alphas are
+    // bounded by c*weight, and a flat eps = svEpsilon*c would silently
+    // drop that class's entire SV set.
+    val epsCol = lit(svEpsilon) *
+      when(col("__y") > 0, c * posWeight).otherwise(c * negWeight)
     val svDf = joined.join(alphaDf, Seq("__id"))
-      .filter(col("__alpha") > eps)
+      .filter(col("__alpha") > epsCol)
       .select(col("__id").as("sv_id"), col("__x").as("sv_x"),
               (col("__y") * col("__alpha")).as("sv_coef"),
               col("__alpha").as("sv_alpha"), col("__y").as("sv_y"))
