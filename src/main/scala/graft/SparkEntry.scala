@@ -78,6 +78,7 @@ object SparkEntry {
     "u3_range_layout"      -> (graft.operators.ScaleOps.u3RangeLayoutQuery _),
     "u5_compaction"        -> (graft.operators.ScaleOps.u5CompactionQuery _),
     "s1_stream_hourly"     -> (graft.streaming.EventStreams.s1StreamHourly _),
+    "s2_stream_sessions"   -> (graft.streaming.EventStreams.s2StreamSessions _),
     "s3_stream_dedup"      -> (graft.streaming.EventStreams.s3StreamDedup _),
   )
 
@@ -475,6 +476,30 @@ object SparkEntry {
          FROM events
          GROUP BY 1, 2
          ORDER BY 1, 2""",
+    // s2: the streaming engine emits (a) sessions closed by a later
+    // in-batch event and (b) last sessions flushed by the event-time
+    // timeout once the final watermark (global max ts − 1h) passes
+    // session_end + gap. Both are deterministic and mirrored here.
+    "s2_stream_sessions" ->
+      """SELECT user_id, session_start, session_end, n_events, sum_value FROM (
+           SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value,
+             max(session_id) OVER (PARTITION BY user_id) AS last_session
+           FROM (
+             SELECT user_id, event_id, ts, value,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             FROM (
+               SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                      THEN 1 ELSE 0 END AS new_s
+               FROM events) t1) t2
+           GROUP BY user_id, session_id) t3
+         WHERE session_id < last_session
+            OR epoch_ms(session_end) + 1800000 <
+               (SELECT max(epoch_ms(ts)) FROM events) - 3600000
+         ORDER BY user_id, session_start""",
     "s3_stream_dedup" ->
       """SELECT count(DISTINCT event_id) AS n_events,
                 count(DISTINCT user_id) AS n_users

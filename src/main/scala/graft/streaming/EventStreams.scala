@@ -75,6 +75,27 @@ object EventStreams {
               round(col("sum_value"), 2).as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** s2: S2 through the streaming engine. With one AvailableNow batch,
+    * `flatMapGroupsWithState` emits exactly the sessions CLOSED by a
+    * later in-batch event — every session except each user's final one
+    * (which stays in state; on a live stream the event-time timeout
+    * would flush it). That semantic is deterministic and SQL-expressible,
+    * so the oracle is the batch sessionization minus the per-user last
+    * session. */
+  def s2StreamSessions(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = eventStream(spark, dir)
+      .select(col("event_id").cast("long"), col("ts"),
+              col("user_id").cast("long"), col("event_type"),
+              col("value").cast("double"))
+      .as[Event]
+    runToMemory(sessionize(events).toDF(), "append")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+              col("n_events").cast("long").as("n_events"),
+              round(col("sum_value"), 2).as("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** s3: S3 through the streaming engine — dedup on event_id, then a
     * batch summary of the sink (oracle: DISTINCT over the table). */
   def s3StreamDedup(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
@@ -90,9 +111,21 @@ object EventStreams {
   final case class Session(user_id: Long, session_start: Timestamp,
                            session_end: Timestamp, n_events: Int, sum_value: Double)
 
+  // session times are tracked in MICROSECONDS: java.sql.Timestamp.getTime
+  // is ms-truncated, and sessions must reproduce event times exactly
+  // (the s2 oracle hash-compares session bounds against the raw table)
+  private def micros(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+  private def microsToTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000)
+    t.setNanos(((us % 1000000L) * 1000).toInt)
+    t
+  }
+
   /** Emit a session after `gapMs` of user inactivity (event time). */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
@@ -102,26 +135,27 @@ object EventStreams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(Session(userId, new Timestamp(s.start),
-              new Timestamp(s.end), s.n, s.sum))
+            Iterator.single(Session(userId, microsToTs(s.start),
+              microsToTs(s.end), s.n, s.sum))
           } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val sorted = it.toSeq.sortBy(e => micros(e.ts))
             var acc = state.getOption.orNull
             val out = Seq.newBuilder[Session]
             for (e <- sorted) {
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               acc match {
                 case null => acc = SessionAcc(t, t, 1, e.value)
-                case a if t - a.end <= gapMs =>
+                case a if t - a.end <= gapUs =>
                   acc = SessionAcc(a.start, math.max(a.end, t), a.n + 1, a.sum + e.value)
                 case a =>
-                  out += Session(userId, new Timestamp(a.start), new Timestamp(a.end), a.n, a.sum)
+                  out += Session(userId, microsToTs(a.start), microsToTs(a.end), a.n, a.sum)
                   acc = SessionAcc(t, t, 1, e.value)
               }
             }
             if (acc != null) {
               state.update(acc)
-              state.setTimeoutTimestamp(acc.end + gapMs)
+              // GroupState timeouts are in ms
+              state.setTimeoutTimestamp(acc.end / 1000L + gapMs)
             }
             out.result().iterator
           }
