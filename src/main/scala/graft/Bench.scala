@@ -15,13 +15,8 @@ object Bench {
     // JVM startup (standard bench hygiene; adds ~5s wall-clock, removes
     // ~10s of warmup noise from the first query's figure)
     Tables.all.foreach { t =>
-      // events needs its typed loader (nanos-timestamp conf + convert);
-      // bare parquet reads of it would throw and skip the warmup
-      try {
-        val df = if (t == "events") Tables.events(spark, sfDir)
-                 else Tables.load(spark, sfDir, t)
-        df.limit(64).count()
-      } catch { case _: Throwable => () }
+      try { Tables.load(spark, sfDir, t).limit(64).count() }
+      catch { case _: Throwable => () }
     }
     try { SparkEntry.queries("m2_kernel_values")(spark, sfDir).count() }
     catch { case _: Throwable => () }

@@ -15,7 +15,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    // events needs its nanos-timestamp handling on EVERY path
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
@@ -29,7 +31,7 @@ object Tables {
     * double-typed `/ 1000` would lose precision on ~1.7e18 ns-epochs). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    s.read.parquet(s"$d/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

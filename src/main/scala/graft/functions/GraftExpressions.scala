@@ -159,10 +159,22 @@ case class L1Distance(left: Expression, right: Expression) extends FusedVectorBi
 /** Column + SQL exposure for the native expressions. */
 object GraftFunctions {
 
-  private def litInt(e: Expression): Int =
-    e.eval(null).asInstanceOf[Number].intValue()
-  private def litBool(e: Expression): Boolean =
-    e.eval(null).asInstanceOf[Boolean]
+  private def litInt(e: Expression): Int = {
+    require(e.foldable, s"argument must be a literal integer, got $e")
+    e.eval(null) match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"argument must be a literal integer, got $other")
+    }
+  }
+  private def litBool(e: Expression): Boolean = {
+    require(e.foldable, s"argument must be a literal boolean, got $e")
+    e.eval(null) match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(
+        s"argument must be a literal boolean, got $other")
+    }
+  }
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_product" -> (es => DotProduct(es.head, es(1))),
@@ -217,7 +229,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("l1_distance"),
       new ExpressionInfo(classOf[L1Distance].getName, "l1_distance"),
       (es: Seq[Expression]) => L1Distance(es.head, es(1))))
-    def litInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue()
+    def litInt(e: Expression): Int = {
+      require(e.foldable, s"argument must be a literal integer, got $e")
+      e.eval(null).asInstanceOf[Number].intValue()
+    }
     ext.injectFunction((FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       (es: Seq[Expression]) => MinHashSignature(es.head, litInt(es(1)))))

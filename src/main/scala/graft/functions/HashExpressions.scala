@@ -116,8 +116,8 @@ object HashUtil {
     sortedDistinct(out, wins)
   }
 
-  /** |A ∩ B| for two sorted distinct long arrays — linear merge walk. */
-  /** Null slots (possible only for untrusted SQL input — the fused set
+  /** |A ∩ B| for two sorted distinct long arrays — linear merge walk.
+    * Null slots (possible only for untrusted SQL input — the fused set
     * builders emit containsNull=false) are skipped, not counted. */
   def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()

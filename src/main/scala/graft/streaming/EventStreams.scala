@@ -75,13 +75,12 @@ object EventStreams {
               round(col("sum_value"), 2).as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
-  /** s2: S2 through the streaming engine. With one AvailableNow batch,
-    * `flatMapGroupsWithState` emits exactly the sessions CLOSED by a
-    * later in-batch event — every session except each user's final one
-    * (which stays in state; on a live stream the event-time timeout
-    * would flush it). That semantic is deterministic and SQL-expressible,
-    * so the oracle is the batch sessionization minus the per-user last
-    * session. */
+  /** s2: S2 through the streaming engine. The engine emits (a) sessions
+    * CLOSED by a later in-batch event and (b) per-user final sessions
+    * flushed by the event-time timeout in the engine's trailing batch,
+    * once the final watermark (global max ts − 1h) passes
+    * session_end + gap. Both parts are deterministic and
+    * SQL-expressible, and the oracle mirrors exactly that. */
   def s2StreamSessions(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val events = eventStream(spark, dir)
@@ -113,19 +112,23 @@ object EventStreams {
 
   // session times are tracked in MICROSECONDS: java.sql.Timestamp.getTime
   // is ms-truncated, and sessions must reproduce event times exactly
-  // (the s2 oracle hash-compares session bounds against the raw table)
+  // (the s2 oracle hash-compares session bounds against the raw table).
+  // floorDiv so pre-epoch timestamps don't wrap positive.
   private def micros(t: Timestamp): Long =
-    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
   private def microsToTs(us: Long): Timestamp = {
-    val t = new Timestamp(us / 1000000L * 1000)
-    t.setNanos(((us % 1000000L) * 1000).toInt)
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
     t
   }
 
-  /** Emit a session after `gapMs` of user inactivity (event time). */
+  /** Emit a session after `gapMs` of user inactivity (event time).
+    * Session BOUNDS keep microsecond precision, but the gap itself is
+    * compared in floor-milliseconds — the same `epoch_ms` arithmetic the
+    * batch twin and the SQL oracles use, so boundary events (gap within
+    * 1ms of the threshold) land in the same session on every path. */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
@@ -145,7 +148,7 @@ object EventStreams {
               val t = micros(e.ts)
               acc match {
                 case null => acc = SessionAcc(t, t, 1, e.value)
-                case a if t - a.end <= gapUs =>
+                case a if Math.floorDiv(t, 1000L) - Math.floorDiv(a.end, 1000L) <= gapMs =>
                   acc = SessionAcc(a.start, math.max(a.end, t), a.n + 1, a.sum + e.value)
                 case a =>
                   out += Session(userId, microsToTs(a.start), microsToTs(a.end), a.n, a.sum)
