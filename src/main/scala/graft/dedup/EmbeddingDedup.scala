@@ -52,10 +52,14 @@ object EmbeddingDedup {
     * defaults target the real near-dup regime (c ≥ 0.9 → recall ≈ 1);
     * at low thresholds LSH is inherently lossy — use [[nearDupPairs]]
     * when exactness matters more than scale. */
+  /** `eager = true` materializes the (small) pair output and releases the
+    * internal vector cache before returning (see
+    * [[SimHashDedup.nearDuplicatePairs]] for the lifecycle rationale). */
   def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, numTables: Int = 12,
                       planesPerTable: Int = 6, dim: Int = 64,
-                      maxBucketSize: Int = 4096): DataFrame = {
+                      maxBucketSize: Int = 4096,
+                      eager: Boolean = false): DataFrame = {
     val tables = graft.sim.LshAnn.hyperplanes(numTables, planesPerTable, dim)
     val v = df.select(col(idCol).as("id"),
                       VectorOps.toDoubleArray(col(vecCol)).as("vec"))
@@ -65,7 +69,7 @@ object EmbeddingDedup {
       .select(col("id"), posexplode(array(
         tables.map(t => graft.sim.LshAnn.bucketKey(col("vec"), t)): _*)))
       .select(col("id"), col("pos").as("band_idx"), col("col").as("band_key"))
-    MinHashDedup.pairsFromBands(banded, maxBucketSize)
+    val pairs = MinHashDedup.pairsFromBands(banded, maxBucketSize)
       .join(v.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b")), Seq("id_b"))
       .withColumn("cos",
@@ -73,6 +77,8 @@ object EmbeddingDedup {
           (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+    if (eager) { val out = pairs.localCheckpoint(); v.unpersist(false); out }
+    else pairs
   }
 
   /** p5b: the LSH-blocked production path over embeddings (rows-only —
@@ -80,7 +86,8 @@ object EmbeddingDedup {
     * spec measures recall ≈ 1 on planted near-identical vectors). */
   def queryLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    nearDupPairsLsh(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
+    nearDupPairsLsh(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4,
+        eager = true)
       .orderBy($"id_a", $"id_b")
   }
 }

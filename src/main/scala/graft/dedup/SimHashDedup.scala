@@ -49,9 +49,15 @@ object SimHashDedup {
     * so heavy buckets are normal and capping them silently drops true
     * pairs — at sf0.1 a cap of 200 lost 9 of 312 pairs. Pass a finite
     * `maxBucketSize` only when trading recall for a hard skew bound. */
+  /** `eager = true` materializes the (small) pair output via
+    * localCheckpoint and releases the internal signature cache before
+    * returning — without it, the cached blocks can only be freed by the
+    * session (they back the returned lazy plan), which leaks memory
+    * across many calls in a long-lived session. */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                          maxHamming: Int = 3, useMd5: Boolean = true,
-                         maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                         maxBucketSize: Int = Int.MaxValue,
+                         eager: Boolean = false): DataFrame = {
     val sigs = df
       .select(col(idCol).as("id"),
               signature(split(col(textCol), "\\s+"), useMd5).as("sig"))
@@ -59,12 +65,14 @@ object SimHashDedup {
     val banded = sigs
       .select(col("id"), posexplode(array((0 until Bands).map(b => bandKey(col("sig"), b)): _*)))
       .select(col("id"), col("pos").as("band_idx"), col("col").as("band_key"))
-    MinHashDedup.pairsFromBands(banded, maxBucketSize)
+    val pairs = MinHashDedup.pairsFromBands(banded, maxBucketSize)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("hamming", hamming(col("sig_a"), col("sig_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    if (eager) { val out = pairs.localCheckpoint(); sigs.unpersist(false); out }
+    else pairs
   }
 
   /** p3: simhash near-dup pairs over documents. Oracle-checked: DuckDB
@@ -73,7 +81,8 @@ object SimHashDedup {
     * at hamming ≤ 3 is 1.0 by construction. */
   def query(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    nearDuplicatePairs(Tables.documents(spark, dir), "doc_id", "text", 3)
+    nearDuplicatePairs(Tables.documents(spark, dir), "doc_id", "text", 3,
+        eager = true)
       .orderBy($"id_a", $"id_b")
   }
 

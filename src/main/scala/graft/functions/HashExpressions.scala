@@ -26,7 +26,15 @@ object HashUtil {
     * `transform(sequence(0, k-1), s -> array_min(transform(sh, e -> xxhash64(e, s))))`:
     * Spark's `xxhash64(e: long, s: int)` folds children over seed 42, i.e.
     * `hashInt(s, hashLong(e, 42))` — we hash each element once and derive
-    * the k slots from the per-element hash. */
+    * the k slots from the per-element hash.
+    *
+    * An EMPTY (or all-null) element set yields the Long.MaxValue-filled
+    * sentinel — a deliberate divergence from the HOF form (whose
+    * array_min over an empty array is null). Callers must not band
+    * sentinel signatures (all empty sets would share every bucket);
+    * [[minhashBandKeys]] guards this by emitting NO band keys for empty
+    * input, so empty sets simply never become candidates (Jaccard over
+    * empty sets is undefined anyway). */
   def minhashSignature(elems: ArrayData, numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val n = elems.numElements()
@@ -54,6 +62,15 @@ object HashUtil {
     * string round-trip without changing which documents collide. */
   def minhashBandKeys(elems: ArrayData, bands: Int, rowsPerBand: Int): Array[Long] = {
     val sig = minhashSignature(elems, bands * rowsPerBand)
+    // empty/all-null set → sentinel signature → no bands (see above):
+    // unhashable documents must not collide with every other empty one
+    if (bands > 0 && sig(0) == Long.MaxValue) {
+      var empty = true
+      var t = 0
+      val n = elems.numElements()
+      while (empty && t < n) { if (!elems.isNullAt(t)) empty = false; t += 1 }
+      if (empty) return new Array[Long](0)
+    }
     val keys = new Array[Long](bands)
     var b = 0
     while (b < bands) {

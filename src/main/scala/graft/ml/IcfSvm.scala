@@ -40,6 +40,11 @@ final case class IcfSvmModel(
       case Kernel.Rbf(gm) => ("rbf", gm, 0.0, 0)
       case Kernel.Laplacian(gm) => ("laplacian", gm, 0.0, 0)
     }
+    // `dim`: the feature dimension, so sparse loaders can size vectors
+    // without scanning (libsvm itself omits it; psvm model headers carry
+    // the equivalent). -1 for a degenerate zero-SV model.
+    val dim = svs.select(org.apache.spark.sql.functions.size(col("sv_x")))
+      .head(1).headOption.map(_.getInt(0)).getOrElse(-1)
     Seq(
       "svm_type c_svc",
       s"kernel_type $kt",
@@ -47,6 +52,7 @@ final case class IcfSvmModel(
       s"coef0 ${c0.toString}",
       s"degree $d",
       s"total_sv $numSupportVectors",
+      s"dim $dim",
       s"rho ${(-bias).toString}",
       "SV"
     ).toDS().coalesce(1).write.mode("overwrite").text(s"$path/header")
@@ -59,6 +65,14 @@ final case class IcfSvmModel(
       }
       .write.mode("overwrite").text(s"$path/sv")
   }
+
+  /** Releases the cached support-vector blocks. Call when done scoring:
+    * the fit persists `svs` (it is consumed several times during
+    * training and typically many times at prediction), and nothing else
+    * knows the model's lifetime — without this, cached SV blocks
+    * accumulate across models in a long-lived session. The model remains
+    * usable afterwards (the DataFrame recomputes from lineage). */
+  def unpersist(): Unit = { svs.unpersist(false); () }
 
   /** Adds `decision` and `prediction` (±1) columns over `vecCol`,
     * keyed by the (unique) `idCol`. */
@@ -98,11 +112,28 @@ object IcfSvmModel {
       case "rbf" => Kernel.Rbf(header("gamma").toDouble)
       case "laplacian" => Kernel.Laplacian(header("gamma").toDouble)
     }
+    // SV lines are `<coef> idx:val …` with 1-BASED indices and, in real
+    // libsvm/psvm files, SPARSE entries (zeros omitted, indices can skip)
+    // — so each value is placed at its declared index, never positionally.
+    // Vectors are sized by the header `dim` when present (dense saveText
+    // output always writes it), else by the line's own max index.
+    val headerDim = header.get("dim").map(_.toInt).getOrElse(-1)
     val svs = spark.read.textFile(s"$path/sv")
       .map { line =>
         val parts = line.split(' ')
         val coef = parts(0).toDouble
-        val x = parts.drop(1).map(t => t.substring(t.indexOf(':') + 1).toDouble)
+        val entries = parts.drop(1).map { t =>
+          val c = t.indexOf(':')
+          (t.substring(0, c).toInt, t.substring(c + 1).toDouble)
+        }
+        val dim = if (headerDim > 0) headerDim
+                  else entries.foldLeft(0)((m, e) => math.max(m, e._1))
+        val x = new Array[Double](dim)
+        entries.foreach { case (idx, v) =>
+          require(idx >= 1 && idx <= dim,
+            s"SV feature index $idx outside [1, $dim] (header dim $headerDim)")
+          x(idx - 1) = v
+        }
         (x.toSeq, coef)
       }
       .toDF("sv_x", "sv_coef")

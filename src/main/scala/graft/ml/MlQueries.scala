@@ -39,12 +39,18 @@ object MlQueries {
               VectorOps.toDoubleArray($"embedding").as("vec"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_libsvm").toString
     LibSvmIO.write(e, "label", "vec", tmp)
-    LibSvmIO.read(spark, tmp)
+    val out = LibSvmIO.read(spark, tmp)
       .groupBy($"label")
       .agg(count(lit(1)).as("n_rows"),
            round(sum(aggregate($"features", lit(0.0), (acc, x) => acc + x)), 6)
              .as("feature_mass"))
       .orderBy($"label")
+    // materialize the tiny summary, then drop the temp round-trip files
+    // so repeated verify/bench runs don't accumulate disk
+    val rows = out.collect()
+    val res = spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    graft.operators.ScaleOps.deleteRecursively(tmp)
+    res
   }
 
   /** m1: end-to-end binary kernel SVM — train on embeddings with ±1

@@ -89,17 +89,29 @@ case class NystromFeatures(
 
 object Nystrom {
 
-  /** Deterministic landmark selection: the first m rows by id order.
-    * (For skewed real data use a seeded sample; determinism matters for
-    * the reproducible test harness.) */
+  /** Landmark selection: a SEEDED uniform sample (deterministic for a
+    * fixed input layout), thinned to exactly m by id order. Sampling
+    * first means the ordering pass runs over ~4m sampled rows, not the
+    * whole dataset, and — unlike "first m ids" — the landmarks cover the
+    * data distribution even when ids correlate with content (sorted
+    * ingest, range-partitioned corpora), which is what the Nyström
+    * approximation quality depends on. */
   def fit(df: DataFrame, idCol: String, vecCol: String,
-          kernel: Kernel, numLandmarks: Int, ridge: Double = 1e-10): NystromMap = {
-    val landmarks: Array[Array[Double]] = df
-      .orderBy(col(idCol))
-      .select(col(vecCol))
-      .limit(numLandmarks)
-      .collect()
-      .map(_.getSeq[Any](0).map {
+          kernel: Kernel, numLandmarks: Int, ridge: Double = 1e-10,
+          seed: Long = 42L): NystromMap = {
+    val slim = df.select(col(idCol), col(vecCol))
+    val n = slim.count()
+    val frac = if (n == 0) 1.0 else math.min(1.0, numLandmarks * 4.0 / n)
+    val sampled =
+      if (frac >= 1.0) slim
+      else slim.sample(withReplacement = false, frac, seed)
+    var picked = sampled.orderBy(col(idCol)).limit(numLandmarks).collect()
+    // a 4x-oversampled Bernoulli sample undershoots m with negligible
+    // probability, but correctness can't ride on "negligible"
+    if (picked.length < numLandmarks && frac < 1.0)
+      picked = slim.orderBy(col(idCol)).limit(numLandmarks).collect()
+    val landmarks: Array[Array[Double]] = picked
+      .map(_.getSeq[Any](1).map {
         case f: Float => f.toDouble
         case d: Double => d
       }.toArray)

@@ -47,25 +47,61 @@ object ScaleOps {
       .drop("__salt")
   }
 
+  /** Materialize a SMALL (aggregate-sized) result eagerly, then run
+    * `cleanup` — the u* queries write temp datasets/tables as part of
+    * demonstrating a layout, and without an eager collect the returned
+    * lazy plan would still need those files. Collecting lets the temp
+    * state be deleted immediately, so repeated bench/verify runs don't
+    * accumulate disk or race on catalog names. Only for results that are
+    * aggregates (a handful of rows) — never for row-scale outputs. */
+  private def materializeThen(df: DataFrame)(cleanup: => Unit): DataFrame = {
+    val rows = df.collect()
+    val out = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+    cleanup
+    out
+  }
+
+  /** Recursive local-filesystem delete for the temp dirs above. */
+  private[graft] def deleteRecursively(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** u1: driver-visible bucketed-join query — writes orders and customer
     * bucketed by custkey (8 buckets) into a temp warehouse path, joins
     * through the catalog tables, and aggregates per market segment. The
     * oracle computes the same aggregate from the raw tables, proving the
     * bucketed write/read path loses nothing; the exchange-free plan shape
-    * itself is asserted by ScaleOpsSpec. */
+    * itself is asserted by ScaleOpsSpec. Table names carry a unique run
+    * suffix (concurrent sessions share a metastore) and both the tables
+    * and the temp dir are dropped once the aggregate materializes. */
   def u1BucketedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val ordersTable = s"graft_u1_orders_$runId"
+    val customerTable = s"graft_u1_customer_$runId"
     writeBucketed(graft.Tables.orders(spark, dir), "o_custkey", 8,
-      "graft_u1_orders", s"$tmp/orders")
+      ordersTable, s"$tmp/orders")
     writeBucketed(graft.Tables.customer(spark, dir), "c_custkey", 8,
-      "graft_u1_customer", s"$tmp/customer")
-    spark.table("graft_u1_orders")
-      .join(spark.table("graft_u1_customer"),
+      customerTable, s"$tmp/customer")
+    val agg = spark.table(ordersTable)
+      .join(spark.table(customerTable),
             col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"),
            round(sum(col("o_totalprice")), 2).as("sum_price"))
       .orderBy(col("c_mktsegment"))
+    materializeThen(agg) {
+      spark.sql(s"DROP TABLE IF EXISTS $ordersTable")
+      spark.sql(s"DROP TABLE IF EXISTS $customerTable")
+      deleteRecursively(tmp)
+    }
   }
 
   /** Range-partition + sort: the write layout for range-pruned scans
@@ -96,11 +132,12 @@ object ScaleOps {
     * table, proving the rewrite is lossless. */
   def u5CompactionQuery(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
-    compact(spark, s"$dir/lineitem.parquet", tmp, targetMB = 64)
+    val agg = compact(spark, s"$dir/lineitem.parquet", tmp, targetMB = 64)
       .groupBy(col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"),
            round(sum(col("l_quantity")), 2).as("sum_qty"))
       .orderBy(col("l_linestatus"))
+    materializeThen(agg) { deleteRecursively(tmp) }
   }
 
   /** u2: driver-visible salted-join query — lineitem (probe, hot keys)
@@ -129,12 +166,13 @@ object ScaleOps {
   def u3RangeLayoutQuery(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_range").toString
     writeRangeLayout(graft.Tables.events(spark, dir), "ts", 8, tmp)
-    spark.read.parquet(tmp)
+    val agg = spark.read.parquet(tmp)
       .filter(col("ts") >= lit("2024-01-02").cast("timestamp") &&
               col("ts") <  lit("2024-01-03").cast("timestamp"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
            round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("event_type"))
+    materializeThen(agg) { deleteRecursively(tmp) }
   }
 }

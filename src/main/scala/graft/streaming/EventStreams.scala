@@ -50,9 +50,13 @@ object EventStreams {
     // new files arrive over time); the test table is a single parquet
     // file, so stage a symlink to it in a temp dir
     val staged = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    try java.nio.file.Files.createSymbolicLink(staged.resolve("events.parquet"), src)
-    catch { case _: Throwable =>
-      java.nio.file.Files.copy(src, staged.resolve("events.parquet")) }
+    // staged dirs hold one symlink each; clean them up on JVM exit so
+    // repeated bench/verify sessions don't accumulate temp entries
+    staged.toFile.deleteOnExit()
+    val link = staged.resolve("events.parquet")
+    link.toFile.deleteOnExit()
+    try java.nio.file.Files.createSymbolicLink(link, src)
+    catch { case _: Throwable => java.nio.file.Files.copy(src, link) }
     val schema = spark.read.parquet(src.toString).schema
     spark.readStream.schema(schema).parquet(staged.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -157,8 +161,10 @@ object EventStreams {
             }
             if (acc != null) {
               state.update(acc)
-              // GroupState timeouts are in ms
-              state.setTimeoutTimestamp(acc.end / 1000L + gapMs)
+              // GroupState timeouts are in ms; floorDiv, not truncating
+              // division, so pre-epoch session ends keep the same
+              // epoch_ms semantics as the gap comparison above
+              state.setTimeoutTimestamp(Math.floorDiv(acc.end, 1000L) + gapMs)
             }
             out.result().iterator
           }
