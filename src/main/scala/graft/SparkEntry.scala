@@ -59,7 +59,11 @@ object SparkEntry {
     "m1_svm_binary_eval"   -> (MlQueries.svmBinaryEval _),
     "m2_kernel_values"     -> (MlQueries.kernelValues _),
     "m3_svm_multiclass_eval" -> (MlQueries.svmMulticlassEval _),
-    "m4_icf_factor"        -> (MlQueries.icfFactor _),
+    "m4_icf_factor"        -> (graft.ml.ModelOracles.m4IcfFactor _),
+    "m4b_icf_residuals"    -> (graft.ml.ModelOracles.m4bIcfResiduals _),
+    "m8_model_score"       -> (graft.ml.ModelOracles.m8ModelScore _),
+    "m9_model_eval"        -> (graft.ml.ModelOracles.m9ModelEval _),
+    "m10_nystrom_score"    -> (graft.ml.ModelOracles.m10NystromScore _),
     "m5_svm_ipm_eval"      -> (MlQueries.svmIpmEval _),
     "m6_svm_icf_ipm_eval"  -> (MlQueries.svmIcfIpmEval _),
     "m7_libsvm_roundtrip"  -> (MlQueries.libsvmRoundtrip _),
@@ -366,6 +370,160 @@ object SparkEntry {
            FROM embeddings a, embeddings b
            WHERE a.vec_id < 3 AND b.vec_id BETWEEN 3 AND 8) t
          ORDER BY id_a, id_b""",
+    // m8/m9: replay f(x) = Σ coef·k(sv,x) − rho from the TEXT model files
+    // the Spark query saved (fixed path; Verify writes them before the
+    // oracle runs). Contributions are summed value-sorted — the same
+    // order-deterministic fold predictOrdered uses — so the decision is
+    // bit-exact across engines.
+    "m8_model_score" ->
+      """WITH prm AS (
+           SELECT CAST(regexp_extract(content, 'gamma ([^\n]+)', 1) AS DOUBLE) AS gamma,
+                  CAST(regexp_extract(content, 'rho ([^\n]+)', 1) AS DOUBLE) AS rho
+           FROM read_text('/tmp/graft_models/m8_icf/header/part-*')),
+         sv AS (
+           SELECT CAST(p[1] AS DOUBLE) AS coef,
+                  list_transform(p[2:], t -> CAST(string_split(t, ':')[2] AS DOUBLE)) AS x
+           FROM (
+             SELECT string_split(line, ' ') AS p FROM (
+               SELECT unnest(string_split(content, chr(10))) AS line
+               FROM read_text('/tmp/graft_models/m8_icf/sv/part-*')) t
+             WHERE length(line) > 0)),
+         pts AS (
+           SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS px
+           FROM embeddings WHERE vec_id >= 300 AND vec_id < 400),
+         contrib AS (
+           SELECT pts.vec_id,
+             sv.coef * exp(-(SELECT gamma FROM prm) *
+               list_sum(list_transform(list_zip(sv.x, pts.px),
+                 z -> (z[1] - z[2]) * (z[1] - z[2])))) AS c
+           FROM pts, sv),
+         ksum AS (
+           SELECT vec_id, list_sum(array_agg(c ORDER BY c)) AS s
+           FROM contrib GROUP BY vec_id),
+         dec AS (
+           SELECT p.vec_id, COALESCE(k.s, 0.0) + -(SELECT rho FROM prm) AS d
+           FROM pts p LEFT JOIN ksum k ON p.vec_id = k.vec_id)
+         SELECT vec_id, round(d, 6) AS decision,
+                CASE WHEN d >= 0 THEN 1.0 ELSE -1.0 END AS prediction
+         FROM dec ORDER BY vec_id""",
+    "m9_model_eval" ->
+      """WITH prm AS (
+           SELECT CAST(regexp_extract(content, 'gamma ([^\n]+)', 1) AS DOUBLE) AS gamma,
+                  CAST(regexp_extract(content, 'rho ([^\n]+)', 1) AS DOUBLE) AS rho
+           FROM read_text('/tmp/graft_models/m8_icf/header/part-*')),
+         sv AS (
+           SELECT CAST(p[1] AS DOUBLE) AS coef,
+                  list_transform(p[2:], t -> CAST(string_split(t, ':')[2] AS DOUBLE)) AS x
+           FROM (
+             SELECT string_split(line, ' ') AS p FROM (
+               SELECT unnest(string_split(content, chr(10))) AS line
+               FROM read_text('/tmp/graft_models/m8_icf/sv/part-*')) t
+             WHERE length(line) > 0)),
+         pts AS (
+           SELECT vec_id, CASE WHEN label % 2 = 0 THEN 1.0 ELSE -1.0 END AS y,
+                  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS px
+           FROM embeddings WHERE vec_id >= 300 AND vec_id < 400),
+         contrib AS (
+           SELECT pts.vec_id,
+             sv.coef * exp(-(SELECT gamma FROM prm) *
+               list_sum(list_transform(list_zip(sv.x, pts.px),
+                 z -> (z[1] - z[2]) * (z[1] - z[2])))) AS c
+           FROM pts, sv),
+         ksum AS (
+           SELECT vec_id, list_sum(array_agg(c ORDER BY c)) AS s
+           FROM contrib GROUP BY vec_id),
+         dec AS (
+           SELECT p.vec_id, p.y, COALESCE(k.s, 0.0) + -(SELECT rho FROM prm) AS d
+           FROM pts p LEFT JOIN ksum k ON p.vec_id = k.vec_id),
+         cm AS (
+           SELECT
+             CAST(sum(CASE WHEN y > 0 AND d >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN y <= 0 AND d >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN y <= 0 AND d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             CAST(sum(CASE WHEN y > 0 AND d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           FROM dec),
+         m AS (
+           SELECT tp, fp, tn, fn,
+             round(CAST(tp + tn AS DOUBLE) / CAST(tp + tn + fp + fn AS DOUBLE), 6) AS accuracy,
+             round(CASE WHEN tp + fp > 0
+               THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) ELSE 0.0 END, 6) AS "precision",
+             round(CASE WHEN tp + fn > 0
+               THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) ELSE 0.0 END, 6) AS recall
+           FROM cm)
+         SELECT tp, fp, tn, fn, accuracy, "precision", recall,
+           round(CASE WHEN "precision" + recall > 0
+             THEN 2.0 * "precision" * recall / ("precision" + recall)
+             ELSE 0.0 END, 6) AS f1
+         FROM m""",
+    // m10: replay the Nystrom pipeline φ(x)=Wᵀ[k(x,l₁)…k(x,lₘ)],
+    // f(x)=w·φ(x)+b from the saved parquet model, same fold order as the
+    // codegen'd NystromFeatures expression.
+    "m10_nystrom_score" ->
+      """WITH lm AS (
+           SELECT array_agg(landmark ORDER BY idx) AS L
+           FROM read_parquet('/tmp/graft_models/m10_nystrom/landmarks/*.parquet')),
+         pr AS (
+           SELECT array_agg(w_row ORDER BY idx) AS W
+           FROM read_parquet('/tmp/graft_models/m10_nystrom/projection/*.parquet')),
+         pp AS (
+           SELECT gamma, weights, intercept
+           FROM read_parquet('/tmp/graft_models/m10_nystrom/params/*.parquet')),
+         pts AS (
+           SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS px
+           FROM embeddings WHERE vec_id >= 300 AND vec_id < 400),
+         kx AS (
+           SELECT vec_id,
+             list_transform(lm.L, l -> exp(-pp.gamma *
+               list_sum(list_transform(list_zip(l, px), z -> (z[1] - z[2]) * (z[1] - z[2]))))) AS ks
+           FROM pts, lm, pp),
+         phi AS (
+           SELECT kx.vec_id,
+             [list_sum([pr.W[i][j] * kx.ks[i] for i in range(1, len(kx.ks) + 1)])
+              for j in range(1, len(pp.weights) + 1)] AS f
+           FROM kx, pr, pp),
+         dec AS (
+           SELECT phi.vec_id,
+             list_sum([pp.weights[j] * phi.f[j] for j in range(1, len(pp.weights) + 1)])
+               + pp.intercept AS d
+           FROM phi, pp)
+         SELECT vec_id, round(d, 6) AS decision,
+                CASE WHEN d >= 0 THEN 1.0 ELSE -1.0 END AS prediction
+         FROM dec ORDER BY vec_id""",
+    // m4/m4b: the exact kernel is recomputed from the raw embeddings
+    // (non-circular); ⟨h_i,h_j⟩ comes from the persisted ICF factor both
+    // engines read, so a green row proves the factorization actually
+    // reconstructs K and the kernel math matches.
+    "m4_icf_factor" ->
+      """WITH h AS (
+           SELECT id, icf_features
+           FROM read_parquet('/tmp/graft_models/m4_icf_h/*.parquet')),
+         e AS (
+           SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+           FROM embeddings WHERE vec_id < 20),
+         g AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             exp(-0.05 * list_sum(list_transform(list_zip(a.x, b.x),
+               z -> (z[1] - z[2]) * (z[1] - z[2])))) AS ke,
+             list_sum(list_transform(list_zip(ha.icf_features, hb.icf_features),
+               z -> z[1] * z[2])) AS ki
+           FROM e a, e b, h ha, h hb
+           WHERE a.vec_id <= b.vec_id AND ha.id = a.vec_id AND hb.id = b.vec_id)
+         SELECT id_a, id_b, round(ke, 6) AS k_exact, round(ki, 6) AS k_icf,
+                round(abs(ke - ki), 6) AS abs_err
+         FROM g ORDER BY id_a, id_b""",
+    "m4b_icf_residuals" ->
+      """WITH h AS (
+           SELECT id, icf_features
+           FROM read_parquet('/tmp/graft_models/m4_icf_h/*.parquet')),
+         r AS (
+           SELECT id,
+             1.0 - list_sum(list_transform(list_zip(icf_features, icf_features),
+               z -> z[1] * z[2])) AS res
+           FROM h)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                round(max(res), 6) AS max_diag_residual,
+                round(list_sum(array_agg(res ORDER BY id)), 6) AS trace_residual
+         FROM r""",
     "mm1_media_features" ->
       """SELECT media_id, kind, duration_ms,
          round(list_sum(px) / 32.0, 6) AS mean_px,

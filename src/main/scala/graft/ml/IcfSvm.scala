@@ -92,6 +92,32 @@ final case class IcfSvmModel(
       .drop("__pid", "__ksum")
       .withColumn("prediction", when(col("decision") >= 0, 1.0).otherwise(-1.0))
   }
+
+  /** [[predict]] with ORDER-DETERMINISTIC accumulation: per-SV
+    * contributions are sorted by value before the sequential sum, so the
+    * decision is bit-identical across partitionings and replayable by an
+    * external engine (equal contributions commute exactly in IEEE
+    * arithmetic, so sorting by value fully pins the result). Production
+    * scoring should use [[predict]] — the plain partial-aggregated sum —
+    * which differs only in float summation order; this path exists for
+    * the oracle-checked driver queries and cross-engine validation. */
+  def predictOrdered(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{aggregate, collect_list, sort_array}
+    val svSide0 = svs.select(col("sv_x"), col("sv_coef"))
+    val svSide = if (numSupportVectors <= broadcastThreshold) broadcast(svSide0) else svSide0
+    val scores = df
+      .select(col(idCol).as("__pid"), VectorOps.toDoubleArray(col(vecCol)).as("__px"))
+      .crossJoin(svSide)
+      .select(col("__pid"),
+        (col("sv_coef") * kernel(col("sv_x"), col("__px"))).as("__c"))
+      .groupBy(col("__pid"))
+      .agg(aggregate(sort_array(collect_list(col("__c"))), lit(0.0),
+        (acc, x) => acc + x).as("__ksum"))
+    df.join(scores, df(idCol) === scores("__pid"), "left")
+      .withColumn("decision", coalesce(col("__ksum"), lit(0.0)) + lit(bias))
+      .drop("__pid", "__ksum")
+      .withColumn("prediction", when(col("decision") >= 0, 1.0).otherwise(-1.0))
+  }
 }
 
 object IcfSvmModel {

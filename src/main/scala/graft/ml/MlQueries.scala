@@ -108,13 +108,4 @@ object MlQueries {
       .withColumn("n_support_vectors", lit(model.numSupportVectors))
   }
 
-  /** m4: ICF factor sanity — per-row reconstruction mass (‖h_i‖² should
-    * approach k(x_i,x_i)=1 for RBF as rank grows). Rows-only. */
-  def icfFactor(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val data = Tables.embeddings(spark, dir).filter($"vec_id" < 200)
-    Icf.factorize(data, "vec_id", "embedding", Kernel.Rbf(0.05), rank = 8)
-      .select($"id", round(VectorOps.norm2($"icf_features"), 6).as("h_norm2"))
-      .orderBy($"id")
-  }
 }
