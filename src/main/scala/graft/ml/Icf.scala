@@ -1,5 +1,6 @@
 package graft.ml
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
@@ -41,25 +42,57 @@ object Icf {
 
   /** Returns (id, icf_features: array<double>[rank]) with K ≈ H·Hᵀ.
     * `residualTol > 0` enables early stop on the max diagonal residual
-    * (the produced factor is truncated to the columns actually built). */
+    * (the produced factor is truncated to the columns actually built).
+    *
+    * `checkpointDir`: psvm-style fault tolerance for long factorizations
+    * (p passes over the data — hours at 100 TB). Every `checkpointEvery`
+    * columns the built H prefix + diagonal residuals land in parquet
+    * with a column-count marker; a rerun pointed at the same dir (same
+    * data, kernel) resumes from the saved prefix. Resume is BIT-exact:
+    * each pass is a per-row map + an order-independent max-reduce, so no
+    * float accumulation order changes across the restart. */
   def factorize(df: DataFrame, idCol: String, vecCol: String,
                 kernel: Kernel, rank: Int,
                 checkpointEvery: Int = 16,
-                residualTol: Double = 0.0): DataFrame = {
+                residualTol: Double = 0.0,
+                checkpointDir: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import graft.functions.VectorOps
     import org.apache.spark.sql.functions.col
 
-    var rdd = df
+    val base = df
       .select(col(idCol).cast("long"), VectorOps.toDoubleArray(col(vecCol)))
       .rdd
       .map { r =>
         val x = r.getSeq[Double](1).toArray
         IcfRow(r.getLong(0), x, new Array[Double](rank), kernel(x, x))
       }
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var j = 0
+    // resume from the last completed column dump, if any
+    val resume: Option[(Int, RDD[(Long, (Array[Double], Double))])] =
+      checkpointDir.flatMap { dir =>
+        val marker = new java.io.File(s"$dir/state")
+        if (!marker.exists()) None
+        else {
+          val src = scala.io.Source.fromFile(marker)
+          val saved = try src.mkString.trim.toInt finally src.close()
+          val h = spark.read.parquet(s"$dir/h").rdd
+            .map(r => (r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2))))
+          Some((math.min(saved, rank), h))
+        }
+      }
+
+    var rdd = (resume match {
+      case None => base
+      case Some((jSaved, saved)) =>
+        base.map(r => (r.id, r)).join(saved).map { case (_, (r, (hPrefix, diag))) =>
+          val h = new Array[Double](rank)
+          System.arraycopy(hPrefix, 0, h, 0, math.min(jSaved, hPrefix.length))
+          IcfRow(r.id, r.x, h, diag)
+        }
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+
+    var j = resume.map(_._1).getOrElse(0)
     var stopped = false
     while (j < rank && !stopped) {
       val pivot = rdd
@@ -89,6 +122,18 @@ object Icf {
       rdd.count()          // materialize before unpersisting the parent
       prev.unpersist(false)
       j += 1
+      if (checkpointDir.isDefined && j % checkpointEvery == 0 && j < rank) {
+        val dir = checkpointDir.get
+        val jj2 = j
+        import spark.implicits._
+        spark.createDataFrame(
+            rdd.map(r => (r.id, r.h.take(jj2).toSeq, r.diag)))
+          .toDF("id", "h", "diag")
+          .write.mode("overwrite").parquet(s"$dir/h")
+        // marker LAST: it only ever points at a fully-written dump
+        val w = new java.io.PrintWriter(s"$dir/state")
+        try w.print(jj2.toString) finally w.close()
+      }
       }
     }
 

@@ -17,11 +17,26 @@ import org.apache.spark.storage.StorageLevel
   * i.e. elementwise n-vector work + p-vector reductions + one p×p solve.
   *
   * Spark re-expression: rows live in per-partition BLOCKS (primitive
-  * arrays of y, h, α) — n-vectors never touch the driver; each iteration
-  * runs two treeAggregate passes (p×p Gram + p-vector reductions) and one
-  * map to update α. The driver holds only p-sized state. This is the
-  * same data layout and communication pattern as the reference's MPI
-  * implementation, with treeAggregate playing the role of all-reduce.
+  * arrays of y, h, α) — n-vectors never touch the driver; the driver
+  * holds only p-sized state. This is the same data layout and
+  * communication pattern as the reference's MPI implementation, with
+  * treeAggregate playing the role of all-reduce.
+  *
+  * Per-iteration work: ONE O(n·p) pass builds Gᵀα, ONE O(n·p) map
+  * materializes the per-row dot qaᵢ = (Gᵀα)·hᵢ (plus block-partial gap
+  * terms), then the SMW pass does the irreducible O(n·p²) Gram
+  * accumulation reading qa back in O(1) per row, and the Δα pass reuses
+  * qa the same way. (The first cut recomputed qa in every pass — 4×
+  * O(n·p) redundant work per iteration; grad/dInv are O(1) per row once
+  * qa is cached, so only the two genuine O(n·p) passes remain.)
+  *
+  * `checkpointDir`: psvm-style fault tolerance — every `checkpointEvery`
+  * iterations the α blocks land in parquet plus an (iter, ν) marker; a
+  * rerun pointed at the same dir resumes from the last completed
+  * checkpoint instead of iteration 0. Resume rebuilds the blocks through
+  * a keyed join, so float accumulation order may differ in the last ulps
+  * from the uninterrupted run — the QP optimum it converges to is the
+  * same (and the resume spec asserts agreement to 1e-6).
   */
 object Ipm {
 
@@ -33,15 +48,19 @@ object Ipm {
 
   /** Solve the dual on (id, y∈{±1}, h: Array[Double] rank-p rows).
     * Returns per-row alphas (collected — O(n) doubles, diagnostics/test
-    * use; production scoring keeps alphas distributed, see predictDf). */
-  /** `posWeight`/`negWeight` scale the box constraint per class
+    * use; production scoring keeps alphas distributed, see predictDf).
+    *
+    * `posWeight`/`negWeight` scale the box constraint per class
     * (libsvm `-wi`, psvm svm_train weighted-C): 0 ≤ αᵢ ≤ C·w_{yᵢ}. */
   def solve(data: DataFrame, idCol: String, labelCol: String, hCol: String,
             c: Double, maxIter: Int = 50, tol: Double = 1e-6,
-            posWeight: Double = 1.0, negWeight: Double = 1.0): (RDD[(Long, Double)], Int, Double) = {
+            posWeight: Double = 1.0, negWeight: Double = 1.0,
+            checkpointDir: Option[String] = None,
+            checkpointEvery: Int = 10): (RDD[(Long, Double)], Int, Double) = {
     val cPos = c * posWeight
     val cNeg = c * negWeight
     import org.apache.spark.sql.functions.col
+    val spark = data.sparkSession
     val rows: RDD[(Long, Double, Array[Double])] = data
       .select(col(idCol).cast("long"), col(labelCol).cast("double"), col(hCol))
       .rdd.map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
@@ -51,33 +70,67 @@ object Ipm {
     val p = rows.first()._3.length
     val sc = rows.sparkContext
 
+    // ---- checkpoint restore: (iter, nu) marker + saved alphas ----
+    val restored: Option[(Int, Double, RDD[(Long, Double)])] =
+      checkpointDir.flatMap { dir =>
+        val marker = new java.io.File(s"$dir/state")
+        if (!marker.exists()) None
+        else {
+          val Array(it, nuS) = {
+            val src = scala.io.Source.fromFile(marker)
+            try src.mkString.trim.split(' ') finally src.close()
+          }
+          val saved = spark.read.parquet(s"$dir/alphas")
+            .rdd.map(r => (r.getLong(0), r.getDouble(1)))
+          Some((it.toInt, nuS.toDouble, saved))
+        }
+      }
+
     // block layout: ids stay alongside so alphas can be re-keyed at the end
     // (keep the input's partitioning: coalescing small inputs to one
     // block was measured SLOWER — it serializes each iteration's
     // aggregation passes, which outweighs the saved task overhead)
-    var blocks: RDD[(Array[Long], Block)] = rows.mapPartitions { it =>
-      val buf = it.toArray
-      if (buf.isEmpty) Iterator.empty
-      else Iterator.single((
-        buf.map(_._1),
-        Block(buf.map(_._2), buf.map(t => t._3.map(v => t._2 * v)), // G = diag(y)·H
-              buf.map(t => (if (t._2 > 0) cPos else cNeg) / 2.0))))
-    }.persist(StorageLevel.MEMORY_AND_DISK)
+    def buildBlocks(alphaOf: Option[RDD[(Long, Double)]]): RDD[(Array[Long], Block)] = {
+      val withAlpha: RDD[(Long, Double, Array[Double], Double)] = alphaOf match {
+        case None =>
+          rows.map(t => (t._1, t._2, t._3, (if (t._2 > 0) cPos else cNeg) / 2.0))
+        case Some(saved) =>
+          rows.map(t => (t._1, t)).join(saved)
+            .map { case (id, (t, a)) => (id, t._2, t._3, a) }
+      }
+      withAlpha.mapPartitions { it =>
+        val buf = it.toArray
+        if (buf.isEmpty) Iterator.empty
+        else Iterator.single((
+          buf.map(_._1),
+          Block(buf.map(_._2), buf.map(t => t._3.map(v => t._2 * v)), // G = diag(y)·H
+                buf.map(_._4))))
+      }
+    }
+
+    var blocks: RDD[(Array[Long], Block)] =
+      buildBlocks(restored.map(_._3)).persist(StorageLevel.MEMORY_AND_DISK)
     blocks.count()
     rows.unpersist(false)
 
-    var nu = 0.0
-    var iter = 0
+    var nu = restored.map(_._2).getOrElse(0.0)
+    var iter = restored.map(_._1).getOrElse(0)
     var gap = Double.MaxValue
     val mu = 10.0
 
+    def writeCheckpoint(): Unit = checkpointDir.foreach { dir =>
+      import spark.implicits._
+      val flat = blocks.flatMap { case (ids, b) => ids.zip(b.alpha) }
+      spark.createDataFrame(flat).toDF("id", "alpha")
+        .write.mode("overwrite").parquet(s"$dir/alphas")
+      // marker LAST: a state file only ever points at a fully-written dump
+      val w = new java.io.PrintWriter(s"$dir/state")
+      try w.print(s"$iter $nu") finally w.close()
+    }
+
     while (iter < maxIter && gap > tol) {
-      // surrogate gap for the log barrier: t = 2·n·mu / gap (PSVM uses the
-      // standard primal-dual schedule); first pass computes the residual
-      // pieces and the SMW ingredients in ONE treeAggregate:
-      //   [ GᵀD⁻¹G (p×p) | GᵀD⁻¹grad (p) | GᵀD⁻¹y (p) |
-      //     yᵀα, yᵀD⁻¹grad..., gap terms ]
-      // where grad = Qα − e + ν·y − barrier terms; Qα needs Gᵀα first.
+      // Gᵀα: the only pass that needs every (row × p) product before the
+      // per-row dot qaᵢ = Σⱼ hᵢⱼ(Gᵀα)ⱼ is defined
       val gTalpha = blocks.treeAggregate(new Array[Double](p))(
         seqOp = { case (acc, (_, b)) =>
           var i = 0
@@ -91,48 +144,58 @@ object Ipm {
         combOp = { (a1, a2) => var j = 0; while (j < p) { a1(j) += a2(j); j += 1 }; a1 })
       val gTalphaB = sc.broadcast(gTalpha)
 
-      // surrogate gap = Σ αᵢ·(C−αᵢ) barrier residuals ~ use gap = Σ [α·λ + (C−α)·ξ]
-      // with implicit multipliers λ = 1/(t·α), ξ = 1/(t·(C−α)); standard
-      // simplification: gap ≈ Σ (C·ξ + ... ) — we use the duality-measure
-      // form Σ[αᵢ(Qα−e+νy)ᵢ⁺ + (C−αᵢ)(−(Qα−e+νy)ᵢ)⁺] computed below.
-      val statsAgg = blocks.treeAggregate((0.0, 0.0))(
-        seqOp = { case ((gapAcc, yA), (_, b)) =>
-          var g = gapAcc; var ya = yA
+      // materialize qa once per iteration (reused by the SMW and Δα
+      // passes below), and fold the surrogate-gap/feasibility partials
+      // into the same O(n·p) pass:
+      //   gap = Σ [αᵢ·grad0ᵢ⁺ + (Cᵢ−αᵢ)·(−grad0ᵢ)⁺],  grad0 = Qα − e + νy
+      val nuLocal = nu
+      val withQa: RDD[(Array[Long], Block, Array[Double], Double, Double)] =
+        blocks.map { case (ids, b) =>
+          val qa = new Array[Double](b.alpha.length)
+          var g = 0.0; var ya = 0.0
           var i = 0
           while (i < b.alpha.length) {
             val hi = b.h(i)
-            var qa = 0.0; var j = 0
-            while (j < p) { qa += hi(j) * gTalphaB.value(j); j += 1 }
-            val grad0 = qa - 1.0 + nu * b.y(i)   // ∇ without barrier
+            var q = 0.0; var j = 0
+            while (j < p) { q += hi(j) * gTalphaB.value(j); j += 1 }
+            qa(i) = q
+            val grad0 = q - 1.0 + nuLocal * b.y(i)
             val ai = b.alpha(i)
             val ci = if (b.y(i) > 0) cPos else cNeg
             g += (if (grad0 > 0) ai * grad0 else (ci - ai) * -grad0)
             ya += b.y(i) * ai
             i += 1
           }
-          (g, ya)
-        },
-        combOp = { case ((g1, y1), (g2, y2)) => (g1 + g2, y1 + y2) })
-      gap = statsAgg._1
-      val yTalpha = statsAgg._2
-      if (gap <= tol) { iter += 1 }
+          (ids, b, qa, g, ya)
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+      val (gapNow, yTalpha) = withQa
+        .map(t => (t._4, t._5))
+        .treeAggregate((0.0, 0.0))(
+          seqOp = { case ((g1, y1), (g2, y2)) => (g1 + g2, y1 + y2) },
+          combOp = { case ((g1, y1), (g2, y2)) => (g1 + g2, y1 + y2) })
+      gap = gapNow
+      if (gap <= tol) { iter += 1; withQa.unpersist(false) }
       else {
         val t = mu * 2.0 * n / math.max(gap, 1e-12)
 
-        // second pass: SMW ingredients with D from the barrier Hessian
+        // SMW ingredients with D from the barrier Hessian — ONE row loop:
+        // grad/dInv are O(1) per row given qa; the O(p²) Gram update is
+        // the irreducible core. (The first cut ran a second identical
+        // block loop just for the yᵀD⁻¹y / yᵀD⁻¹grad scalars.)
         val zero = (DenseMatrix.zeros[Double](p, p), DenseVector.zeros[Double](p),
                     DenseVector.zeros[Double](p), 0.0, 0.0, 0.0)
-        val (gdg, gdGrad, gdY, yDy, yDgrad, _) = blocks.treeAggregate(zero)(
-          seqOp = { case ((m, vg, vy, sYdy, sYdg, _), (_, b)) =>
+        val (gdg, gdGrad, gdY, yDy, yDgrad, _) = withQa.treeAggregate(zero)(
+          seqOp = { case ((m, vg, vy, sYdy, sYdg, _), (_, b, qa, _, _)) =>
+            var acc1 = sYdy; var acc2 = sYdg
             var i = 0
             while (i < b.alpha.length) {
               val hi = b.h(i); val ai = b.alpha(i)
               val ci = if (b.y(i) > 0) cPos else cNeg
-              var qa = 0.0; var j = 0
-              while (j < p) { qa += hi(j) * gTalphaB.value(j); j += 1 }
-              val grad = qa - 1.0 + nu * b.y(i) -
+              val grad = qa(i) - 1.0 + nuLocal * b.y(i) -
                 (1.0 / (t * ai)) + (1.0 / (t * (ci - ai)))
               val dInv = 1.0 / (1.0 / (t * ai * ai) + 1.0 / (t * (ci - ai) * (ci - ai)))
+              acc1 += b.y(i) * dInv * b.y(i)
+              acc2 += b.y(i) * dInv * grad
               var j1 = 0
               while (j1 < p) {
                 val w = dInv * hi(j1)
@@ -143,19 +206,6 @@ object Ipm {
                 j1 += 1
               }
               i += 1
-            }
-            var acc1 = sYdy; var acc2 = sYdg; var i2 = 0
-            while (i2 < b.alpha.length) {
-              val hi = b.h(i2); val ai = b.alpha(i2)
-              val ci = if (b.y(i2) > 0) cPos else cNeg
-              var qa = 0.0; var j = 0
-              while (j < p) { qa += hi(j) * gTalphaB.value(j); j += 1 }
-              val grad = qa - 1.0 + nu * b.y(i2) -
-                (1.0 / (t * ai)) + (1.0 / (t * (ci - ai)))
-              val dInv = 1.0 / (1.0 / (t * ai * ai) + 1.0 / (t * (ci - ai) * (ci - ai)))
-              acc1 += b.y(i2) * dInv * b.y(i2)
-              acc2 += b.y(i2) * dInv * grad
-              i2 += 1
             }
             (m, vg, vy, acc1, acc2, 0.0)
           },
@@ -175,19 +225,17 @@ object Ipm {
         val corrUB = sc.broadcast(corrU.toArray)
         val corrWB = sc.broadcast(corrW.toArray)
 
-        // third pass: compute Δα per row, find max feasible step, update α
+        // Δα per row (qa reused — only the two SMW dots are O(p)), max
+        // feasible step, then the α update
         val prev = blocks
-        val updated = prev.map { case (ids, b) =>
-          val nAlpha = b.alpha.clone()
+        val updated = withQa.map { case (ids, b, qa, _, _) =>
           var minStep = 1.0
           val deltas = new Array[Double](b.alpha.length)
           var i = 0
           while (i < b.alpha.length) {
             val hi = b.h(i); val ai = b.alpha(i)
             val ci = if (b.y(i) > 0) cPos else cNeg
-            var qa = 0.0; var j = 0
-            while (j < p) { qa += hi(j) * gTalphaB.value(j); j += 1 }
-            val grad = qa - 1.0 + nu * b.y(i) -
+            val grad = qa(i) - 1.0 + nuLocal * b.y(i) -
               (1.0 / (t * ai)) + (1.0 / (t * (ci - ai)))
             val dInv = 1.0 / (1.0 / (t * ai * ai) + 1.0 / (t * (ci - ai) * (ci - ai)))
             var smwU = 0.0; var smwW = 0.0; var j2 = 0
@@ -219,9 +267,12 @@ object Ipm {
         blocks.localCheckpoint()
         blocks.count()
         updated.unpersist(false)
+        withQa.unpersist(false)
         prev.unpersist(false)
         nu += step * deltaNu
         iter += 1
+        if (checkpointDir.isDefined && iter % checkpointEvery == 0 && iter < maxIter)
+          writeCheckpoint()
       }
     }
 

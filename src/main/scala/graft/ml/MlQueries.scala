@@ -95,12 +95,12 @@ object MlQueries {
 
   /** m6: the unabridged reference pipeline — greedy ICF of the RBF
     * kernel → SMW-IPM dual solve → support-vector model scored with the
-    * original kernel. On a bounded sample (ICF is p passes over the
-    * data). Rows-only. */
+    * original kernel, over the FULL embeddings table (the early rounds
+    * capped this at 500 vectors; the fused IPM passes pay for the full
+    * width). Rows-only. */
   def svmIcfIpmEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val data = Tables.embeddings(spark, dir)
-      .filter($"vec_id" < 500)
       .withColumn("yy", when($"label" % 2 === 0, 1.0).otherwise(-1.0))
     val model = IcfSvmTrainer.fit(data, "vec_id", "embedding", "yy",
       Kernel.Rbf(0.05), rank = 16, c = 5.0, maxIter = 40, tol = 1e-3)

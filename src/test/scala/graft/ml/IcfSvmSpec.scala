@@ -102,4 +102,87 @@ class IcfSvmSpec extends SparkSpec {
     val acc = SvmEvaluator.evaluate(scored, "y").head.getAs[Double]("accuracy")
     assert(acc > 0.5, s"in-sample accuracy should beat chance, got $acc")
   }
+
+  test("loadText places sparse idx:val entries at their declared positions") {
+    // a hand-written SPARSE model (zeros omitted, indices skip) — the
+    // positional-parse bug would misalign x2/x4 into slots 2/3
+    val dir = java.nio.file.Files.createTempDirectory("icfsvm_sparse").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/header"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/sv"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/header/part-00000"),
+      "svm_type c_svc\nkernel_type linear\ngamma 0.0\ncoef0 0.0\ndegree 0\n" +
+        "total_sv 2\ndim 4\nrho -0.5\nSV\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/sv/part-00000"),
+      "1.0 2:3.0 4:5.0\n-2.0 1:1.0\n")
+    val m = IcfSvmModel.loadText(spark, dir)
+    assert(m.bias === 0.5)
+    val svs = m.svs.as[(Seq[Double], Double)].collect().sortBy(_._2)
+    assert(svs(0) === (Seq(1.0, 0.0, 0.0, 0.0), -2.0))
+    assert(svs(1) === (Seq(0.0, 3.0, 0.0, 5.0), 1.0))
+    // linear-kernel decision for x = (1,1,1,1): 1*(3+5) + (-2)*1 + 0.5
+    val scored = m.predict(
+        Seq((1L, Seq(1.0, 1.0, 1.0, 1.0))).toDF("id", "vec"), "id", "vec")
+      .select("decision").as[Double].head()
+    assert(math.abs(scored - 6.5) < 1e-12, s"sparse decision $scored != 6.5")
+  }
+
+  test("ICF checkpoint/resume is bit-exact vs an uninterrupted run") {
+    val rng = new scala.util.Random(31)
+    val pts = (0 until 60).map { i =>
+      (i.toLong, Array.fill(4)(rng.nextGaussian()))
+    }
+    val df = pts.toDF("id", "vec")
+    val kernel = Kernel.Rbf(0.3)
+    val dir = java.nio.file.Files.createTempDirectory("icf_ckpt").toString
+
+    def collectH(d: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+      d.as[(Long, Seq[Double])].collect().toMap
+
+    // full run with checkpointing: dumps the H prefix at column 4
+    val full = collectH(Icf.factorize(df, "id", "vec", kernel, rank = 8,
+      checkpointEvery = 4, checkpointDir = Some(dir)))
+    assert(new java.io.File(s"$dir/state").exists(), "checkpoint written mid-run")
+    // "crashed and rerun": a fresh call against the same dir resumes from
+    // column 4 and must reproduce the uninterrupted factor EXACTLY —
+    // every ICF pass is a per-row map + order-independent max-reduce
+    val resumed = collectH(Icf.factorize(df, "id", "vec", kernel, rank = 8,
+      checkpointEvery = 4, checkpointDir = Some(dir)))
+    assert(resumed === full, "resumed factor differs from uninterrupted run")
+  }
+
+  test("IPM checkpoint/resume converges to the same alphas") {
+    val rng = new scala.util.Random(47)
+    val pts = (0 until 60).map { i =>
+      val pos = i % 2 == 0
+      val cx = if (pos) 2.0 else -2.0
+      (i.toLong,
+       Array(cx + rng.nextGaussian() * 0.4, cx + rng.nextGaussian() * 0.4),
+       if (pos) 1.0 else -1.0)
+    }
+    val df = pts.toDF("id", "vec", "y")
+    val map = Nystrom.fit(df, "id", "vec", Kernel.Rbf(0.5), numLandmarks = 20)
+    val feats = Nystrom.transform(df, "vec", map, "h").persist()
+    val dir = java.nio.file.Files.createTempDirectory("ipm_ckpt").toString
+
+    // uninterrupted solve
+    val (aFull, _, _) = Ipm.solve(feats, "id", "y", "h", 1.0,
+      maxIter = 40, tol = 1e-6)
+    val full = aFull.collect().toMap
+    // "crashed" run: stops after 6 iterations, has dumped alphas at 3
+    Ipm.solve(feats, "id", "y", "h", 1.0, maxIter = 6, tol = 1e-6,
+      checkpointDir = Some(dir), checkpointEvery = 3)
+    assert(new java.io.File(s"$dir/state").exists(), "checkpoint written mid-run")
+    // resumed run continues from the dump instead of iteration 0
+    val (aRes, itersRes, _) = Ipm.solve(feats, "id", "y", "h", 1.0,
+      maxIter = 40, tol = 1e-6, checkpointDir = Some(dir), checkpointEvery = 100)
+    val res = aRes.collect().toMap
+    feats.unpersist()
+    assert(itersRes > 3, "resume continues counting from the saved iteration")
+    val maxDiff = full.map { case (id, a) => math.abs(a - res(id)) }.max
+    info(f"max |alpha_full - alpha_resumed| = $maxDiff%.2e")
+    assert(maxDiff < 1e-4,
+      s"resumed solve must reach the same optimum (max diff $maxDiff)")
+  }
 }
