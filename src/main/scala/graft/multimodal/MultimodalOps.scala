@@ -4,86 +4,155 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** §2.3 P12: multimodal (image/audio/video) column plumbing.
+/** §2.3 P12: multimodal (image/audio/video) column plumbing with a REAL
+  * decode path.
   *
   * Design: media payloads are opaque `binary` columns with typed metadata
-  * (kind/width/height/sample_rate). The decode step is a clearly-marked
-  * DETERMINISTIC STUB (this container has no image/audio codecs): a
-  * payload's "pixels" are derived from its md5 hex digits. Everything
-  * around the stub — schema, partitioning, per-frame explode, batched
-  * inference via mapPartitions — is the real plumbing a production
-  * pipeline would keep while swapping the stub for a codec call.
+  * (kind/width/height/sample_rate). Each payload is a genuine 8×4 24-bit
+  * BMP file (standard 54-byte header + bottom-up BGR pixel array) whose
+  * pixel bytes are derived deterministically from the document text, and
+  * the decode step really decodes it — `javax.imageio` parses the header
+  * and raster exactly as it would any uncompressed BMP from disk. The
+  * determinism is only in how the test payloads are GENERATED, which is
+  * what lets the DuckDB oracle recompute the expected pixel bytes and
+  * hash-match features computed from the decoded raster.
   *
-  * Scale: decode/featurize are narrow per-row maps (no shuffle); frame
-  * explode multiplies rows by frame count and is immediately reduced by
-  * the per-frame aggregate; batched scoring streams each partition
-  * through fixed-size batches — the exact shape GPU inference needs.
+  * Scale: decode/featurize run in mapPartitions (narrow, no shuffle —
+  * and the partition-at-a-time shape is where a codec/model handle is
+  * amortized); frame explode multiplies rows by frame count and is
+  * immediately reduced by the per-frame aggregate; batched scoring
+  * streams each partition through fixed-size batches — the exact shape
+  * GPU inference needs.
   */
 object MultimodalOps {
 
-  /** Derive a deterministic media table from documents: payload bytes are
-    * the md5 of the text (a stand-in for real image/audio bytes), with
-    * typed metadata columns. */
+  val BmpWidth = 8
+  val BmpHeight = 4
+  val PixelBytes: Int = BmpWidth * BmpHeight * 3   // 96 (row stride 24 — no padding)
+
+  /** Standard BITMAPFILEHEADER + BITMAPINFOHEADER for an 8×4 24bpp
+    * bottom-up BMP — what any bitmap writer would emit. */
+  private[multimodal] lazy val bmpHeader: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + PixelBytes).putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(BmpWidth).putInt(BmpHeight).putShort(1).putShort(24)
+      .putInt(0).putInt(PixelBytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    bb.array()
+  }
+
+  /** 96 deterministic pixel bytes as hex: a chained md5 of the text
+    * (6 × 16 bytes). DuckDB replays this exactly. */
+  private def pixelHex(text: Column): Column =
+    concat(md5(text), md5(concat(text, lit("1"))), md5(concat(text, lit("2"))),
+           md5(concat(text, lit("3"))), md5(concat(text, lit("4"))),
+           md5(concat(text, lit("5"))))
+
+  /** Derive a deterministic media table from documents: each payload is a
+    * COMPLETE BMP file (header + pixels), with typed metadata columns. */
   def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select(
       $"doc_id".as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         ($"doc_id" % 3 + 1).cast("int")).as("kind"),
-      unhex(md5($"text")).as("payload"),
-      md5($"text").as("payload_hex"),
-      lit(8).as("width"), lit(4).as("height"),
+      concat(lit(bmpHeader), unhex(pixelHex($"text"))).as("payload"),
+      lit(BmpWidth).as("width"), lit(BmpHeight).as("height"),
       lit(16000).as("sample_rate"),
       (length($"text") * 10).cast("long").as("duration_ms"))
   }
 
-  /** STUB decode: 32 "pixels" in [0,1], one per md5 hex digit.
-    * (Real system: codec call here; the column contract — array<double>
-    * of intensities — is what downstream ops depend on.) */
-  def decodePixels(payloadHexCol: String): Column = expr(
-    s"transform(sequence(1, 32), i -> " +
-    s"(instr('0123456789abcdef', substring($payloadHexCol, i, 1)) - 1) / 15.0d)")
+  /** REAL decode: parse the BMP with `javax.imageio` and return the
+    * raster as intensities in [0,1], traversed in FILE order (bottom-up
+    * rows, B-G-R channels) so the value sequence equals the payload's
+    * pixel bytes — the property the oracle checks and that makes the
+    * sequential feature folds deterministic. */
+  def decodeBmp(payload: Array[Byte]): Array[Double] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Double](w * h * 3)
+    var k = 0
+    var y = h - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        out(k) = (rgb & 0xFF) / 255.0; k += 1           // B
+        out(k) = ((rgb >> 8) & 0xFF) / 255.0; k += 1    // G
+        out(k) = ((rgb >> 16) & 0xFF) / 255.0; k += 1   // R
+        x += 1
+      }
+      y -= 1
+    }
+    out
+  }
 
   /** mm1: decode + per-media feature extraction (mean/std/min/max of the
-    * stub-decoded intensities) — oracle-checked. */
+    * decoded intensities) — oracle-checked against the generated pixel
+    * bytes, so a broken encoder OR decoder hash-mismatches. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    mediaFromDocuments(spark, dir)
-      .withColumn("px", decodePixels("payload_hex"))
-      .withColumn("n", size($"px").cast("double"))
-      .withColumn("mean_px", expr("aggregate(px, 0.0d, (a, v) -> a + v)") / $"n")
-      .withColumn("var_px",
-        expr("aggregate(px, 0.0d, (a, v) -> a + v * v)") / $"n" - $"mean_px" * $"mean_px")
+    val media = mediaFromDocuments(spark, dir)
+      .select($"media_id", $"kind", $"duration_ms", $"payload")
+      .as[(Long, String, Long, Array[Byte])]
+    media.mapPartitions { it =>
+      it.map { case (id, kind, dur, payload) =>
+        val px = decodeBmp(payload)
+        var s = 0.0; var sq = 0.0
+        var mn = Double.MaxValue; var mx = Double.MinValue
+        var i = 0
+        while (i < px.length) {
+          val v = px(i)
+          s += v; sq += v * v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        val n = px.length.toDouble
+        val mean = s / n
+        (id, kind, dur, mean, sq / n - mean * mean, mn, mx)
+      }
+    }.toDF("media_id", "kind", "duration_ms", "mean_raw", "var_raw", "mn", "mx")
       .select($"media_id", $"kind", $"duration_ms",
-        round($"mean_px", 6).as("mean_px"),
-        round(sqrt(greatest($"var_px", lit(0.0))), 6).as("std_px"),
-        round(array_min($"px"), 6).as("min_px"),
-        round(array_max($"px"), 6).as("max_px"))
+        round($"mean_raw", 6).as("mean_px"),
+        round(sqrt(greatest($"var_raw", lit(0.0))), 6).as("std_px"),
+        round($"mn", 6).as("min_px"),
+        round($"mx", 6).as("max_px"))
       .orderBy($"media_id")
   }
 
-  /** mm2: frame sampling for "video" media — split the payload into 4
-    * frames of 8 hex digits, explode, per-frame mean — oracle-checked. */
+  /** mm2: frame sampling for "video" media — the decoded raster is split
+    * into 4 frames (one per image row, file order), one output row per
+    * frame with its mean intensity — oracle-checked. */
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    mediaFromDocuments(spark, dir)
+    val rowLen = BmpWidth * 3
+    val media = mediaFromDocuments(spark, dir)
       .filter($"kind" === "video")
-      .select($"media_id", posexplode(expr(
-        "transform(sequence(0, 3), f -> substring(payload_hex, f * 8 + 1, 8))")))
-      .withColumnRenamed("pos", "frame_idx")
-      .withColumn("frame_mean", round(expr(
-        "aggregate(transform(sequence(1, 8), i -> " +
-        "(instr('0123456789abcdef', substring(col, i, 1)) - 1) / 15.0d), " +
-        "0.0d, (a, v) -> a + v)") / 8.0, 6))
-      .select($"media_id", $"frame_idx".cast("long").as("frame_idx"), $"frame_mean")
+      .select($"media_id", $"payload")
+      .as[(Long, Array[Byte])]
+    media.mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        val px = decodeBmp(payload)
+        (0 until BmpHeight).map { f =>
+          var s = 0.0
+          var i = f * rowLen
+          while (i < (f + 1) * rowLen) { s += px(i); i += 1 }
+          (id, f.toLong, s / rowLen.toDouble)
+        }
+      }
+    }.toDF("media_id", "frame_idx", "mean_raw")
+      .select($"media_id", $"frame_idx",
+        round($"mean_raw", 6).as("frame_mean"))
       .orderBy($"media_id", $"frame_idx")
   }
 
-  /** Batched "inference" over media rows: the mapPartitions shape real
-    * GPU scoring needs (fixed-size batches, one model handle per
-    * partition). The model here is a deterministic stub (mean of decoded
-    * pixels per batch element). */
-  final case class MediaRow(media_id: Long, payload_hex: String)
+  /** Batched inference over media rows: the mapPartitions shape real GPU
+    * scoring needs (fixed-size batches, per-partition setup). Each row's
+    * payload goes through the REAL image decode; the "model" is the mean
+    * intensity of the decoded raster. */
+  final case class MediaRow(media_id: Long, payload: Array[Byte])
   final case class Scored(media_id: Long, score: Double, batch_size: Int)
 
   def batchScore(media: Dataset[MediaRow], batchSize: Int = 32): Dataset[Scored] = {
@@ -92,7 +161,7 @@ object MultimodalOps {
       // real pipeline: val model = loadModelOnce()   (per partition)
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val px = r.payload_hex.take(32).map(c => ("0123456789abcdef".indexOf(c)) / 15.0)
+          val px = decodeBmp(r.payload)
           Scored(r.media_id, px.sum / px.length, batch.size)
         }
       }

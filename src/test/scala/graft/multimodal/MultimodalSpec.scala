@@ -8,16 +8,32 @@ class MultimodalSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("media table has typed metadata and binary payloads") {
+  test("media table has typed metadata and real BMP payloads") {
     val m = MultimodalOps.mediaFromDocuments(spark, dir)
     assert(m.schema("payload").dataType.typeName === "binary")
     assert(m.select("kind").distinct().as[String].collect().toSet ===
       Set("image", "audio", "video"))
     val r = m.select(length($"payload")).head()
-    assert(r.getInt(0) === 16, "md5 payload is 16 bytes")
+    assert(r.getInt(0) === 54 + 96, "54-byte BMP header + 8x4x3 pixels")
+    // the payload is a DECODABLE image, not just tagged bytes
+    val payload = m.select($"payload").head().getAs[Array[Byte]](0)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(img != null && img.getWidth === 8 && img.getHeight === 4)
   }
 
-  test("stub decode produces 32 intensities in [0,1] and stable features") {
+  test("decode inverts encode: raster values equal the generated pixel bytes") {
+    // round-trip through the real codec: encode text-derived bytes into a
+    // BMP, decode with ImageIO, compare against the bytes that went in
+    val row = MultimodalOps.mediaFromDocuments(spark, dir)
+      .select($"payload").head().getAs[Array[Byte]](0)
+    val decoded = MultimodalOps.decodeBmp(row)
+    assert(decoded.length === 96)
+    val expected = row.drop(54).map(b => (b & 0xFF) / 255.0)
+    assert(decoded.toSeq === expected.toSeq,
+      "file-order traversal must reproduce the payload's pixel bytes")
+  }
+
+  test("decoded features are in range and stable") {
     val f = MultimodalOps.mediaFeatures(spark, dir)
     val rows = f.collect()
     assert(rows.length === 500)
@@ -38,7 +54,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("batched scoring preserves rows and respects batch size") {
     val media = MultimodalOps.mediaFromDocuments(spark, dir)
-      .select($"media_id", $"payload_hex")
+      .select($"media_id", $"payload")
       .as[MultimodalOps.MediaRow]
     val scored = MultimodalOps.batchScore(media, batchSize = 32).collect()
     assert(scored.length === 500)
