@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.Tables
@@ -15,15 +16,24 @@ import graft.Tables
   * its component (deterministic — no tie-breaking needed). Rounds are
   * joins + aggregations keyed on vertex id; the driver sees only the
   * per-round changed-count scalar. Near-dup components have tiny
-  * diameters (dups of dups), so this converges in a handful of rounds;
-  * the classic large-star/small-star optimization applies unchanged if
-  * a corpus ever produces long chains.
+  * diameters (dups of dups), so this converges in a handful of rounds.
+  * For adversarial graphs (long chains) a DIAMETER GUARD hands off to
+  * the alternating large-star/small-star algorithm, which contracts
+  * components in O(log n) rounds regardless of diameter.
   */
 object DedupClusters {
 
   /** Connected components of an undirected edge list (src, dst).
-    * Returns (id, cluster_id = min id in the component). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    * Returns (id, cluster_id = min id in the component).
+    *
+    * Diameter guard: min-label propagation needs one round per unit of
+    * component diameter — right for near-dup graphs (dups of dups,
+    * diameter ≲ 5), quadratic-total-work wrong for chains. If the graph
+    * hasn't converged after `starSwitchRounds`, the remaining work is
+    * handed to [[connectedComponentsStar]] instead of grinding out
+    * O(diameter) more rounds. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+                          starSwitchRounds: Int = 8): DataFrame = {
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -36,7 +46,7 @@ object DedupClusters {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
+    while (iter < math.min(maxIter, starSwitchRounds) && !converged) {
       // (convergence is REQUIRED below — silently returning mixed labels
       // would split one logical cluster into several)
       // neighbor labels: for each edge (a,b), b's current label flows to a
@@ -53,11 +63,70 @@ object DedupClusters {
       iter += 1
     }
     und.unpersist(false)
+    if (!converged) {
+      // diameter guard tripped: some component is deeper than the
+      // propagation budget — finish with the O(log n) algorithm
+      return connectedComponentsStar(edges, maxIter)
+    }
+    labels
+  }
+
+  /** Connected components via ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * each round rewires every node toward the minimum of its
+    * neighborhood, which contracts components in O(log n) rounds even on
+    * path graphs where plain label propagation needs O(n). At
+    * convergence the edge set is a star forest centered on each
+    * component's min id.
+    *
+    *   large-star: per node u, m = min(Γ(u) ∪ {u}); every neighbor
+    *               v > u is rewired to (v, m).
+    *   small-star: per node u over its SMALLER neighbors, m = min;
+    *               emits (u, m) and (v, m) for the other small ones.
+    *
+    * Both phases are one windowed min + a projection — no collect_list
+    * buffers, so a star center's whole component never materializes in
+    * one aggregation buffer. */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 40): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("x"), col("y")).as("lo"), greatest(col("x"), col("y")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+
+    var e = canon(edges.select(col("src").as("x"), col("dst").as("y")))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // large-star over the full (symmetric) neighborhood
+      val und = e.select(col("lo").as("a"), col("hi").as("b"))
+        .union(e.select(col("hi").as("a"), col("lo").as("b")))
+      val wA = Window.partitionBy(col("a"))
+      val ls = canon(und
+        .withColumn("m", least(min(col("b")).over(wA), col("a")))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("x"), col("m").as("y")))
+        .localCheckpoint(true)
+      // small-star over each node's smaller neighbors (hi side of canon)
+      val wH = Window.partitionBy(col("hi"))
+      val withM = ls.withColumn("m", min(col("lo")).over(wH))
+      val ss = canon(
+          withM.filter(col("lo") =!= col("m"))
+            .select(col("lo").as("x"), col("m").as("y"))
+          .union(withM.select(col("hi").as("x"), col("m").as("y"))))
+        .localCheckpoint(true)
+      converged = ss.count() == e.count() &&
+        ss.exceptAll(e).limit(1).count() == 0L
+      e = ss
+      iter += 1
+    }
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — " +
-        "raise maxIter (component diameter exceeds the bound)")
-    labels
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    // converged star forest: every hi points at its component's min id
+    e.select(col("hi").as("id"), col("lo").as("comp"))
+      .union(e.select(col("lo").as("id"), col("lo").as("comp")))
+      .groupBy(col("id")).agg(min(col("comp")).as("comp"))
   }
 
   /** p14: cluster the p2 near-dup pairs (token-shingle Jaccard ≥ 0.8)

@@ -83,12 +83,18 @@ object IvfAnn {
   }
 
   /** p7b: IVF top-10 for the first 5 vectors (rows-only — like p7, the
-    * index is engine-specific; the spec measures recall on clustered
-    * fixtures where IVF's cell structure matches the data). */
+    * index is engine-specific), annotated with measured recall vs the
+    * exact top-k and failing fast below the floor (modest here for the
+    * same near-random-corpus reason as p7; the spec asserts 1.0 on
+    * clustered fixtures where IVF's cell structure matches the data). */
   def query(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-    annTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding", 10)
+    val q = e.filter($"vec_id" < 5)
+    AnnRecall.annotate(
+        annTopK(e, q, "vec_id", "embedding", 10),
+        e, q, "vec_id", "embedding", 10,
+        minRecall = 0.2, label = "p7b_ann_ivf")
       .orderBy($"query_id", $"rank")
   }
 }

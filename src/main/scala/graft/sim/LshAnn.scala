@@ -71,13 +71,21 @@ object LshAnn {
               round(col("cos"), 6).as("cos_sim"))
   }
 
-  /** p7: approximate top-10 for the first 5 vectors (rows-only check —
-    * the LSH bucketing isn't SQL-mirrorable; the spec measures recall
-    * against brute force instead). */
+  /** p7: approximate top-10 for the first 5 vectors (rows-only — the
+    * LSH bucketing isn't SQL-mirrorable), ANNOTATED with measured recall
+    * vs the exact top-k and failing fast below the floor. The floor is
+    * deliberately modest: this corpus's embeddings are near-random
+    * (cosines ≈ 0), the adversarial regime for sign-LSH — real near-dup
+    * corpora sit far above it (the spec asserts ≈1.0 on planted
+    * neighbors). */
   def query(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-    annTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding", 10)
+    val q = e.filter($"vec_id" < 5)
+    AnnRecall.annotate(
+        annTopK(e, q, "vec_id", "embedding", 10),
+        e, q, "vec_id", "embedding", 10,
+        minRecall = 0.2, label = "p7_ann_lsh")
       .orderBy($"query_id", $"rank")
   }
 }

@@ -163,6 +163,28 @@ class DedupSpec extends SparkSpec {
     assert(comp2.keySet === (1L to 8L).toSet)
   }
 
+  test("large-star/small-star clusters a 10k-vertex path graph in O(log n) rounds") {
+    // a path graph is the adversarial case for label propagation
+    // (diameter = n); the star algorithm must converge inside 20 rounds,
+    // and maxIter = 20 makes the bound an assertion (it throws past it)
+    val n = 10000L
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = DedupClusters.connectedComponentsStar(chain, maxIter = 20)
+      .as[(Long, Long)].collect()
+    assert(comp.length === n.toInt)
+    assert(comp.forall(_._2 === 1L), "every vertex labeled with the component min")
+    // the guarded entry point finishes the same graph by handing off
+    val viaGuard = DedupClusters.connectedComponents(chain, maxIter = 20,
+        starSwitchRounds = 3)
+      .as[(Long, Long)].collect()
+    assert(viaGuard.length === n.toInt && viaGuard.forall(_._2 === 1L))
+    // star algorithm agrees with label propagation on a branchy graph
+    val edges = Seq((2L, 1L), (2L, 3L), (9L, 7L), (3L, 5L)).toDF("src", "dst")
+    val star = DedupClusters.connectedComponentsStar(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(star === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("embedding near-dup pairs at threshold") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
