@@ -75,7 +75,15 @@ final case class IcfSvmModel(
   def unpersist(): Unit = { svs.unpersist(false); () }
 
   /** Adds `decision` and `prediction` (±1) columns over `vecCol`,
-    * keyed by the (unique) `idCol`. */
+    * keyed by the (unique) `idCol`.
+    *
+    * Cost model at scale: kernel-SVM scoring is inherently O(n·nSV)
+    * (psvm pays the same). The broadcast path covers SV sets up to
+    * `broadcastThreshold`; beyond that the partitioned cross join is
+    * correct but quadratic-ish — for 100 TB corpora score with the
+    * Nyström model instead (O(n·p) via [[KernelSvmModel.predict]]), or
+    * chunk the SV side (score in ≤threshold-sized SV batches and sum
+    * the partial kernel sums) when exact-kernel decisions are required. */
   def predict(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val svSide0 = svs.select(col("sv_x"), col("sv_coef"))
     val svSide = if (numSupportVectors <= broadcastThreshold) broadcast(svSide0) else svSide0

@@ -61,9 +61,13 @@ object ModelOracles {
   /** Fit + save + load a Nyström kernel-SVM model (parquet form). */
   def nystromModel(spark: SparkSession, dir: String): KernelSvmModel =
     nysModels.computeIfAbsent(dir, _ => {
+      // maxIter 10: the oracle replays whatever model got SAVED, so fit
+      // quality doesn't affect correctness — half the OWLQN iterations
+      // halves the query's fixed MLlib overhead (this was the bench's
+      // most expensive new query at maxIter 20)
       val m = KernelSvmTrainer.fit(trainSlice(spark, dir), "vec_id", "embedding", "y",
         KernelSvmParams(kernel = Kernel.Rbf(0.05), numLandmarks = 64,
-                        regParam = 1e-3, maxIter = 20, tol = 1e-4))
+                        regParam = 1e-3, maxIter = 10, tol = 1e-4))
       m.save(spark, s"$ModelRoot/m10_nystrom")
       KernelSvmModel.load(spark, s"$ModelRoot/m10_nystrom")
     })

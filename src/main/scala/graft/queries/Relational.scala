@@ -349,9 +349,23 @@ object Relational {
     * oracle — DuckDB's approx sketch differs; driver does rows-only. */
   def q21ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, dir).agg(
-      approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
-      countDistinct($"l_partkey").as("exact_parts"))
+    // rows-only by nature (HLL sketches are engine-specific), so the
+    // query SELF-validates: it emits the relative error vs the exact
+    // count and fails fast when the sketch drifts past its rsd budget —
+    // the same driver-visible-quality pattern as the ANN recall gates
+    val row = Tables.lineitem(spark, dir).agg(
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .withColumn("rel_error",
+        round(abs($"approx_parts" - $"exact_parts") / $"exact_parts", 6))
+      .head()
+    val err = row.getAs[Double]("rel_error")
+    require(err <= 0.05,
+      s"approx_count_distinct rel_error $err exceeds 5% (rsd was 0.02)")
+    // return the already-computed row as a literal so the driver's
+    // materialization doesn't re-scan lineitem for a second pass
+    Seq((row.getLong(0), row.getLong(1), err))
+      .toDF("approx_parts", "exact_parts", "rel_error")
   }
 
   /** R20b: the exact-count twin of q21, split out so the deterministic
