@@ -33,10 +33,21 @@ object Bench {
       System.gc()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The summary line must stay parseable from a bounded (2000-char)
+    // tail of stdout, so values are rounded and the line is re-emitted
+    // at coarser precision if the query set ever grows past the window.
+    // Full per-query precision goes to stderr above and BENCH_HISTORY.md.
+    def line(dp: Int): String = {
+      val qs = results.map { case (k, v) =>
+        "\"" + k + "\":" + s"%.${dp}f".format(v)
+      }.mkString("{", ",", "}")
+      val sfName = new java.io.File(sfDir).getName
+      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
+    val out = Seq(2, 1, 0).map(line).find(_.length <= 1850).getOrElse(
+      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":{},"sf":"${new java.io.File(sfDir).getName}"}""")
+    println(out)
     spark.stop()
   }
 }
