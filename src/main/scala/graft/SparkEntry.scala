@@ -489,6 +489,16 @@ object SparkEntry {
          SELECT vec_id, round(d, 6) AS decision,
                 CASE WHEN d >= 0 THEN 1.0 ELSE -1.0 END AS prediction
          FROM dec ORDER BY vec_id""",
+    // m1/m5: the training queries persist their fitted Nyström model
+    // under a fixed path and score with the RELOADED model, so the
+    // oracle replays every decision from the saved files (m10 technique)
+    // and recomputes the confusion matrix + metrics (m9 technique).
+    "m1_svm_binary_eval" -> nystromEvalSql("m1_nystrom"),
+    "m5_svm_ipm_eval" -> nystromEvalSql("m5_ipm"),
+    // m6: ICF→IPM SV model, text-round-tripped; decisions replayed from
+    // the saved SV lines with the value-sorted sequential kernel sum.
+    "m6_svm_icf_ipm_eval" -> svModelEvalSql("m6_icf",
+      extraSelect = ", (SELECT CAST(count(*) AS BIGINT) FROM sv) AS n_support_vectors"),
     // m4/m4b: the exact kernel is recomputed from the raw embeddings
     // (non-circular); ⟨h_i,h_j⟩ comes from the persisted ICF factor both
     // engines read, so a green row proves the factorization actually
@@ -697,4 +707,96 @@ object SparkEntry {
          GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
   )
+
+  /** Shared confusion-matrix + metrics tail over a `dec(y, d)` CTE —
+    * the exact SQL mirror of [[graft.ml.SvmEvaluator.evaluate]]. */
+  private def metricsTailSql(extraSelect: String): String =
+    s"""cm AS (
+           SELECT
+             CAST(sum(CASE WHEN y > 0 AND d >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN y <= 0 AND d >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN y <= 0 AND d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             CAST(sum(CASE WHEN y > 0 AND d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           FROM dec),
+         m AS (
+           SELECT tp, fp, tn, fn,
+             round(CAST(tp + tn AS DOUBLE) / CAST(tp + tn + fp + fn AS DOUBLE), 6) AS accuracy,
+             round(CASE WHEN tp + fp > 0
+               THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) ELSE 0.0 END, 6) AS "precision",
+             round(CASE WHEN tp + fn > 0
+               THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) ELSE 0.0 END, 6) AS recall
+           FROM cm)
+         SELECT tp, fp, tn, fn, accuracy, "precision", recall,
+           round(CASE WHEN "precision" + recall > 0
+             THEN 2.0 * "precision" * recall / ("precision" + recall)
+             ELSE 0.0 END, 6) AS f1$extraSelect
+         FROM m"""
+
+  /** DuckDB replay of a saved Nyström parquet model (landmarks /
+    * projection / params dirs) scored over the FULL embeddings table
+    * with parity labels, reduced to confusion matrix + metrics. */
+  private def nystromEvalSql(model: String): String =
+    s"""WITH lm AS (
+           SELECT array_agg(landmark ORDER BY idx) AS L
+           FROM read_parquet('/tmp/graft_models/$model/landmarks/*.parquet')),
+         pr AS (
+           SELECT array_agg(w_row ORDER BY idx) AS W
+           FROM read_parquet('/tmp/graft_models/$model/projection/*.parquet')),
+         pp AS (
+           SELECT gamma, weights, intercept
+           FROM read_parquet('/tmp/graft_models/$model/params/*.parquet')),
+         pts AS (
+           SELECT vec_id, CASE WHEN label % 2 = 0 THEN 1.0 ELSE -1.0 END AS y,
+                  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS px
+           FROM embeddings),
+         kx AS (
+           SELECT vec_id, y,
+             list_transform(lm.L, l -> exp(-pp.gamma *
+               list_sum(list_transform(list_zip(l, px), z -> (z[1] - z[2]) * (z[1] - z[2]))))) AS ks
+           FROM pts, lm, pp),
+         phi AS (
+           SELECT kx.vec_id, kx.y,
+             [list_sum([pr.W[i][j] * kx.ks[i] for i in range(1, len(kx.ks) + 1)])
+              for j in range(1, len(pp.weights) + 1)] AS f
+           FROM kx, pr, pp),
+         dec AS (
+           SELECT phi.vec_id, phi.y,
+             list_sum([pp.weights[j] * phi.f[j] for j in range(1, len(pp.weights) + 1)])
+               + pp.intercept AS d
+           FROM phi, pp),
+         ${metricsTailSql("")}"""
+
+  /** DuckDB replay of a saved psvm-style TEXT SV model scored over the
+    * FULL embeddings table (value-sorted sequential kernel sums — the
+    * predictOrdered fold), reduced to confusion matrix + metrics. */
+  private def svModelEvalSql(model: String, extraSelect: String = ""): String =
+    s"""WITH prm AS (
+           SELECT CAST(regexp_extract(content, 'gamma ([^\\n]+)', 1) AS DOUBLE) AS gamma,
+                  CAST(regexp_extract(content, 'rho ([^\\n]+)', 1) AS DOUBLE) AS rho
+           FROM read_text('/tmp/graft_models/$model/header/part-*')),
+         sv AS (
+           SELECT CAST(p[1] AS DOUBLE) AS coef,
+                  list_transform(p[2:], t -> CAST(string_split(t, ':')[2] AS DOUBLE)) AS x
+           FROM (
+             SELECT string_split(line, ' ') AS p FROM (
+               SELECT unnest(string_split(content, chr(10))) AS line
+               FROM read_text('/tmp/graft_models/$model/sv/part-*')) t
+             WHERE length(line) > 0)),
+         pts AS (
+           SELECT vec_id, CASE WHEN label % 2 = 0 THEN 1.0 ELSE -1.0 END AS y,
+                  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS px
+           FROM embeddings),
+         contrib AS (
+           SELECT pts.vec_id,
+             sv.coef * exp(-(SELECT gamma FROM prm) *
+               list_sum(list_transform(list_zip(sv.x, pts.px),
+                 z -> (z[1] - z[2]) * (z[1] - z[2])))) AS c
+           FROM pts, sv),
+         ksum AS (
+           SELECT vec_id, list_sum(array_agg(c ORDER BY c)) AS s
+           FROM contrib GROUP BY vec_id),
+         dec AS (
+           SELECT p.vec_id, p.y, COALESCE(k.s, 0.0) + -(SELECT rho FROM prm) AS d
+           FROM pts p LEFT JOIN ksum k ON p.vec_id = k.vec_id),
+         ${metricsTailSql(extraSelect)}"""
 }

@@ -54,15 +54,23 @@ object MlQueries {
   }
 
   /** m1: end-to-end binary kernel SVM — train on embeddings with ±1
-    * labels (label parity), score the training set, emit the confusion
-    * matrix + metrics (rows-only: iterative fit isn't SQL). */
+    * labels (label parity), persist the model, score the training set
+    * with the RELOADED model, emit the confusion matrix + metrics.
+    *
+    * The iterative fit itself isn't SQL, but the fitted model is just
+    * data — the query saves it under a fixed path and the DuckDB oracle
+    * replays φ(x) = Wᵀ[k(x,lᵢ)] and w·φ(x)+b from the very same files
+    * (the m10 technique), then recomputes the confusion matrix, so the
+    * whole predict+persist+eval half is hash-verified. */
   def svmBinaryEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val data = Tables.embeddings(spark, dir)
       .withColumn("y", when($"label" % 2 === 0, 1.0).otherwise(-1.0))
-    val model = KernelSvmTrainer.fit(data, "vec_id", "embedding", "y",
+    val fitted = KernelSvmTrainer.fit(data, "vec_id", "embedding", "y",
       KernelSvmParams(kernel = Kernel.Rbf(0.05), numLandmarks = 64,
-                      regParam = 1e-3, maxIter = 20, tol = 1e-4))
+                      regParam = 1e-3, maxIter = 10, tol = 1e-4))
+    fitted.save(spark, s"${ModelOracles.ModelRoot}/m1_nystrom")
+    val model = KernelSvmModel.load(spark, s"${ModelOracles.ModelRoot}/m1_nystrom")
     SvmEvaluator.evaluate(model.predict(data, "embedding"), "y")
   }
 
@@ -82,14 +90,17 @@ object MlQueries {
 
   /** m5: the exact-IPM training path end-to-end (reference ipm.cc):
     * Nyström features → SMW interior-point dual solve → primal recovery
-    * → confusion matrix. Rows-only. */
+    * → persist → reload → confusion matrix. Oracle-checked the same way
+    * as m1: DuckDB rescores every row from the saved model files. */
   def svmIpmEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val data = Tables.embeddings(spark, dir)
       .withColumn("y", when($"label" % 2 === 0, 1.0).otherwise(-1.0))
-    val model = KernelSvmTrainer.fitIpm(data, "vec_id", "embedding", "y",
+    val fitted = KernelSvmTrainer.fitIpm(data, "vec_id", "embedding", "y",
       KernelSvmParams(kernel = Kernel.Rbf(0.05), numLandmarks = 32, tol = 1e-4),
       c = 5.0, maxIter = 60)
+    fitted.save(spark, s"${ModelOracles.ModelRoot}/m5_ipm")
+    val model = KernelSvmModel.load(spark, s"${ModelOracles.ModelRoot}/m5_ipm")
     SvmEvaluator.evaluate(model.predict(data, "embedding"), "y")
   }
 
@@ -97,14 +108,20 @@ object MlQueries {
     * kernel → SMW-IPM dual solve → support-vector model scored with the
     * original kernel, over the FULL embeddings table (the early rounds
     * capped this at 500 vectors; the fused IPM passes pay for the full
-    * width). Rows-only. */
+    * width). The SV model round-trips through the psvm-style text format
+    * and the oracle replays every decision from the saved SV lines. */
   def svmIcfIpmEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val data = Tables.embeddings(spark, dir)
       .withColumn("yy", when($"label" % 2 === 0, 1.0).otherwise(-1.0))
-    val model = IcfSvmTrainer.fit(data, "vec_id", "embedding", "yy",
+    val fitted = IcfSvmTrainer.fit(data, "vec_id", "embedding", "yy",
       Kernel.Rbf(0.05), rank = 16, c = 5.0, maxIter = 40, tol = 1e-3)
-    SvmEvaluator.evaluate(model.predict(data, "vec_id", "embedding"), "yy")
+    fitted.saveText(spark, s"${ModelOracles.ModelRoot}/m6_icf")
+    fitted.unpersist()
+    val model = IcfSvmModel.loadText(spark, s"${ModelOracles.ModelRoot}/m6_icf")
+    // predictOrdered: value-sorted kernel-sum fold, so DuckDB replays the
+    // decisions bit-exactly from the saved text model
+    SvmEvaluator.evaluate(model.predictOrdered(data, "vec_id", "embedding"), "yy")
       .withColumn("n_support_vectors", lit(model.numSupportVectors))
   }
 
