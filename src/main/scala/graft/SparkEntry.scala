@@ -499,6 +499,50 @@ object SparkEntry {
     // the saved SV lines with the value-sorted sequential kernel sum.
     "m6_svm_icf_ipm_eval" -> svModelEvalSql("m6_icf",
       extraSelect = ", (SELECT CAST(count(*) AS BIGINT) FROM sv) AS n_support_vectors"),
+    // m3: OVR multiclass — replay φ(x) from the SHARED saved map, every
+    // per-class decision from the classifiers table, and the argmax
+    // (first maximal class wins, ascending order) per row.
+    "m3_svm_multiclass_eval" ->
+      """WITH lm AS (
+           SELECT array_agg(landmark ORDER BY idx) AS L
+           FROM read_parquet('/tmp/graft_models/m3_ovr/landmarks/*.parquet')),
+         pr AS (
+           SELECT array_agg(w_row ORDER BY idx) AS W
+           FROM read_parquet('/tmp/graft_models/m3_ovr/projection/*.parquet')),
+         pp AS (
+           SELECT gamma FROM read_parquet('/tmp/graft_models/m3_ovr/params/*.parquet')),
+         cls AS (
+           SELECT class, weights, intercept
+           FROM read_parquet('/tmp/graft_models/m3_ovr/classifiers/*.parquet')),
+         pts AS (
+           SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS px
+           FROM embeddings),
+         kx AS (
+           SELECT vec_id, label,
+             list_transform(lm.L, l -> exp(-pp.gamma *
+               list_sum(list_transform(list_zip(l, px), z -> (z[1] - z[2]) * (z[1] - z[2]))))) AS ks
+           FROM pts, lm, pp),
+         phi AS (
+           SELECT kx.vec_id, kx.label,
+             [list_sum([pr.W[i][j] * kx.ks[i] for i in range(1, len(kx.ks) + 1)])
+              for j in range(1, len(pr.W[1]) + 1)] AS f
+           FROM kx, pr),
+         dec AS (
+           SELECT phi.vec_id, phi.label, cls.class,
+             list_sum([cls.weights[j] * phi.f[j] for j in range(1, len(cls.weights) + 1)])
+               + cls.intercept AS d
+           FROM phi, cls),
+         pred AS (
+           SELECT vec_id, label,
+             (array_agg(class ORDER BY class))[
+               list_position(array_agg(d ORDER BY class),
+                             list_max(array_agg(d ORDER BY class)))] AS pc
+           FROM dec GROUP BY vec_id, label)
+         SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pc = CAST(label AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN pc = CAST(label AS DOUBLE) THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS class_accuracy
+         FROM pred GROUP BY label ORDER BY label""",
     // m4/m4b: the exact kernel is recomputed from the raw embeddings
     // (non-circular); ⟨h_i,h_j⟩ comes from the persisted ICF factor both
     // engines read, so a green row proves the factorization actually

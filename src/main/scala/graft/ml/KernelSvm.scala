@@ -90,6 +90,84 @@ object KernelSvmModel {
   }
 }
 
+/** M12: one-vs-rest multiclass kernel SVM — ONE shared Nyström feature
+  * map plus a (class → linear classifier) table. Sharing the map means
+  * scoring computes φ(x) once for all K classes (K·p extra flops per
+  * row instead of K feature maps), and the whole model persists as the
+  * usual landmarks/projection parquet plus one `classifiers` table.
+  *
+  * Prediction is argmax over the per-class decision values with the
+  * FIRST maximal class winning ties (classes are scored in ascending
+  * label order) — deterministic and exactly replayable by an external
+  * engine via first-position-of-max list ops. */
+final case class MulticlassKernelSvmModel(
+    featureMap: NystromMap,
+    classes: Array[Double],          // ascending class labels
+    weights: Array[Array[Double]],   // per class, aligned with `classes`
+    intercepts: Array[Double]) extends Serializable {
+
+  /** Adds `prediction_class` (the argmax class label) over `vecCol`. */
+  def predict(df: DataFrame, vecCol: String): DataFrame = {
+    val phi = Nystrom.transform(df, vecCol, featureMap, "__phi")
+    val decisions = array(classes.indices.map { k =>
+      graft.functions.GraftFunctions.dot_product(
+        col("__phi"), array(weights(k).map(lit): _*)) + lit(intercepts(k))
+    }: _*)
+    phi.withColumn("__ds", decisions)
+      .withColumn("prediction_class",
+        element_at(array(classes.map(lit): _*),
+          array_position(col("__ds"), array_max(col("__ds"))).cast("int")))
+      .drop("__phi", "__ds")
+  }
+
+  /** Persist: shared map like [[KernelSvmModel.save]] + a per-class
+    * classifier table. */
+  def save(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val k = featureMap.kernel match {
+      case Kernel.Linear => ("linear", 0.0, 0.0, 0)
+      case Kernel.Polynomial(g, c, d) => ("polynomial", g, c, d)
+      case Kernel.Rbf(g) => ("rbf", g, 0.0, 0)
+      case Kernel.Laplacian(g) => ("laplacian", g, 0.0, 0)
+    }
+    Seq((k._1, k._2, k._3, k._4))
+      .toDF("kernel", "gamma", "coef0", "degree")
+      .write.mode("overwrite").parquet(s"$path/params")
+    featureMap.landmarks.zipWithIndex.map { case (l, i) => (i, l.toSeq) }.toSeq
+      .toDF("idx", "landmark")
+      .write.mode("overwrite").parquet(s"$path/landmarks")
+    featureMap.w.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toSeq
+      .toDF("idx", "w_row")
+      .write.mode("overwrite").parquet(s"$path/projection")
+    classes.indices.map { i => (classes(i), weights(i).toSeq, intercepts(i)) }
+      .toDF("class", "weights", "intercept")
+      .write.mode("overwrite").parquet(s"$path/classifiers")
+  }
+}
+
+object MulticlassKernelSvmModel {
+  /** Reload a model dir written by [[MulticlassKernelSvmModel.save]]. */
+  def load(spark: SparkSession, path: String): MulticlassKernelSvmModel = {
+    val p = spark.read.parquet(s"$path/params").head()
+    val kernel = (p.getAs[String]("kernel") match {
+      case "linear" => Kernel.Linear
+      case "polynomial" => Kernel.Polynomial(p.getAs[Double]("gamma"),
+        p.getAs[Double]("coef0"), p.getAs[Int]("degree"))
+      case "rbf" => Kernel.Rbf(p.getAs[Double]("gamma"))
+      case "laplacian" => Kernel.Laplacian(p.getAs[Double]("gamma"))
+    }): Kernel
+    def rows(name: String): Array[Array[Double]] =
+      spark.read.parquet(s"$path/$name").orderBy("idx")
+        .collect().map(_.getSeq[Double](1).toArray)
+    val cls = spark.read.parquet(s"$path/classifiers").orderBy("class")
+      .collect()
+      .map(r => (r.getDouble(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    MulticlassKernelSvmModel(
+      NystromMap(rows("landmarks"), rows("projection"), kernel),
+      cls.map(_._1), cls.map(_._2), cls.map(_._3))
+  }
+}
+
 object KernelSvmTrainer {
 
   /** M8: fit a binary kernel SVM; labels in `labelCol` must be ±1. */
@@ -160,6 +238,46 @@ object KernelSvmTrainer {
       }.reduce { (a, b) => (a._1 + b._1, a._2 + b._2) }
     feats.unpersist()
     KernelSvmModel(map, w, if (free._2 > 0) free._1 / free._2 else 0.0)
+  }
+
+  /** M12 (model form): one-vs-rest multiclass with ONE shared Nyström
+    * map and per-class LinearSVC fits run concurrently (classes are
+    * independent). Unlike [[fitMulticlass]] this returns a persistable
+    * [[MulticlassKernelSvmModel]] whose scoring is deterministic. */
+  def fitMulticlassModel(df: DataFrame, idCol: String, vecCol: String,
+                         labelCol: String,
+                         params: KernelSvmParams = KernelSvmParams(),
+                         parallelism: Int = 8): MulticlassKernelSvmModel = {
+    val map = Nystrom.fit(df, idCol, vecCol, params.kernel, params.numLandmarks)
+    val n = df.count()
+    val parts = math.max(1, math.min(df.rdd.getNumPartitions, (n / 50000L).toInt + 1))
+    val feats = Nystrom.transform(df, vecCol, map, "__phi")
+      .withColumn("__features", array_to_vector(col("__phi")))
+      .withColumn("__cls", col(labelCol).cast("double"))
+      .coalesce(parts)
+      .persist()
+    val classes = feats.select(col("__cls")).distinct()
+      .collect().map(_.getDouble(0)).sorted   // bounded: one value per class
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, classes.length))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val fits = classes.map { k =>
+      scala.concurrent.Future {
+        val svc = new LinearSVC()
+          .setFeaturesCol("__features").setLabelCol("__label01")
+          .setRegParam(params.regParam).setMaxIter(params.maxIter)
+          .setTol(params.tol).setFitIntercept(true)
+        val m = svc.fit(feats.withColumn("__label01",
+          when(col("__cls") === k, 1.0).otherwise(0.0)))
+        (m.coefficients.toArray, m.intercept)
+      }
+    }
+    val models = fits.map(f =>
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+    pool.shutdown()
+    feats.unpersist()
+    MulticlassKernelSvmModel(map, classes, models.map(_._1), models.map(_._2))
   }
 
   /** M12: one-vs-rest multiclass on the Nyström features via MLlib. */

@@ -74,14 +74,22 @@ object MlQueries {
     SvmEvaluator.evaluate(model.predict(data, "embedding"), "y")
   }
 
-  /** m3: one-vs-rest multiclass over the 10 labels; per-class accuracy. */
+  /** m3: one-vs-rest multiclass over the 10 labels; per-class accuracy.
+    * The OVR model (shared Nyström map + per-class classifiers) persists
+    * under the fixed model root and the summary is computed from the
+    * RELOADED model's deterministic argmax scoring, so the DuckDB oracle
+    * replays every per-class decision and the argmax from the saved
+    * files — predict/persist/eval hash-verified like m1/m5/m6. */
   def svmMulticlassEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val data = Tables.embeddings(spark, dir)
-    val scored = KernelSvmTrainer.fitMulticlass(data, "vec_id", "embedding", "label",
+    val fitted = KernelSvmTrainer.fitMulticlassModel(data, "vec_id", "embedding", "label",
       KernelSvmParams(kernel = Kernel.Rbf(0.05), numLandmarks = 64,
                       regParam = 1e-3, maxIter = 10, tol = 1e-4))
-    scored.groupBy($"label")
+    fitted.save(spark, s"${ModelOracles.ModelRoot}/m3_ovr")
+    val model = MulticlassKernelSvmModel.load(spark, s"${ModelOracles.ModelRoot}/m3_ovr")
+    model.predict(data, "embedding")
+      .groupBy($"label")
       .agg(count(lit(1)).as("n"),
            sum(when($"prediction_class" === $"label".cast("double"), 1L).otherwise(0L)).as("n_correct"))
       .withColumn("class_accuracy", round($"n_correct" / $"n", 6))

@@ -115,6 +115,32 @@ class MlSpec extends SparkSpec {
     assert(accL === 1.0, "loaded model scores identically")
   }
 
+  test("multiclass OVR model save/load roundtrip scores identically; ties pick the first class") {
+    // 3 well-separated clusters, one per class
+    val rng = new scala.util.Random(11)
+    val pts = (0 until 90).map { i =>
+      val k = i % 3
+      val center = Array(4.0 * k, -4.0 * k, 2.0 * k)
+      (i.toLong, k.toDouble, center.map(_ + 0.2 * rng.nextGaussian()))
+    }
+    val df = pts.toDF("id", "cls", "vec")
+    val model = KernelSvmTrainer.fitMulticlassModel(df, "id", "vec", "cls",
+      KernelSvmParams(kernel = Kernel.Rbf(0.2), numLandmarks = 30,
+        regParam = 1e-3, maxIter = 20, tol = 1e-5), parallelism = 3)
+    val dir = java.nio.file.Files.createTempDirectory("ovr-model").toString
+    model.save(spark, dir)
+    val loaded = MulticlassKernelSvmModel.load(spark, dir)
+    assert(loaded.classes.toSeq == Seq(0.0, 1.0, 2.0))
+    val scored = loaded.predict(df, "vec")
+      .select($"cls", $"prediction_class").collect()
+    val acc = scored.count(r => r.getDouble(0) == r.getDouble(1)).toDouble / scored.length
+    assert(acc > 0.95, s"separated clusters should classify cleanly, got $acc")
+    // original and reloaded models agree row-for-row
+    val orig = model.predict(df, "vec").select($"id", $"prediction_class")
+    val back = loaded.predict(df, "vec").select($"id", $"prediction_class")
+    assert(orig.except(back).count() == 0 && back.except(orig).count() == 0)
+  }
+
   test("libsvm write/read roundtrip preserves labels and features") {
     val df = Seq((1.0, Array(1.5, 0.0, -2.0)), (-1.0, Array(0.0, 3.25, 0.0)))
       .toDF("y", "vec")
