@@ -56,6 +56,13 @@ object SparkEntry {
     "p6_knn_bruteforce"    -> (Knn.query _),
     "p7_ann_lsh"           -> (LshAnn.query _),
     "p7b_ann_ivf"          -> (graft.sim.IvfAnn.query _),
+    "p16_split"            -> ((s, d) => graft.pipeline.TrainingOps.splitQuery(s, d)),
+    "p17_pack"             -> ((s, d) => graft.pipeline.TrainingOps.packQuery(s, d)),
+    "p18_contamination"    -> ((s, d) => graft.pipeline.TrainingOps.contaminationQuery(s, d)),
+    "p19_chunks"           -> ((s, d) => graft.pipeline.TrainingOps.chunkQuery(s, d)),
+    "src1_csv_roundtrip"   -> (graft.sources.SourceRoundtrips.csvRoundtrip _),
+    "src2_json_roundtrip"  -> (graft.sources.SourceRoundtrips.jsonRoundtrip _),
+    "u6_upsert"            -> (graft.operators.ScaleOps.u6UpsertQuery _),
     "m1_svm_binary_eval"   -> (MlQueries.svmBinaryEval _),
     "m2_kernel_values"     -> (MlQueries.kernelValues _),
     "m3_svm_multiclass_eval" -> (MlQueries.svmMulticlassEval _),
@@ -750,7 +757,101 @@ object SparkEntry {
              FROM events) t1) t2
          GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
-  )
+  ) ++ trainingPipelineOracles
+
+  /** Oracles for the p16–p19 training-pipeline queries, the CSV/JSON
+    * source roundtrips, and the merge/upsert path. */
+  private def trainingPipelineOracles: Map[String, String] = Map(
+    // p16: replay the content-addressed hash split (first 32 bits of
+    // md5("split:"+id) mod 100) and the stratified report.
+    "p16_split" ->
+      """SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+         FROM (
+           SELECT source, n_chars,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           FROM (
+             SELECT source, n_chars,
+               CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+             FROM documents) t1) t2
+         GROUP BY source, split
+         ORDER BY source, split""",
+    // p17: concat-and-chunk sequence packing — exclusive running token
+    // count per source, div 512 assigns each doc its starting sequence.
+    "p17_pack" ->
+      """SELECT source, seq_idx, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM (
+           SELECT source, doc_id, n_tokens,
+             CAST(CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 512 AS BIGINT) AS seq_idx
+           FROM (
+             SELECT source, doc_id,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+             FROM documents) t1) t2
+         GROUP BY source, seq_idx
+         ORDER BY source, seq_idx""",
+    // p18: word-8-gram overlap between the training split and the
+    // benchmark set (doc_id % 37 == 0). The Spark side joins md5(gram)
+    // keys; this replay joins the gram strings themselves — identical
+    // output (the gate would catch any hash collision).
+    "p18_contamination" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+         grams AS (
+           SELECT doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+               for i in range(1, len(w) - 6)])) AS gram
+           FROM toks WHERE len(w) >= 8),
+         bench AS (SELECT doc_id AS bench_doc, gram FROM grams WHERE doc_id % 37 = 0),
+         train AS (SELECT doc_id AS train_doc, gram FROM grams WHERE doc_id % 37 != 0),
+         pairs AS (
+           SELECT train_doc, bench_doc, CAST(count(*) AS BIGINT) AS n_shared
+           FROM train JOIN bench USING (gram) GROUP BY 1, 2)
+         SELECT train_doc, bench_doc, n_shared
+         FROM pairs WHERE n_shared >= 3
+         ORDER BY train_doc, bench_doc""",
+    // p19: overlapping char chunks (size 200, stride 150) + content md5.
+    "p19_chunks" ->
+      """SELECT doc_id, CAST(chunk_start // 150 AS BIGINT) AS chunk_idx,
+           chunk_start, CAST(length(chunk) AS BIGINT) AS chunk_len,
+           md5(chunk) AS chunk_md5
+         FROM (
+           SELECT doc_id, chunk_start,
+             substring(text, CAST(chunk_start + 1 AS INT), 200) AS chunk
+           FROM (
+             SELECT doc_id, text, unnest(range(0, length(text), 150)) AS chunk_start
+             FROM documents WHERE doc_id < 100 AND length(text) > 0) t1) t2
+         ORDER BY doc_id, chunk_idx""",
+    // src1/src2: the roundtrip queries serialize orders through CSV/JSON
+    // and summarize the read-back rows; the oracle summarizes the
+    // parquet directly — any serialization loss mismatches.
+    "src1_csv_roundtrip" -> ordersSummarySql,
+    "src2_json_roundtrip" -> ordersSummarySql,
+    // u6: last-writer-wins merge of the deterministic update batch.
+    "u6_upsert" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+         FROM (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+           FROM (
+             SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version FROM orders
+             UNION ALL
+             SELECT o_orderkey, 'U' AS o_orderstatus,
+               o_totalprice + 100.0 AS o_totalprice, 2 AS version
+             FROM orders WHERE o_orderkey % 13 = 0) u) t
+         WHERE rn = 1
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""")
+
+  private val ordersSummarySql: String =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+       round(sum(o_totalprice), 2) AS sum_price,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
   /** Shared confusion-matrix + metrics tail over a `dec(y, d)` CTE —
     * the exact SQL mirror of [[graft.ml.SvmEvaluator.evaluate]]. */

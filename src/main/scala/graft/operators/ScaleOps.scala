@@ -163,6 +163,41 @@ object ScaleOps {
     * table: equality proves the layout rewrite is lossless (file
     * pruning via min/max stats is the scale win; the spec asserts the
     * plan shape). */
+  /** Last-writer-wins merge/upsert (the lakehouse MERGE INTO shape):
+    * base ∪ updates, keep the highest `versionCol` row per key. One
+    * keyed shuffle; at scale the window runs partition-local after the
+    * hash exchange on the key, and pairs naturally with [[writeBucketed]]
+    * output so repeated merge cycles skip the exchange entirely. */
+  def upsert(base: DataFrame, updates: DataFrame,
+             keyCols: Seq[String], versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc)
+    base.unionByName(updates)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** u6: driver query — apply a deterministic update batch (every 13th
+    * order re-statused and re-priced at version 2) onto the orders base
+    * (version 1) and summarize the merged state. */
+  def u6UpsertQuery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.orders(spark, dir)
+    val base = orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("version", lit(1L))
+    val updates = orders.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+              (col("o_totalprice") + lit(100.0)).as("o_totalprice"))
+      .withColumn("version", lit(2L))
+    upsert(base, updates, Seq("o_orderkey"), "version")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   def u3RangeLayoutQuery(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_range").toString
     writeRangeLayout(graft.Tables.events(spark, dir), "ts", 8, tmp)

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data pipeline operators beyond the dedup/quality pack:
+  * deterministic corpus splitting, sequence packing, benchmark
+  * decontamination, and document chunking. All four are pure column
+  * algebra / keyed shuffles — no driver-side state — and each driver
+  * query carries an exact DuckDB oracle.
+  */
+object TrainingOps {
+
+  /** Deterministic hash split: bucket = first 32 bits of
+    * md5("split:" + id) mod 100. Content-addressed (stable under
+    * re-partitioning, retries, and incremental reruns — the same row
+    * always lands in the same split) and exactly replayable in SQL,
+    * unlike `randomSplit`, which is seed- AND partitioning-dependent.
+    * At 100 TB this is a zero-shuffle map: the bucket is computed
+    * per-row from the key alone. */
+  def assignSplit(df: DataFrame, idCol: String,
+                  trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = conv(substring(md5(concat(lit("split:"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long") % 100
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** p16: stratified split report — per (source, split) doc counts and
+    * char mass over the 80/10/10 hash split. */
+  def splitQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = assignSplit(Tables.documents(spark, dir), "doc_id")
+    docs.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("n_chars_total"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  /** p17: sequence packing (concat-and-chunk): within each source,
+    * documents are concatenated in doc_id order and cut into fixed
+    * `seqLen`-token training sequences; a document belongs to the
+    * sequence where it STARTS (exclusive running token count div
+    * seqLen). Per-source packing keeps the running sum a partitioned
+    * window — no global ordering — so the operator parallelizes by
+    * source shard at scale. */
+  def packQuery(spark: SparkSession, dir: String, seqLen: Int = 512): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_idx", expr(s"cum_before div $seqLen"))
+      .groupBy(col("source"), col("seq_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("n_tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("seq_idx"))
+  }
+
+  /** p18: benchmark decontamination — flag training documents sharing
+    * ≥ `minShared` distinct lowercase word 8-grams with any benchmark
+    * document (here: doc_id % 37 == 0 plays the benchmark set). The
+    * join runs on md5(gram) — a bounded 128-bit key instead of raw
+    * text, which is what survives a 100 TB shuffle — and the distinct
+    * gram sets are deduped per document BEFORE the join so a repeated
+    * phrase can't inflate the overlap count. */
+  def contaminationQuery(spark: SparkSession, dir: String,
+                         n: Int = 8, minShared: Int = 3): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' '))"))
+        .as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+      .distinct()
+    val bench = grams.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").as("bench_doc"), col("gh"))
+    val train = grams.filter(col("doc_id") % 37 =!= 0)
+      .select(col("doc_id").as("train_doc"), col("gh"))
+    train.join(bench, "gh")
+      .groupBy(col("train_doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"))   // (doc, gh) deduped above
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("train_doc"), col("bench_doc"))
+  }
+
+  /** p19: overlapping character chunking (size 200, stride 150) with a
+    * content hash per chunk — the RAG/window-context shape. Bounded to
+    * doc_id < 100 so the driver check stays small; the operator itself
+    * is per-row column algebra (explode of a bounded sequence). */
+  def chunkQuery(spark: SparkSession, dir: String,
+                 size0: Int = 200, stride: Int = 150): DataFrame = {
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 100 && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), length(col("text")) - 1, lit(stride))).as("cs"))
+      .withColumn("chunk_start", col("cs").cast("long"))
+      .withColumn("chunk_idx", expr(s"chunk_start div $stride"))
+      .withColumn("chunk", col("text").substr(
+        (col("chunk_start") + 1).cast("int"), lit(size0)))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text source/sink coverage beyond parquet and libsvm: CSV and JSON
+  * write→read roundtrips over the orders table. Each query serializes
+  * a projection through the format and summarizes the read-back rows;
+  * the oracle computes the same summary straight from parquet, so any
+  * loss in quoting, header handling, schema application, or
+  * double formatting hash-mismatches. (Both formats use Java's
+  * shortest-round-trip double rendering, so numeric fidelity is exact.)
+  */
+object SourceRoundtrips {
+
+  private def ordersSlice(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice"), col("o_orderpriority"))
+
+  private def summarize(df: DataFrame): DataFrame =
+    df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           countDistinct(col("o_custkey")).as("n_custs"),
+           round(sum(col("o_totalprice")), 2).as("sum_price"),
+           min(col("o_orderkey")).as("min_key"),
+           max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Materialize the small summary eagerly, then delete the temp
+    * round-trip files so verify/bench reruns don't accumulate disk. */
+  private def materializeAndClean(spark: SparkSession, out: DataFrame,
+                                  tmp: String): DataFrame = {
+    val rows = out.collect()
+    val res = spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    graft.operators.ScaleOps.deleteRecursively(tmp)
+    res
+  }
+
+  /** src1: CSV (header + explicit schema on read). */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val o = ordersSlice(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    o.write.mode("overwrite").option("header", "true").csv(tmp)
+    val back = spark.read.schema(o.schema).option("header", "true").csv(tmp)
+    materializeAndClean(spark, summarize(back), tmp)
+  }
+
+  /** src2: JSON lines (schema-applied read). */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val o = ordersSlice(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    o.write.mode("overwrite").json(tmp)
+    val back = spark.read.schema(o.schema).json(tmp)
+    materializeAndClean(spark, summarize(back), tmp)
+  }
+}
