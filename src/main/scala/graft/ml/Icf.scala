@@ -60,13 +60,19 @@ object Icf {
     import graft.functions.VectorOps
     import org.apache.spark.sql.functions.col
 
-    val base = df
+    // Each of the p passes is a reduce + a map over these blocks; thin
+    // blocks pay per-task overhead p times over, so pack ~50k rows per
+    // block (wide inputs keep their parallelism).
+    val nRows = df.count()
+    val base0 = df
       .select(col(idCol).cast("long"), VectorOps.toDoubleArray(col(vecCol)))
       .rdd
       .map { r =>
         val x = r.getSeq[Double](1).toArray
         IcfRow(r.getLong(0), x, new Array[Double](rank), kernel(x, x))
       }
+    val base = base0.coalesce(
+      math.max(1, math.min(base0.getNumPartitions, (nRows / 50000L).toInt + 1)))
 
     // resume from the last completed column dump, if any
     val resume: Option[(Int, RDD[(Long, (Array[Double], Double))])] =

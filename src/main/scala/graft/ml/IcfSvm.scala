@@ -187,11 +187,15 @@ object IcfSvmTrainer {
     val spark = df.sparkSession
 
     val h = Icf.factorize(df, idCol, vecCol, kernel, rank)
+    // ~50k rows per block for the IPM passes (see KernelSvmTrainer.fitIpm)
+    val nRows = df.count()
+    val parts = math.max(1, math.min(df.rdd.getNumPartitions, (nRows / 50000L).toInt + 1))
     val joined = df
       .select(col(idCol).cast("long").as("__id"),
               VectorOps.toDoubleArray(col(vecCol)).as("__x"),
               col(labelCol).cast("double").as("__y"))
       .join(h.withColumnRenamed("id", "__id"), Seq("__id"))
+      .coalesce(parts)
       .persist()
 
     val (alphas, _, _) = Ipm.solve(joined, "__id", "__y", "icf_features", c,

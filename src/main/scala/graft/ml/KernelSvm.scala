@@ -206,7 +206,14 @@ object KernelSvmTrainer {
              params: KernelSvmParams = KernelSvmParams(),
              c: Double = 1.0, maxIter: Int = 60): KernelSvmModel = {
     val map = Nystrom.fit(df, idCol, vecCol, params.kernel, params.numLandmarks)
-    val feats = Nystrom.transform(df, vecCol, map, "__phi").persist()
+    // compact the block layout like [[fit]] does: the IPM loop runs ~3
+    // distributed passes per iteration, and per-task overhead dominates
+    // when blocks are thin — keep ~50k rows per block (wide data keeps
+    // its parallelism, toy data stops paying 32 empty tasks per pass)
+    val nIpm = df.count()
+    val partsIpm = math.max(1, math.min(df.rdd.getNumPartitions, (nIpm / 50000L).toInt + 1))
+    val feats = Nystrom.transform(df, vecCol, map, "__phi")
+      .coalesce(partsIpm).persist()
     val (alphas, _, _) = Ipm.solve(feats, idCol, labelCol, "__phi", c,
       maxIter = maxIter, tol = params.tol,
       posWeight = params.posWeight, negWeight = params.negWeight)

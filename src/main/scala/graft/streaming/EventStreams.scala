@@ -64,11 +64,21 @@ object EventStreams {
 
   private def runToMemory(out: DataFrame, mode: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
+    val spark = out.sparkSession
     val name = "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    out.sparkSession.table(name)
+    // stateful operators instantiate one state store per shuffle
+    // partition PER BATCH; on the bounded test streams the per-store
+    // fixed cost dominates, so run the engine with a narrower state
+    // layout (the keyed shuffle still parallelizes — on a real cluster
+    // this knob is sized to executor count, not left at the SQL default)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
   }
 
   /** s1: S1 through the streaming engine, hash-compared to the batch
