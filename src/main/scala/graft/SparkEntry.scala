@@ -63,6 +63,8 @@ object SparkEntry {
     "src1_csv_roundtrip"   -> (graft.sources.SourceRoundtrips.csvRoundtrip _),
     "src2_json_roundtrip"  -> (graft.sources.SourceRoundtrips.jsonRoundtrip _),
     "u6_upsert"            -> (graft.operators.ScaleOps.u6UpsertQuery _),
+    "u7_zorder_layout"     -> (graft.operators.ScaleOps.u7ZorderQuery _),
+    "s4_stream_join"       -> (graft.streaming.EventStreams.s4StreamJoin _),
     "m1_svm_binary_eval"   -> (MlQueries.svmBinaryEval _),
     "m2_kernel_values"     -> (MlQueries.kernelValues _),
     "m3_svm_multiclass_eval" -> (MlQueries.svmMulticlassEval _),
@@ -829,6 +831,26 @@ object SparkEntry {
     // parquet directly — any serialization loss mismatches.
     "src1_csv_roundtrip" -> ordersSummarySql,
     "src2_json_roundtrip" -> ordersSummarySql,
+    // s4: stream-stream attribution join through the real engine; the
+    // oracle is the batch join with the identical time-range predicate.
+    "s4_stream_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users,
+           round(sum(p.value), 2) AS sum_purchase_value
+         FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+         JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE""",
+    // u7: the z-ordered rewrite must be lossless — same two-dimensional
+    // slice over the raw table.
+    "u7_zorder_layout" ->
+      """SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+         FROM events
+         WHERE user_id BETWEEN 100 AND 300
+           AND ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03'
+         GROUP BY event_type
+         ORDER BY event_type""",
     // u6: last-writer-wins merge of the deterministic update batch.
     "u6_upsert" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,

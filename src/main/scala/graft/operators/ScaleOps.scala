@@ -163,6 +163,53 @@ object ScaleOps {
     * table: equality proves the layout rewrite is lossless (file
     * pruning via min/max stats is the scale win; the spec asserts the
     * plan shape). */
+  /** 16-bit Morton bit-spread (x → every other bit), pure column bit
+    * algebra so it stays inside whole-stage codegen. */
+  private def spread16(x: Column): Column = {
+    val m = x.bitwiseAND(lit(0xFFFFL))
+    val a = m.bitwiseOR(shiftleft(m, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) value over two dimensions' low 16 bits: rows close
+    * in BOTH dimensions get close z-values, so a range-partitioned,
+    * sorted layout on z clusters the file/row-group space for
+    * two-dimensional predicates — min/max stats then prune scans that
+    * filter either or both dimensions, where a single-column sort only
+    * serves its leading column. */
+  def zValue(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Rewrite `df` range-partitioned + sorted by z(a, b). */
+  def writeZorderLayout(df: DataFrame, colA: String, colB: String,
+                        partitions: Int, path: String): Unit =
+    df.withColumn("__z", zValue(col(colA), col(colB)))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /** u7: driver query — z-order events by (user_id, event-minute), then
+    * run a two-dimensional slice through the rewritten layout; the
+    * oracle runs the same slice on the raw table, so the rewrite is
+    * proven lossless while the layout clusters both predicate columns. */
+  def u7ZorderQuery(spark: SparkSession, dir: String): DataFrame = {
+    val events = graft.Tables.events(spark, dir)
+      .withColumn("__minute", (unix_millis(col("ts")) / lit(60000L)).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    writeZorderLayout(events, "user_id", "__minute", 8, tmp)
+    val out = spark.read.parquet(tmp)
+      .filter(col("user_id").between(100, 300) &&
+        col("ts") >= lit("2024-01-02").cast("timestamp") &&
+        col("ts") < lit("2024-01-03").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+    materializeThen(out)(deleteRecursively(tmp))
+  }
+
   /** Last-writer-wins merge/upsert (the lakehouse MERGE INTO shape):
     * base ∪ updates, keep the highest `versionCol` row per key. One
     * keyed shuffle; at scale the window runs partition-local after the

@@ -109,6 +109,33 @@ object EventStreams {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** S4: stream-stream inner join — clicks joined to purchases by the
+    * same user within 10 minutes AFTER the click. Both sides carry
+    * watermarks and the join condition bounds event time on both ends,
+    * so the engine can evict join state (the production shape for
+    * attribution joins); on the bounded test stream the emitted matches
+    * equal the batch join with the same time-range predicate, which is
+    * exactly what the oracle computes. */
+  def s4StreamJoin(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+    runToMemory(joined, "append")
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("user_id")).as("n_users"),
+           round(sum(col("value")), 2).as("sum_purchase_value"))
+  }
+
   /** s3: S3 through the streaming engine — dedup on event_id, then a
     * batch summary of the sink (oracle: DISTINCT over the table). */
   def s3StreamDedup(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =

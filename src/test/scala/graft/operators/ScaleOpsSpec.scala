@@ -40,6 +40,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted(1L) === 10000L)
   }
 
+  test("z-value interleaves bits and clusters both dimensions") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (0xFFFFL, 0xFFFFL))
+      .toDF("a", "b")
+      .select(ScaleOps.zValue($"a", $"b").as("z")).as[Long].collect()
+    // z(a,b): a occupies even bits, b odd bits
+    assert(rows.toSeq == Seq(0L, 1L, 2L, 15L, 0xFFFFFFFFL))
+    // locality: points close in BOTH dims have closer z than points far
+    // in one dim — (5,5) vs (6,6) nearer than (5,5) vs (5,60)
+    def z(a: Long, b: Long): Long =
+      Seq((a, b)).toDF("a", "b")
+        .select(ScaleOps.zValue($"a", $"b").as("z")).as[Long].head()
+    assert(math.abs(z(5, 5) - z(6, 6)) < math.abs(z(5, 5) - z(60, 5)))
+  }
+
   test("range layout prunes files for range predicates") {
     val dir = java.nio.file.Files.createTempDirectory("range").toString + "/data"
     val df = (1L to 10000L).map(i => (i, i % 97)).toDF("ts_key", "v")
