@@ -40,6 +40,7 @@ object SparkEntry {
     "q20_user_lag"         -> (Relational.q20UserLag _),
     "q21_approx_distinct"  -> (Relational.q21ApproxDistinct _),
     "q21b_exact_distinct"  -> (Relational.q21bExactDistinct _),
+    "q29_approx_percentiles" -> (Relational.q29ApproxPercentiles _),
     "p8_lang_id"           -> (TextAnalysis.langId _),
     "p9_quality"           -> (TextAnalysis.quality _),
     "p10_token_counts"     -> (TextAnalysis.tokenCounts _),

@@ -101,6 +101,38 @@ final case class IcfSvmModel(
       .withColumn("prediction", when(col("decision") >= 0, 1.0).otherwise(-1.0))
   }
 
+  /** [[predict]] in bounded SV batches — the path for the regime where
+    * BOTH the corpus and the SV set are huge (non-separable data makes
+    * nSV O(n)). One partitioned kernel-sum join is correct but builds a
+    * single O(n·nSV) stage; here the SV side is split into
+    * ⌈nSV/chunkSize⌉ hash-assigned chunks, each small enough to
+    * BROADCAST, and the per-chunk partial kernel sums add up to the same
+    * decision. Same total arithmetic, bounded memory per pass, no shuffle
+    * of the corpus at all — n·nSV work as a sequence of map-side joins.
+    * (Partial sums re-associate the float fold, so decisions can differ
+    * from [[predict]] in the last ulps — use [[predictOrdered]] when
+    * bit-stability matters more than throughput.) */
+  def predictChunked(df: DataFrame, idCol: String, vecCol: String,
+                     chunkSize: Long = 65536): DataFrame = {
+    val nChunks = math.max(1L, (numSupportVectors + chunkSize - 1) / chunkSize).toInt
+    val withChunk = svs.select(col("sv_x"), col("sv_coef"),
+      pmod(xxhash64(col("sv_x")), lit(nChunks)).as("__chunk"))
+    val pts = df.select(col(idCol).as("__pid"),
+      VectorOps.toDoubleArray(col(vecCol)).as("__px"))
+    val partials = (0 until nChunks).map { k =>
+      pts.crossJoin(broadcast(withChunk.filter(col("__chunk") === k)
+          .select(col("sv_x"), col("sv_coef"))))
+        .groupBy(col("__pid"))
+        .agg(sum(col("sv_coef") * kernel(col("sv_x"), col("__px"))).as("__pk"))
+    }
+    val scores = partials.reduce(_ unionByName _)
+      .groupBy(col("__pid")).agg(sum(col("__pk")).as("__ksum"))
+    df.join(scores, df(idCol) === scores("__pid"), "left")
+      .withColumn("decision", coalesce(col("__ksum"), lit(0.0)) + lit(bias))
+      .drop("__pid", "__ksum")
+      .withColumn("prediction", when(col("decision") >= 0, 1.0).otherwise(-1.0))
+  }
+
   /** [[predict]] with ORDER-DETERMINISTIC accumulation: per-SV
     * contributions are sorted by value before the sequential sum, so the
     * decision is bit-identical across partitionings and replayable by an

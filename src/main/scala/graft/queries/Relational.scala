@@ -392,6 +392,30 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** R28: approximate percentiles (the t-digest/GK-sketch class — what
+    * replaces q28's exact per-group sort at 100 TB). Sketches are
+    * engine-specific, so like q21 the query SELF-validates: it emits the
+    * approx and exact values side by side with the worst relative error
+    * and fails fast past the accuracy budget. */
+  def q29ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("ap50_price"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),
+        round(expr("approx_percentile(l_extendedprice, 0.95, 1000)"), 2).as("ap95_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"))
+      .withColumn("max_rel_error", round(greatest(
+        abs($"ap50_price" - $"p50_price") / $"p50_price",
+        abs($"ap95_price" - $"p95_price") / $"p95_price"), 6))
+      .orderBy($"l_returnflag")
+    val worst = out.agg(max($"max_rel_error")).head.getDouble(0)
+    require(worst <= 0.05,
+      s"approx_percentile worst rel_error $worst exceeds 5% at accuracy 1000")
+    out
+  }
+
   /** R26: DECIMAL money arithmetic — what a production engine ships for
     * currency instead of double+round. Inputs are 2-dp prices/discounts,
     * so the casts are exact; products carry scale 4 end-to-end (no

@@ -53,6 +53,30 @@ class IcfSvmSpec extends SparkSpec {
     }
   }
 
+  test("chunked SV scoring agrees with the single-join kernel sum") {
+    val rng = new scala.util.Random(31)
+    val pts = (0 until 70).map { i =>
+      val pos = i % 2 == 0
+      val cx = if (pos) 1.5 else -1.5
+      (i.toLong,
+       Array(cx + rng.nextGaussian() * 0.6, -cx + rng.nextGaussian() * 0.6),
+       if (pos) 1.0 else -1.0)
+    }
+    val df = pts.toDF("id", "vec", "y")
+    val model = IcfSvmTrainer.fit(df, "id", "vec", "y",
+      Kernel.Rbf(0.5), rank = 16, c = 5.0, maxIter = 40)
+    // chunkSize 8 forces many SV batches; partial sums must re-add to
+    // the same decisions up to float re-association
+    val single = model.predict(df, "id", "vec")
+      .select($"id", $"decision").as[(Long, Double)].collect().toMap
+    val chunked = model.predictChunked(df, "id", "vec", chunkSize = 8)
+      .select($"id", $"decision").as[(Long, Double)].collect().toMap
+    assert(single.keySet == chunked.keySet)
+    single.foreach { case (id, d) =>
+      assert(math.abs(d - chunked(id)) < 1e-9, s"id $id: $d vs ${chunked(id)}")
+    }
+  }
+
   test("per-class C weights shift the confusion matrix toward the rare class") {
     // 10:1 imbalanced overlapping blobs: unweighted C under-recalls the
     // rare positive class; boosting posWeight must raise tp (recall).
