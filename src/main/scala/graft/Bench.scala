@@ -57,7 +57,7 @@ object Bench {
       val sfName = new java.io.File(sfDir).getName
       s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
-    val out = Seq(2, 1, 0).map(line).find(_.length <= 1850).getOrElse(
+    val out = Seq(2, 1, 0).map(line).find(_.length <= 1900).getOrElse(
       s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":{},"sf":"${new java.io.File(sfDir).getName}"}""")
     println(out)
     spark.stop()

@@ -61,6 +61,7 @@ object SparkEntry {
     "p17_pack"             -> ((s, d) => graft.pipeline.TrainingOps.packQuery(s, d)),
     "p18_contamination"    -> ((s, d) => graft.pipeline.TrainingOps.contaminationQuery(s, d)),
     "p19_chunks"           -> ((s, d) => graft.pipeline.TrainingOps.chunkQuery(s, d)),
+    "p20_mixture"          -> (graft.pipeline.TrainingOps.mixtureQuery _),
     "src1_csv_roundtrip"   -> (graft.sources.SourceRoundtrips.csvRoundtrip _),
     "src2_json_roundtrip"  -> (graft.sources.SourceRoundtrips.jsonRoundtrip _),
     "u6_upsert"            -> (graft.operators.ScaleOps.u6UpsertQuery _),
@@ -815,6 +816,20 @@ object SparkEntry {
          SELECT train_doc, bench_doc, n_shared
          FROM pairs WHERE n_shared >= 3
          ORDER BY train_doc, bench_doc""",
+    // p20: mixture resampling — replay the per-source keep-rates over
+    // the same content-addressed hash (mod 1000) and summarize survivors.
+    "p20_mixture" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+         FROM (
+           SELECT source, n_chars,
+             CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS b
+           FROM documents) t
+         WHERE b < CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 250
+                               WHEN 'src2' THEN 100 WHEN 'src3' THEN 750
+                               ELSE 1000 END
+         GROUP BY source
+         ORDER BY source""",
     // p19: overlapping char chunks (size 200, stride 150) + content md5.
     "p19_chunks" ->
       """SELECT doc_id, CAST(chunk_start // 150 AS BIGINT) AS chunk_idx,

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -89,6 +89,33 @@ object TrainingOps {
       .agg(count(lit(1)).as("n_shared"))   // (doc, gh) deduped above
       .filter(col("n_shared") >= minShared)
       .orderBy(col("train_doc"), col("bench_doc"))
+  }
+
+  /** Deterministic mixture resampling: down-sample each source to a
+    * target keep-rate (per mille) with the same content-addressed hash
+    * as [[assignSplit]] — the way a training mix is rebalanced toward
+    * target source proportions. Zero-shuffle, stable under retries,
+    * and exactly replayable in SQL. Sources not in `keepPerMille` keep
+    * everything. */
+  def resampleMixture(df: DataFrame, idCol: String, sourceCol: String,
+                      keepPerMille: Map[String, Int]): DataFrame = {
+    val bucket = conv(substring(md5(concat(lit("mix:"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long") % 1000
+    val rate = keepPerMille.foldLeft(lit(1000): Column) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+
+  /** p20: mixture report — sources 0–3 down-sampled to 50%/25%/10%/75%,
+    * the rest kept whole; per-source surviving doc counts and char mass. */
+  def mixtureQuery(spark: SparkSession, dir: String): DataFrame = {
+    val kept = resampleMixture(Tables.documents(spark, dir), "doc_id", "source",
+      Map("src0" -> 500, "src1" -> 250, "src2" -> 100, "src3" -> 750))
+    kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("n_chars_total"))
+      .orderBy(col("source"))
   }
 
   /** p19: overlapping character chunking (size 200, stride 150) with a

@@ -410,10 +410,13 @@ object Relational {
         abs($"ap50_price" - $"p50_price") / $"p50_price",
         abs($"ap95_price" - $"p95_price") / $"p95_price"), 6))
       .orderBy($"l_returnflag")
-    val worst = out.agg(max($"max_rel_error")).head.getDouble(0)
+    // materialize ONCE: the gate below and the caller's action would
+    // otherwise each rerun the exact-percentile sorts (q21 pattern)
+    val rows = out.collect()
+    val worst = rows.map(_.getAs[Double]("max_rel_error")).max
     require(worst <= 0.05,
       s"approx_percentile worst rel_error $worst exceeds 5% at accuracy 1000")
-    out
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** R26: DECIMAL money arithmetic — what a production engine ships for

@@ -18,6 +18,19 @@ class TrainingOpsSpec extends SparkSpec {
     assert(x.except(y).count() == 0 && y.except(x).count() == 0)
   }
 
+  test("mixture resampling hits target rates, is stable, and keeps unlisted sources whole") {
+    val df = (0L until 4000L).map(i => (i, "s" + (i % 2))).toDF("id", "source")
+    val kept = TrainingOps.resampleMixture(df, "id", "source", Map("s0" -> 250))
+    val bySrc = kept.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("s1") == 2000L, "unlisted source must keep everything")
+    assert(math.abs(bySrc("s0") - 500.0) < 80, s"s0 should keep ~25%: $bySrc")
+    // resampling twice selects the same rows (content-addressed)
+    val again = TrainingOps.resampleMixture(df.repartition(7), "id", "source", Map("s0" -> 250))
+    assert(kept.select($"id").except(again.select($"id")).count() == 0)
+    assert(again.select($"id").except(kept.select($"id")).count() == 0)
+  }
+
   test("sequence packing: sequences fill in doc order and every doc starts in exactly one sequence") {
     val docs = (0L until 100L).map(i => ("s" + (i % 2), i, "tok " * ((i % 17 + 1) * 10).toInt))
       .toDF("source", "doc_id", "text")
