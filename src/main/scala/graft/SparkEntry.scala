@@ -67,6 +67,7 @@ object SparkEntry {
     "u6_upsert"            -> (graft.operators.ScaleOps.u6UpsertQuery _),
     "u7_zorder_layout"     -> (graft.operators.ScaleOps.u7ZorderQuery _),
     "s4_stream_join"       -> (graft.streaming.EventStreams.s4StreamJoin _),
+    "s5_stream_upsert"     -> (graft.streaming.EventStreams.s5StreamUpsert _),
     "m1_svm_binary_eval"   -> (MlQueries.svmBinaryEval _),
     "m2_kernel_values"     -> (MlQueries.kernelValues _),
     "m3_svm_multiclass_eval" -> (MlQueries.svmMulticlassEval _),
@@ -857,6 +858,28 @@ object SparkEntry {
          JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE""",
+    // s5: streaming CDC-apply — the final merged state must equal one
+    // global last-writer-wins merge of every event-derived update into
+    // the orders base (update-only; unmatched keys ignored).
+    "s5_stream_upsert" ->
+      """WITH upd AS (
+           SELECT (event_id % (SELECT count(*) FROM orders)) + 1 AS o_orderkey,
+                  value * 100 AS o_totalprice, epoch_ms(ts) AS v, event_id AS e
+           FROM events),
+         best AS (
+           SELECT o_orderkey, o_totalprice FROM (
+             SELECT o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC, e DESC) AS rn
+             FROM upd) t WHERE rn = 1),
+         merged AS (
+           SELECT o.o_orderkey,
+             COALESCE(b.o_totalprice, o.o_totalprice) AS price,
+             CASE WHEN b.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS upd_flag
+           FROM orders o LEFT JOIN best b ON o.o_orderkey = b.o_orderkey)
+         SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(price), 2) AS total_value,
+           CAST(sum(upd_flag) AS BIGINT) AS n_updated
+         FROM merged""",
     // u7: the z-ordered rewrite must be lossless — same two-dimensional
     // slice over the raw table.
     "u7_zorder_layout" ->

@@ -136,6 +136,59 @@ object EventStreams {
            round(sum(col("value")), 2).as("sum_purchase_value"))
   }
 
+  /** S5: streaming CDC-apply — a `foreachBatch` sink that MERGES each
+    * micro-batch into a persisted table version (the lakehouse
+    * streaming-merge pattern): events become keyed price updates,
+    * deduped per batch to the latest (event-time, event-id) writer and
+    * last-writer-wins-merged into the prior state version. The merge is
+    * associative, so the final state is identical however the engine
+    * splits batches; updates aimed at keys outside the base are
+    * ignored (insert semantics are u6's batch path). */
+  def s5StreamUpsert(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.Trigger
+    val ordersBase = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val nOrders = ordersBase.count()
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_stream_merge").toString
+    var stateVer = 0
+    ordersBase.withColumn("__v", lit(-1L)).withColumn("__e", lit(-1L))
+      .write.mode("overwrite").parquet(s"$stateRoot/state_0")
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("__v").desc, col("__e").desc)
+    val updatesStream = eventStream(spark, dir).select(
+      ((col("event_id") % nOrders) + 1).as("o_orderkey"),
+      (col("value") * 100).as("o_totalprice"),
+      unix_millis(col("ts")).as("__v"),
+      col("event_id").as("__e"))
+    val q = updatesStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = batch
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .drop("__rn")
+          .join(ordersBase.select(col("o_orderkey")), Seq("o_orderkey"), "left_semi")
+        val merged = spark.read.parquet(s"$stateRoot/state_$stateVer")
+          .unionByName(latest)
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .drop("__rn")
+        // write the NEXT version, never in place: the read above streams
+        // from the current version's files while this one materializes
+        merged.write.mode("overwrite").parquet(s"$stateRoot/state_${stateVer + 1}")
+        stateVer += 1
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fin = spark.read.parquet(s"$stateRoot/state_$stateVer")
+    val out = fin.agg(
+      count(lit(1)).as("n_orders"),
+      round(sum(col("o_totalprice")), 2).as("total_value"),
+      sum(when(col("__v") >= 0, 1L).otherwise(0L)).as("n_updated"))
+    val rows = out.collect()
+    val res = spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    graft.operators.ScaleOps.deleteRecursively(stateRoot)
+    res
+  }
+
   /** s3: S3 through the streaming engine — dedup on event_id, then a
     * batch summary of the sink (oracle: DISTINCT over the table). */
   def s3StreamDedup(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
