@@ -81,13 +81,34 @@ object EmbeddingDedup {
     else pairs
   }
 
-  /** p5b: the LSH-blocked production path over embeddings (rows-only —
-    * LSH recall at this corpus's low τ is approximate by design; the
-    * spec measures recall ≈ 1 on planted near-identical vectors). */
+  /** p5b: the LSH-blocked production path over embeddings. Rows-only —
+    * LSH recall at this corpus's low τ is approximate by design — so
+    * the query SELF-validates two ways: every pair row carries the
+    * MEASURED recall vs the exact all-pairs answer AND the recall the
+    * banding math predicts for these very cosines
+    * (E[1 − (1 − p(c)^planes)^tables], p(c) = 1 − arccos(c)/π), and it
+    * fails fast if the implementation underperforms its own theory —
+    * a silent bucketing/hashing regression can't pass as "rows > 0".
+    * (The spec separately pins recall ≈ 1 on planted near-identical
+    * vectors, the regime the defaults target.) */
   def queryLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    nearDupPairsLsh(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4,
+    val lsh = nearDupPairsLsh(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4,
         eager = true)
+    val exact = nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
+      .select($"id_a", $"id_b", $"cos_sim").localCheckpoint()
+    val nExact = exact.count()
+    val nFound = exact.join(lsh.select($"id_a", $"id_b"), Seq("id_a", "id_b"), "left_semi")
+      .count()
+    // collision probability of THESE pairs under the default banding
+    val expected = exact
+      .withColumn("p1", pow(lit(1.0) - acos($"cos_sim") / math.Pi, 6))
+      .agg(avg(lit(1.0) - pow(lit(1.0) - $"p1", 12))).head.getDouble(0)
+    val recall = if (nExact == 0) 1.0 else nFound.toDouble / nExact
+    require(recall >= 0.6 * expected,
+      f"p5b measured recall $recall%.3f < 60%% of banding-predicted $expected%.3f — LSH regressed")
+    lsh.withColumn("recall", lit(math.rint(recall * 1e6) / 1e6))
+      .withColumn("expected_recall", lit(math.rint(expected * 1e6) / 1e6))
       .orderBy($"id_a", $"id_b")
   }
 }
