@@ -50,15 +50,17 @@ object Bench {
     // tail of stdout, so values are rounded and the line is re-emitted
     // at coarser precision if the query set ever grows past the window.
     // Full per-query precision goes to stderr above and BENCH_HISTORY.md.
+    // Locale.ROOT: JSON needs dot decimals regardless of the JVM locale
+    def fmt(dp: Int, v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     def line(dp: Int): String = {
-      val qs = results.map { case (k, v) =>
-        "\"" + k + "\":" + s"%.${dp}f".format(v)
-      }.mkString("{", ",", "}")
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(dp, v) }
+        .mkString("{", ",", "}")
       val sfName = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(2, total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
     val out = Seq(2, 1, 0).map(line).find(_.length <= 1900).getOrElse(
-      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":{},"sf":"${new java.io.File(sfDir).getName}"}""")
+      s"""{"metric":"total","value":${fmt(2, total)},"unit":"sec","queries":{},"sf":"${new java.io.File(sfDir).getName}"}""")
     println(out)
     spark.stop()
   }

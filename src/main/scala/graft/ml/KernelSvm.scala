@@ -269,21 +269,27 @@ object KernelSvmTrainer {
       math.min(parallelism, classes.length))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val fits = classes.map { k =>
-      scala.concurrent.Future {
-        val svc = new LinearSVC()
-          .setFeaturesCol("__features").setLabelCol("__label01")
-          .setRegParam(params.regParam).setMaxIter(params.maxIter)
-          .setTol(params.tol).setFitIntercept(true)
-        val m = svc.fit(feats.withColumn("__label01",
-          when(col("__cls") === k, 1.0).otherwise(0.0)))
-        (m.coefficients.toArray, m.intercept)
+    // try/finally: a failed per-class fit must still shut the (non-
+    // daemon) pool down and release the cache, or the JVM never exits
+    val models =
+      try {
+        val fits = classes.map { k =>
+          scala.concurrent.Future {
+            val svc = new LinearSVC()
+              .setFeaturesCol("__features").setLabelCol("__label01")
+              .setRegParam(params.regParam).setMaxIter(params.maxIter)
+              .setTol(params.tol).setFitIntercept(true)
+            val m = svc.fit(feats.withColumn("__label01",
+              when(col("__cls") === k, 1.0).otherwise(0.0)))
+            (m.coefficients.toArray, m.intercept)
+          }
+        }
+        fits.map(f =>
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      } finally {
+        pool.shutdown()
+        feats.unpersist()
       }
-    }
-    val models = fits.map(f =>
-      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
-    pool.shutdown()
-    feats.unpersist()
     MulticlassKernelSvmModel(map, classes, models.map(_._1), models.map(_._2))
   }
 

@@ -54,7 +54,10 @@ object ScaleOps {
     * state be deleted immediately, so repeated bench/verify runs don't
     * accumulate disk or race on catalog names. Only for results that are
     * aggregates (a handful of rows) — never for row-scale outputs. */
-  private def materializeThen(df: DataFrame)(cleanup: => Unit): DataFrame = {
+  /** Eagerly materialize a SMALL result, then run `cleanup` (temp-dir
+    * deletion etc.); the returned LocalRelation no longer depends on the
+    * cleaned-up files. Shared by every roundtrip/self-validating query. */
+  private[graft] def materializeThen(df: DataFrame)(cleanup: => Unit): DataFrame = {
     val rows = df.collect()
     val out = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)

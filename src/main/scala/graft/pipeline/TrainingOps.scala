@@ -80,15 +80,21 @@ object TrainingOps {
         .as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("gh"))
       .distinct()
+      // both join sides branch off this relation — cache it or the
+      // shingle+hash+distinct pipeline executes twice
+      .persist()
     val bench = grams.filter(col("doc_id") % 37 === 0)
       .select(col("doc_id").as("bench_doc"), col("gh"))
     val train = grams.filter(col("doc_id") % 37 =!= 0)
       .select(col("doc_id").as("train_doc"), col("gh"))
-    train.join(bench, "gh")
+    val out = train.join(bench, "gh")
       .groupBy(col("train_doc"), col("bench_doc"))
       .agg(count(lit(1)).as("n_shared"))   // (doc, gh) deduped above
       .filter(col("n_shared") >= minShared)
       .orderBy(col("train_doc"), col("bench_doc"))
+      .localCheckpoint()                   // tiny pair list; frees the cache
+    grams.unpersist(false)
+    out
   }
 
   /** Deterministic mixture resampling: down-sample each source to a

@@ -31,12 +31,9 @@ object SourceRoundtrips {
   /** Materialize the small summary eagerly, then delete the temp
     * round-trip files so verify/bench reruns don't accumulate disk. */
   private def materializeAndClean(spark: SparkSession, out: DataFrame,
-                                  tmp: String): DataFrame = {
-    val rows = out.collect()
-    val res = spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-    graft.operators.ScaleOps.deleteRecursively(tmp)
-    res
-  }
+                                  tmp: String): DataFrame =
+    graft.operators.ScaleOps.materializeThen(out)(
+      graft.operators.ScaleOps.deleteRecursively(tmp))
 
   /** src1: CSV (header + explicit schema on read). */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {

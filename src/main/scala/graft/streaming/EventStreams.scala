@@ -183,10 +183,8 @@ object EventStreams {
       count(lit(1)).as("n_orders"),
       round(sum(col("o_totalprice")), 2).as("total_value"),
       sum(when(col("__v") >= 0, 1L).otherwise(0L)).as("n_updated"))
-    val rows = out.collect()
-    val res = spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-    graft.operators.ScaleOps.deleteRecursively(stateRoot)
-    res
+    graft.operators.ScaleOps.materializeThen(out)(
+      graft.operators.ScaleOps.deleteRecursively(stateRoot))
   }
 
   /** s3: S3 through the streaming engine — dedup on event_id, then a

@@ -31,23 +31,24 @@ class TrainingOpsSpec extends SparkSpec {
     assert(again.select($"id").except(kept.select($"id")).count() == 0)
   }
 
-  test("sequence packing: sequences fill in doc order and every doc starts in exactly one sequence") {
-    val docs = (0L until 100L).map(i => ("s" + (i % 2), i, "tok " * ((i % 17 + 1) * 10).toInt))
-      .toDF("source", "doc_id", "text")
-    val toks = docs.select($"source", $"doc_id",
-      size(split($"text", "\\s+")).cast("long").as("n_tokens"))
-    val packed = toks
-      .withColumn("cum_before", coalesce(sum($"n_tokens").over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"source")
-          .orderBy($"doc_id").rowsBetween(Long.MinValue, -1)), lit(0L)))
-      .withColumn("seq_idx", expr("cum_before div 512"))
-    // every doc assigned exactly once, and seq_idx is monotone in doc_id per source
-    assert(packed.count() == 100)
-    val rows = packed.orderBy($"source", $"doc_id")
-      .select($"source", $"seq_idx").as[(String, Long)].collect()
-    rows.groupBy(_._1).values.foreach { g =>
-      assert(g.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
-    }
+  test("sequence packing assigns every doc to the sequence where it starts") {
+    // 10 docs per source, each exactly 100 tokens ("tok " x 100, trailing
+    // space => split yields 101 elements; use 99 repeats + 1 = 100)
+    val docs = (0L until 20L).map { i =>
+      (i, ("tok " * 99) + "end", "en", "s" + (i % 2), 400L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pack").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TrainingOps.packQuery(spark, tmp, seqLen = 250)
+      .select($"source", $"seq_idx", $"n_docs", $"n_tokens")
+      .as[(String, Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    graft.operators.ScaleOps.deleteRecursively(tmp)
+    // per source: 10 docs x 100 tokens, seqLen 250 -> doc starts at
+    // cum 0,100,200,...,900 -> seq_idx 0,0,0,1,1,2,2,2,3,3
+    val expected = Seq(
+      ("s0", 0L, 3L, 300L), ("s0", 1L, 2L, 200L), ("s0", 2L, 3L, 300L), ("s0", 3L, 2L, 200L),
+      ("s1", 0L, 3L, 300L), ("s1", 1L, 2L, 200L), ("s1", 2L, 3L, 300L), ("s1", 3L, 2L, 200L))
+    assert(out.toSeq == expected, out.mkString(","))
   }
 
   test("contamination flags a planted copy and ignores disjoint docs") {
