@@ -41,6 +41,8 @@ object SparkEntry {
     "q21_approx_distinct"  -> (Relational.q21ApproxDistinct _),
     "q21b_exact_distinct"  -> (Relational.q21bExactDistinct _),
     "q29_approx_percentiles" -> (Relational.q29ApproxPercentiles _),
+    "q30_json_props"       -> (Relational.q30JsonProps _),
+    "q31_full_outer"       -> (Relational.q31FullOuter _),
     "p8_lang_id"           -> (TextAnalysis.langId _),
     "p9_quality"           -> (TextAnalysis.quality _),
     "p10_token_counts"     -> (TextAnalysis.tokenCounts _),
@@ -348,6 +350,27 @@ object SparkEntry {
          FROM lineitem
          GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+    "q30_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+         CAST(sum(k) AS BIGINT) AS sum_k,
+         round(avg(k), 6) AS avg_k,
+         min(k) AS min_k, max(k) AS max_k
+         FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events) t
+         GROUP BY event_type
+         ORDER BY event_type""",
+    "q31_full_outer" ->
+      """SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+         COALESCE(c.n_cust, 0) AS n_cust,
+         COALESCE(s.n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust
+               FROM customer WHERE c_custkey < 200 GROUP BY c_nationkey) c
+         FULL OUTER JOIN
+              (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_supp
+               FROM supplier WHERE s_suppkey < 50 GROUP BY s_nationkey) s
+           ON c.c_nationkey = s.s_nationkey
+         ORDER BY nationkey""",
     "m7_libsvm_roundtrip" ->
       """SELECT CAST(label AS DOUBLE) AS label, count(*) AS n_rows,
          round(sum(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6)

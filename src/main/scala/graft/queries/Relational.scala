@@ -419,6 +419,39 @@ object Relational {
     res
   }
 
+  /** R29: semi-structured extraction — parse the JSON `props` column and
+    * aggregate an extracted field. Scale: get_json_object is a per-row
+    * codegen'd projection over the scan; no shuffle beyond the 5-group
+    * aggregate. */
+  def q30JsonProps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum($"k").as("sum_k"),
+           round(avg($"k"), 6).as("avg_k"),
+           min($"k").as("min_k"),
+           max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  /** R30: FULL OUTER join — per-nation customer and supplier presence
+    * with both-side nulls exercised (each side is sliced so some nations
+    * appear on only one side). */
+  def q31FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).filter($"c_custkey" < 200)
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, dir).filter($"s_suppkey" < 50)
+      .groupBy($"s_nationkey").agg(count(lit(1)).as("n_supp"))
+    c.join(s, $"c_nationkey" === $"s_nationkey", "full_outer")
+      .select(coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+              coalesce($"n_cust", lit(0L)).as("n_cust"),
+              coalesce($"n_supp", lit(0L)).as("n_supp"))
+      .orderBy($"nationkey")
+  }
+
   /** R26: DECIMAL money arithmetic — what a production engine ships for
     * currency instead of double+round. Inputs are 2-dp prices/discounts,
     * so the casts are exact; products carry scale 4 end-to-end (no
