@@ -75,6 +75,7 @@ object SparkEntry {
     "m3_svm_multiclass_eval" -> (MlQueries.svmMulticlassEval _),
     "m4_icf_factor"        -> (graft.ml.ModelOracles.m4IcfFactor _),
     "m4b_icf_residuals"    -> (graft.ml.ModelOracles.m4bIcfResiduals _),
+    "m4c_icf_autorank"     -> (graft.ml.ModelOracles.m4cIcfAutoRank _),
     "m8_model_score"       -> (graft.ml.ModelOracles.m8ModelScore _),
     "m9_model_eval"        -> (graft.ml.ModelOracles.m9ModelEval _),
     "m10_nystrom_score"    -> (graft.ml.ModelOracles.m10NystromScore _),
@@ -600,6 +601,20 @@ object SparkEntry {
          SELECT id_a, id_b, round(ke, 6) AS k_exact, round(ki, 6) AS k_icf,
                 round(abs(ke - ki), 6) AS abs_err
          FROM g ORDER BY id_a, id_b""",
+    "m4c_icf_autorank" ->
+      """WITH h AS (
+           SELECT id, icf_features
+           FROM read_parquet('/tmp/graft_models/m4c_icf_auto/*.parquet')),
+         r AS (
+           SELECT id, CAST(len(icf_features) AS BIGINT) AS rank,
+             1.0 - list_sum(list_transform(list_zip(icf_features, icf_features),
+               z -> z[1] * z[2])) AS res
+           FROM h)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                max(rank) AS chosen_rank,
+                round(max(res), 6) AS max_diag_residual,
+                round(list_sum(array_agg(res ORDER BY id)), 6) AS trace_residual
+         FROM r""",
     "m4b_icf_residuals" ->
       """WITH h AS (
            SELECT id, icf_features

@@ -84,6 +84,34 @@ object ModelOracles {
       spark.read.parquet(s"$ModelRoot/m4_icf_h")
     })
 
+  /** m4c: the `rank_ratio` auto-rank path (psvm's flag: p = ⌈ratio·n⌉
+    * capped, with residual early stop) made driver-visible — the chosen
+    * rank and the whole-factor residuals, graded from the PERSISTED
+    * factor exactly like m4b, so the early-stop logic itself is under
+    * the oracle. */
+  def m4cIcfAutoRank(spark: SparkSession, dir: String): DataFrame = {
+    val h = icfFactors.computeIfAbsent(dir + "#auto", _ => {
+      Icf.factorizeAuto(
+          Tables.embeddings(spark, dir).filter(col("vec_id") < 200),
+          "vec_id", "embedding", Kernel.Rbf(0.05),
+          rankRatio = 0.08, maxRank = 12, residualTol = 1e-6)
+        .write.mode("overwrite").parquet(s"$ModelRoot/m4c_icf_auto")
+      spark.read.parquet(s"$ModelRoot/m4c_icf_auto")
+    })
+    val r = h.select(col("id"),
+      org.apache.spark.sql.functions.size(col("icf_features")).cast("long").as("rank"),
+      (lit(1.0) - graft.functions.GraftFunctions.dot_product(
+        col("icf_features"), col("icf_features"))).as("res"))
+    r.agg(
+        count(lit(1)).as("n_rows"),
+        max(col("rank")).as("chosen_rank"),
+        round(max(col("res")), 6).as("max_diag_residual"),
+        round(aggregate(
+          transform(sort_array(collect_list(struct(col("id"), col("res")))),
+            s => s.getField("res")),
+          lit(0.0), (acc, x) => acc + x), 6).as("trace_residual"))
+  }
+
   /** m8: per-row decision values of the text-round-tripped ICF-SVM model
     * on the held-out slice (M9 predict + M10 save/load). */
   def m8ModelScore(spark: SparkSession, dir: String): DataFrame = {
