@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // see Verify.scala: the codegen class cache (static conf, default
+      // 100) must hold the whole query pack or evicted stages recompile
+      // per task through janino — a 30-90x tax on later queries
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: touch each table + force codegen/JIT of the common
@@ -59,8 +63,26 @@ object Bench {
       val sfName = new java.io.File(sfDir).getName
       s"""{"metric":"total","value":${fmt(2, total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
-    val out = Seq(2, 1, 0).map(line).find(_.length <= 1900).getOrElse(
-      s"""{"metric":"total","value":${fmt(2, total)},"unit":"sec","queries":{},"sf":"${new java.io.File(sfDir).getName}"}""")
+    // If even dp=0 overflows the tail window, emit the SLOWEST queries
+    // that fit (the informative ones) plus an omission count, rather
+    // than an empty map.
+    def truncatedLine(): String = {
+      val sfName = new java.io.File(sfDir).getName
+      val suffix = s"""},"sf":"$sfName"}"""
+      val prefix =
+        s"""{"metric":"total","value":${fmt(2, total)},"unit":"sec","n_queries":${results.length},"queries":{"""
+      val budget = 1900 - prefix.length - suffix.length
+      val entries = results.sortBy(-_._2)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(1, v) }
+      val sb = new StringBuilder
+      var used = 0
+      entries.foreach { e =>
+        val add = e.length + (if (used > 0) 1 else 0)
+        if (sb.length + add <= budget) { if (used > 0) sb.append(','); sb.append(e); used += 1 }
+      }
+      prefix + sb.toString + suffix
+    }
+    val out = Seq(2, 1, 0).map(line).find(_.length <= 1900).getOrElse(truncatedLine())
     println(out)
     spark.stop()
   }

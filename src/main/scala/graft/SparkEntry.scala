@@ -43,6 +43,18 @@ object SparkEntry {
     "q29_approx_percentiles" -> (Relational.q29ApproxPercentiles _),
     "q30_json_props"       -> (Relational.q30JsonProps _),
     "q31_full_outer"       -> (Relational.q31FullOuter _),
+    "q32_funnel"           -> (graft.queries.Analytics.q32Funnel _),
+    "q33_retention"        -> (graft.queries.Analytics.q33Retention _),
+    "q34_sliding_windows"  -> (graft.queries.Analytics.q34SlidingWindows _),
+    "q35_histogram"        -> (graft.queries.Analytics.q35Histogram _),
+    "q36_corr_stats"       -> (graft.queries.Analytics.q36CorrStats _),
+    "p21_pii_redaction"    -> (graft.pipeline.CleaningOps.piiRedactionQuery _),
+    "p22_repetition"       -> ((s, d) => graft.pipeline.CleaningOps.repetitionQuery(s, d)),
+    "p23_boilerplate"      -> ((s, d) => graft.pipeline.CleaningOps.boilerplateQuery(s, d)),
+    "p24_stratified_sample" -> ((s, d) => graft.pipeline.CleaningOps.stratifiedSampleQuery(s, d)),
+    "u8_partition_prune"   -> (graft.operators.ScaleOps.u8PartitionPruneQuery _),
+    "m11_platt_probs"      -> (graft.ml.ModelOracles.m11PlattProbs _),
+    "m12_cv_grid"          -> ((s, d) => graft.ml.CrossVal.cvGridQuery(s, d)),
     "p8_lang_id"           -> (TextAnalysis.langId _),
     "p9_quality"           -> (TextAnalysis.quality _),
     "p10_token_counts"     -> (TextAnalysis.tokenCounts _),
@@ -800,7 +812,205 @@ object SparkEntry {
              FROM events) t1) t2
          GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
-  ) ++ trainingPipelineOracles
+  ) ++ trainingPipelineOracles ++ analyticsAndCleaningOracles
+
+  /** Oracles for the round-4 behavioral-analytics pack (q32–q36), the
+    * corpus-cleaning pack (p21–p24), the partitioned-layout utility
+    * (u8), and Platt calibration (m11). m12_cv_grid is rows-only by
+    * design (iterative fits) and self-validates in-query. */
+  private def analyticsAndCleaningOracles: Map[String, String] = Map(
+    // q32: ordered funnel — each stage's first-hit must strictly follow
+    // the previous stage's. The latency average is computed from exact
+    // integer microsecond sums so both engines divide identical doubles.
+    "q32_funnel" ->
+      """WITH s AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+         c AS (
+           SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s ON e.user_id = s.user_id
+           WHERE e.event_type = 'click' AND e.ts > s.t1 GROUP BY e.user_id),
+         p AS (
+           SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+         SELECT CAST(count(*) AS BIGINT) AS n_signup,
+           CAST(count(t2) AS BIGINT) AS n_signup_click,
+           CAST(count(t3) AS BIGINT) AS n_full_funnel,
+           round(CAST(sum(epoch_us(t3) - epoch_us(t1)) AS DOUBLE)
+                 / count(t3) / 1000000.0, 4) AS avg_secs_to_purchase
+         FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+    // q33: weekly retention cohorts (both engines truncate weeks to
+    // Monday; offsets are exact day diffs div 7 between week starts).
+    "q33_retention" ->
+      """WITH wk AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+         fw AS (SELECT user_id, min(wk) AS cohort_week FROM wk GROUP BY user_id)
+         SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, wk) // 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+         FROM wk JOIN fw USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q34: sliding windows — every event belongs to exactly the 4
+    // epoch-aligned 15-min-slide windows that cover it, replayed here by
+    // integer arithmetic on microsecond epochs.
+    "q34_sliding_windows" ->
+      """SELECT make_timestamp(
+             ((epoch_us(ts) // 1000000 // 900) * 900 - 900 * g.g) * 1000000)
+             AS window_start,
+           event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+         FROM events, (SELECT unnest(generate_series(0, 3)) AS g) g
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q35: fixed-width histogram with clamped top bin.
+    "q35_histogram" ->
+      """SELECT bin, bin * 25000.0 AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+         FROM (
+           SELECT o_totalprice,
+             least(CAST(floor(o_totalprice / 25000.0) AS BIGINT), 19) AS bin
+           FROM orders) t
+         GROUP BY bin ORDER BY bin""",
+    // q36: co-moment statistics; both engines use single-pass partial
+    // moments, rounded to 6 so merge-order ulps can't flip a digit.
+    "q36_corr_stats" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(stddev_samp(value), 6) AS sd_value,
+           round(var_samp(value), 6) AS var_value,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS cov_value_uid,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_uid
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // p21: replay the planted PII and the redaction chain (patterns are
+    // in the shared Java-regex/RE2 subset so both engines match
+    // identically); md5 of the redacted text is fully discriminating.
+    "p21_pii_redaction" ->
+      """WITH raw AS (
+           SELECT doc_id,
+             substring(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@mail.example.com or call +1-555-'
+             || lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR), 4, '0')
+             || ' at https://site' || CAST(doc_id % 7 AS VARCHAR)
+             || '.example.com/p/' || CAST(doc_id AS VARCHAR) || ' end' AS raw
+           FROM documents),
+         red AS (
+           SELECT doc_id, raw,
+             regexp_replace(regexp_replace(regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+               'https?://[A-Za-z0-9./_-]+', '<URL>', 'g') AS redacted
+           FROM raw)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(raw, 'https?://[A-Za-z0-9./_-]+')) AS BIGINT) AS n_urls,
+           CAST(length(redacted) AS BIGINT) AS redacted_len,
+           md5(redacted) AS redacted_md5
+         FROM red ORDER BY doc_id""",
+    // p22: Gopher-style repetition metrics (docs with <2 words excluded
+    // on both sides — the n−1 denominator would be 0).
+    "p22_repetition" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+         w2 AS (SELECT * FROM w WHERE len(w) >= 2),
+         stats AS (
+           SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+           FROM w2),
+         bg AS (
+           SELECT doc_id,
+             unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS bg
+           FROM w2),
+         top AS (
+           SELECT doc_id, max(c) AS top_n FROM (
+             SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg) t
+           GROUP BY doc_id)
+         SELECT s.doc_id, s.n_words,
+           round(1.0 - s.n_distinct / s.n_words, 6) AS dup_word_frac,
+           round(COALESCE(top.top_n, 0) / (s.n_words - 1), 6) AS top_bigram_frac,
+           (COALESCE(top.top_n, 0) / (s.n_words - 1)) < 0.2 AS keep
+         FROM stats s LEFT JOIN top USING (doc_id)
+         ORDER BY s.doc_id""",
+    // p23: cross-document boilerplate — per-doc-distinct 3-grams counted
+    // per source; Spark joins md5 keys, this replay joins the gram
+    // strings (the gate would catch any hash collision).
+    "p23_boilerplate" ->
+      """WITH w AS (
+           SELECT source, doc_id, string_split_regex(lower(text), '\s+') AS w
+           FROM documents),
+         g AS (
+           SELECT source, doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+               for i in range(1, len(w) - 1)])) AS gram
+           FROM w WHERE len(w) >= 3),
+         c AS (
+           SELECT source, gram, CAST(count(*) AS BIGINT) AS n_docs_with
+           FROM g GROUP BY source, gram)
+         SELECT g.source, g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN c.n_docs_with >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           round(sum(CASE WHEN c.n_docs_with >= 8 THEN 1 ELSE 0 END) / count(*), 6)
+             AS boiler_frac
+         FROM g JOIN c USING (source, gram)
+         GROUP BY g.source, g.doc_id
+         ORDER BY g.source, g.doc_id""",
+    // p24: deterministic stratified sample — replay the content hash.
+    "p24_stratified_sample" ->
+      """SELECT source, doc_id, sample_rank FROM (
+           SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS sample_rank
+           FROM documents) t
+         WHERE sample_rank <= 5
+         ORDER BY source, sample_rank""",
+    // u8: the date-partitioned rewrite + pruned read must be lossless —
+    // same 3-day aggregate over the raw table.
+    "u8_partition_prune" ->
+      """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+         FROM events
+         WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // m11: replay decisions from the saved SV text model (the m8 CTE)
+    // and probabilities from the saved Platt (A, B) parquet.
+    "m11_platt_probs" ->
+      """WITH prm AS (
+           SELECT CAST(regexp_extract(content, 'gamma ([^\n]+)', 1) AS DOUBLE) AS gamma,
+                  CAST(regexp_extract(content, 'rho ([^\n]+)', 1) AS DOUBLE) AS rho
+           FROM read_text('/tmp/graft_models/m8_icf/header/part-*')),
+         sv AS (
+           SELECT CAST(p[1] AS DOUBLE) AS coef,
+                  list_transform(p[2:], t -> CAST(string_split(t, ':')[2] AS DOUBLE)) AS x
+           FROM (
+             SELECT string_split(line, ' ') AS p FROM (
+               SELECT unnest(string_split(content, chr(10))) AS line
+               FROM read_text('/tmp/graft_models/m8_icf/sv/part-*')) t
+             WHERE length(line) > 0)),
+         pts AS (
+           SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS px
+           FROM embeddings WHERE vec_id >= 300 AND vec_id < 400),
+         contrib AS (
+           SELECT pts.vec_id,
+             sv.coef * exp(-(SELECT gamma FROM prm) *
+               list_sum(list_transform(list_zip(sv.x, pts.px),
+                 z -> (z[1] - z[2]) * (z[1] - z[2])))) AS c
+           FROM pts, sv),
+         ksum AS (
+           SELECT vec_id, list_sum(array_agg(c ORDER BY c)) AS s
+           FROM contrib GROUP BY vec_id),
+         dec AS (
+           SELECT p.vec_id, COALESCE(k.s, 0.0) + -(SELECT rho FROM prm) AS d
+           FROM pts p LEFT JOIN ksum k ON p.vec_id = k.vec_id),
+         pl AS (SELECT a, b FROM read_parquet('/tmp/graft_models/m11_platt/*.parquet'))
+         SELECT vec_id, round(d, 6) AS decision,
+           round(1.0 / (1.0 + exp(d * pl.a + pl.b)), 6) AS prob_pos,
+           CASE WHEN 1.0 / (1.0 + exp(d * pl.a + pl.b)) >= 0.5
+                THEN 1.0 ELSE -1.0 END AS prediction
+         FROM dec, pl ORDER BY vec_id""")
 
   /** Oracles for the p16–p19 training-pipeline queries, the CSV/JSON
     * source roundtrips, and the merge/upsert path. */

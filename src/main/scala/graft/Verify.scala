@@ -16,6 +16,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf, default 100: the ML queries embed fitted weights as
+      // literals, so each generates UNIQUE whole-stage sources that flood
+      // the compiled-class cache; once it thrashes, every later task
+      // recompiles its stage via janino at seconds per task (observed
+      // 30-90x slowdowns on the cleaning queries). One line buys it back.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

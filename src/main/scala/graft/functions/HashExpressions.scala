@@ -133,6 +133,30 @@ object HashUtil {
     sortedDistinct(out, wins)
   }
 
+  /** Like [[tokenShingleHashes]] but keeps every occurrence in document
+    * order (NO distinct): the counting twin for repetition metrics,
+    * where duplicate shingles are the signal, not noise. */
+  def tokenShingleHashSeq(text: UTF8String, k: Int): Array[Long] = {
+    val toks = text.toString.split("\\s+", -1)
+    val wins = math.max(toks.length - k + 1, 1)
+    val out = new Array[Long](wins)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < wins) {
+      sb.setLength(0)
+      val end = math.min(i + k, toks.length)
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 42L)
+      i += 1
+    }
+    out
+  }
+
   /** |A ∩ B| for two sorted distinct long arrays — linear merge walk.
     * Null slots (possible only for untrusted SQL input — the fused set
     * builders emit containsNull=false) are skipped, not counted. */
@@ -296,6 +320,19 @@ case class TokenShingleHashes(child: Expression, k: Int) extends TextToHashSet {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `token_shingle_hash_seq(text, k)` — every k-token shingle hash in
+  * document order (counting twin of [[TokenShingleHashes]]). */
+case class TokenShingleHashSeq(child: Expression, k: Int) extends TextToHashSet {
+  override def prettyName: String = "token_shingle_hash_seq"
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(HashUtil.tokenShingleHashSeq(a.asInstanceOf[UTF8String], k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"graft.functions.HashUtil.tokenShingleHashSeq($a, $k));")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `sorted_intersect_size(array<long>, array<long>)` — |A ∩ B| for two
   * SORTED distinct long arrays via a linear merge walk: no per-row hash
   * set (Spark's `array_intersect` builds one), which matters when an LSH
@@ -346,4 +383,7 @@ object HashFunctions {
 
   def token_shingle_hashes(text: Column, k: Int): Column =
     column(TokenShingleHashes(expression(text), k))
+
+  def token_shingle_hash_seq(text: Column, k: Int): Column =
+    column(TokenShingleHashSeq(expression(text), k))
 }

@@ -84,6 +84,37 @@ object ModelOracles {
       spark.read.parquet(s"$ModelRoot/m4_icf_h")
     })
 
+  private val plattModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Platt.PlattModel]()
+
+  /** m11: Platt probability calibration over the text-round-tripped
+    * ICF-SVM model's decisions (the standard probabilistic-output layer
+    * the reference's raw decision values feed into). The sigmoid (A, B)
+    * is fit on the TRAINING slice with the distributed Newton solver and
+    * persisted; held-out rows then carry calibrated P(y=+1). The oracle
+    * replays every probability from the saved SV model + saved (A, B) —
+    * fit quality never affects correctness, only the saved pair does. */
+  def m11PlattProbs(spark: SparkSession, dir: String): DataFrame = {
+    val model = icfModel(spark, dir)
+    val pm = plattModels.computeIfAbsent(dir, _ => {
+      val trainScored = model
+        .predictOrdered(trainSlice(spark, dir), "vec_id", "embedding")
+        .select(col("vec_id"), col("decision"), col("y"))
+      val m = Platt.fit(trainScored, "decision", "y")
+      import spark.implicits._
+      Seq((m.a, m.b)).toDF("a", "b").coalesce(1)
+        .write.mode("overwrite").parquet(s"$ModelRoot/m11_platt")
+      m
+    })
+    model.predictOrdered(heldOut(spark, dir), "vec_id", "embedding")
+      .select(col("vec_id"),
+        round(col("decision"), 6).as("decision"),
+        round(Platt.probability(col("decision"), pm), 6).as("prob_pos"),
+        when(Platt.probability(col("decision"), pm) >= 0.5, 1.0).otherwise(-1.0)
+          .as("prediction"))
+      .orderBy(col("vec_id"))
+  }
+
   /** m4c: the `rank_ratio` auto-rank path (psvm's flag: p = ⌈ratio·n⌉
     * capped, with residual early stop) made driver-visible — the chosen
     * rank and the whole-factor residuals, graded from the PERSISTED

@@ -248,6 +248,35 @@ object ScaleOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** u8: hive-style partitioned layout + partition pruning — the
+    * workhorse layout for 100 TB fact tables. Events are rewritten
+    * partitioned by event_date (directory-per-day); a date-ranged query
+    * then touches only the matching directories — the filter resolves
+    * against the file listing, before any row is read (vs u3's range
+    * layout, which prunes via row-group stats INSIDE files). The oracle
+    * recomputes the same aggregate from the unpartitioned table, proving
+    * the partitioned rewrite + pruned read lossless; ScaleOpsSpec
+    * asserts the plan actually prunes (partition count + pushed
+    * partition filters). */
+  def writeDatePartitioned(df: DataFrame, tsCol: String, outPath: String): Unit =
+    df.withColumn("event_date", to_date(col(tsCol)))
+      .write.partitionBy("event_date").mode("overwrite").parquet(outPath)
+
+  def u8PartitionPruneQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_datepart").toString
+    writeDatePartitioned(graft.Tables.events(spark, dir), "ts", tmp)
+    val agg = spark.read.parquet(tmp)
+      .filter(col("event_date") >= lit("2024-01-10").cast("date") &&
+              col("event_date") <= lit("2024-01-12").cast("date"))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("sum_value"))
+      .select(col("event_date").cast("timestamp").as("event_day"),
+              col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("event_day"), col("event_type"))
+    materializeThen(agg) { deleteRecursively(tmp) }
+  }
+
   def u3RangeLayoutQuery(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_range").toString
     writeRangeLayout(graft.Tables.events(spark, dir), "ts", 8, tmp)

@@ -66,22 +66,23 @@ object TrainingOps {
   /** p18: benchmark decontamination — flag training documents sharing
     * ≥ `minShared` distinct lowercase word 8-grams with any benchmark
     * document (here: doc_id % 37 == 0 plays the benchmark set). The
-    * join runs on md5(gram) — a bounded 128-bit key instead of raw
-    * text, which is what survives a 100 TB shuffle — and the distinct
-    * gram sets are deduped per document BEFORE the join so a repeated
-    * phrase can't inflate the overlap count. */
+    * join runs on fused-codegen xxhash64 shingle keys
+    * (`token_shingle_hashes`, sorted-distinct per doc) — a bounded
+    * 64-bit key instead of raw text, which is what survives a 100 TB
+    * shuffle — and the per-doc dedup means a repeated phrase can't
+    * inflate the overlap count. (This replaced an interpreted
+    * `transform`+`array_join`+md5 pipeline: same answer — the oracle
+    * joins gram strings, a 64-bit collision would hash-mismatch — at a
+    * fraction of the CPU and with no interpreter in the hot path.) */
   def contaminationQuery(spark: SparkSession, dir: String,
                          n: Int = 8, minShared: Int = 3): DataFrame = {
     val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' '))"))
-        .as("gram"))
-      .select(col("doc_id"), md5(col("gram")).as("gh"))
-      .distinct()
+      .filter(size(split(lower(col("text")), "\\s+")) >= n)
+      .select(col("doc_id"), explode(
+        graft.functions.HashFunctions.token_shingle_hashes(lower(col("text")), n))
+        .as("gh"))
       // both join sides branch off this relation — cache it or the
-      // shingle+hash+distinct pipeline executes twice
+      // shingle+hash pipeline executes twice
       .persist()
     val bench = grams.filter(col("doc_id") % 37 === 0)
       .select(col("doc_id").as("bench_doc"), col("gh"))

@@ -17,6 +17,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see Verify.scala — without this the suites after the ML specs
+      // pay per-task janino recompiles once the 100-entry cache thrashes
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -65,4 +65,26 @@ class ScaleOpsSpec extends SparkSpec {
     val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
     assert(files >= 8, s"expected ~10 part files, got $files")
   }
+
+  test("date-partitioned layout prunes directories at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("datepart").toString
+    ScaleOps.writeDatePartitioned(
+      graft.Tables.events(spark, "/root/testdata/sf0.001"), "ts", dir)
+    val dayDirs = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("event_date="))
+    assert(dayDirs >= 25, s"expected ~30 day dirs, got $dayDirs")
+    val pruned = spark.read.parquet(dir)
+      .filter(col("event_date") >= lit("2024-01-10").cast("date") &&
+              col("event_date") <= lit("2024-01-12").cast("date"))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    assert(scan.partitionFilters.nonEmpty, "partition filter must bind to the dir column")
+    pruned.count() // execute so the numFiles metric is final
+    val scanned = scan.metrics("numFiles").value
+    val all = spark.read.parquet(dir).inputFiles.length
+    assert(scanned < all,
+      s"pruned scan must read a strict subset of files ($scanned vs $all)")
+    ScaleOps.deleteRecursively(dir)
+  }
 }
