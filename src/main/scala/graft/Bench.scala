@@ -11,7 +11,7 @@ object Bench {
       // see Verify.scala: the codegen class cache (static conf, default
       // 100) must hold the whole query pack or evicted stages recompile
       // per task through janino — a 30-90x tax on later queries
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", "1500")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: touch each table + force codegen/JIT of the common

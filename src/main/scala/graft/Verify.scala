@@ -21,7 +21,7 @@ object Verify {
       // the compiled-class cache; once it thrashes, every later task
       // recompiles its stage via janino at seconds per task (observed
       // 30-90x slowdowns on the cleaning queries). One line buys it back.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", "1500")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

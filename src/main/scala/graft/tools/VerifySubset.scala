@@ -16,7 +16,7 @@ object VerifySubset {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "5000") // see Verify.scala
+      .config("spark.sql.codegen.cache.maxEntries", "1500") // see Verify.scala
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

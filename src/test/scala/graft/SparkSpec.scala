@@ -19,7 +19,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       // see Verify.scala — without this the suites after the ML specs
       // pay per-task janino recompiles once the 100-entry cache thrashes
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", "1500")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
