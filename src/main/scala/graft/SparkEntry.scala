@@ -53,8 +53,12 @@ object SparkEntry {
     "p23_boilerplate"      -> ((s, d) => graft.pipeline.CleaningOps.boilerplateQuery(s, d)),
     "p24_stratified_sample" -> ((s, d) => graft.pipeline.CleaningOps.stratifiedSampleQuery(s, d)),
     "u8_partition_prune"   -> (graft.operators.ScaleOps.u8PartitionPruneQuery _),
+    "u9_runtime_filter"    -> (graft.operators.ScaleOps.u9RuntimeFilterQuery _),
     "m11_platt_probs"      -> (graft.ml.ModelOracles.m11PlattProbs _),
     "m12_cv_grid"          -> ((s, d) => graft.ml.CrossVal.cvGridQuery(s, d)),
+    "m12b_cv_folds"        -> ((s, d) => graft.ml.CrossVal.cvFoldsQuery(s, d)),
+    "m13_feature_scale"    -> (graft.ml.FeatureScale.m13FeatureScale _),
+    "s6_stream_sliding"    -> (graft.streaming.EventStreams.s6StreamSliding _),
     "p8_lang_id"           -> (TextAnalysis.langId _),
     "p9_quality"           -> (TextAnalysis.quality _),
     "p10_token_counts"     -> (TextAnalysis.tokenCounts _),
@@ -974,6 +978,48 @@ object SparkEntry {
            round(sum(value), 2) AS sum_value
          FROM events
          WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // u9: a runtime bloom filter may only PRUNE, never change results —
+    // same join computed plain.
+    "u9_runtime_filter" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem JOIN (
+           SELECT o_orderkey FROM orders
+           WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 0) o
+           ON l_orderkey = o_orderkey
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // m12b: replay the content-addressed fold assignment.
+    "m12b_cv_folds" ->
+      """SELECT fold, y, CAST(count(*) AS BIGINT) AS n
+         FROM (
+           SELECT CAST(('0x' || substring(md5('cv:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3 AS fold,
+             CASE WHEN label % 2 = 0 THEN 1.0 ELSE -1.0 END AS y
+           FROM embeddings) t
+         GROUP BY fold, y ORDER BY fold, y""",
+    // m13: svm-scale parity — per-dimension raw range + scaled-space
+    // mean derived from one pass of per-dim aggregates.
+    "m13_feature_scale" ->
+      """WITH d AS (
+           SELECT unnest(generate_series(1, len(embedding))) AS pos, embedding
+           FROM embeddings),
+         x AS (SELECT pos, CAST(embedding[pos] AS DOUBLE) AS x FROM d),
+         s AS (SELECT pos, min(x) AS mn, max(x) AS mx, avg(x) AS av
+               FROM x GROUP BY pos)
+         SELECT CAST(pos - 1 AS BIGINT) AS dim,
+           round(mn, 6) AS min_raw, round(mx, 6) AS max_raw,
+           round(CASE WHEN mx > mn THEN (av - mn) / (mx - mn) ELSE 0.0 END, 6)
+             AS mean_scaled
+         FROM s ORDER BY dim""",
+    // s6: the engine's sliding windows must equal the epoch-aligned
+    // window replay (same SQL family as q34).
+    "s6_stream_sliding" ->
+      """SELECT make_timestamp(
+             ((epoch_us(ts) // 1000000 // 900) * 900 - 900 * g.g) * 1000000)
+             AS window_start,
+           event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+         FROM events, (SELECT unnest(generate_series(0, 3)) AS g) g
          GROUP BY 1, 2 ORDER BY 1, 2""",
     // m11: replay decisions from the saved SV text model (the m8 CTE)
     // and probabilities from the saved Platt (A, B) parquet.

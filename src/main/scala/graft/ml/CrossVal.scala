@@ -30,6 +30,22 @@ import graft.Tables
   */
 object CrossVal {
 
+  /** m12b: the fold assignment itself, oracle-checked — per (fold,
+    * class-parity label) counts over the content-addressed md5 buckets.
+    * This puts the deterministic half of the CV loop (the part that IS
+    * SQL) under the hash gate, so the rows-only m12 grid runs on folds
+    * the driver has independently verified. */
+  def cvFoldsQuery(spark: SparkSession, dir: String, folds: Int = 3): DataFrame = {
+    val fold = (conv(substring(md5(concat(lit("cv:"), col("vec_id").cast("string"))), 1, 8),
+      16, 10).cast("long") % folds)
+    Tables.embeddings(spark, dir)
+      .withColumn("fold", fold)
+      .withColumn("y", when(col("label") % 2 === 0, 1.0).otherwise(-1.0))
+      .groupBy(col("fold"), col("y"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("fold"), col("y"))
+  }
+
   def cvGridQuery(spark: SparkSession, dir: String,
                   folds: Int = 3, grid: Seq[Double] = Seq(1e-3, 1e-1),
                   numLandmarks: Int = 48, maxIter: Int = 8): DataFrame = {

@@ -277,6 +277,45 @@ object ScaleOps {
     materializeThen(agg) { deleteRecursively(tmp) }
   }
 
+  /** u9: runtime bloom-filter join pruning — Catalyst's InjectRuntimeFilter
+    * builds a bloom filter from the SELECTIVE side of an equi-join at
+    * runtime and pushes `might_contain` onto the probe side's scan, so a
+    * 100 TB fact table skips rows (and with min/max + dictionary stats,
+    * whole row groups) that the build side would reject anyway. Off by
+    * default; the query turns it on with test-scale thresholds — on a
+    * real cluster only the enable flag changes. The oracle computes the
+    * same join from the raw tables (a filter can only be correct if it's
+    * invisible in the result); ScaleOpsSpec asserts the plan actually
+    * carries the bloom probe. */
+  def u9RuntimeFilterQuery(spark: SparkSession, dir: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // force the non-broadcast join path: broadcast joins don't need a
+      // runtime filter (the hash table IS the filter)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val sel = graft.Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"))
+      val agg = graft.Tables.lineitem(spark, dir)
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+             round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+      // materialize under the session confs, then restore them
+      val rows = agg.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   def u3RangeLayoutQuery(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_range").toString
     writeRangeLayout(graft.Tables.events(spark, dir), "ts", 8, tmp)

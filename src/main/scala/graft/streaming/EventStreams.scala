@@ -28,6 +28,17 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 
+  /** S6: sliding windows through the real engine — 1-hour windows every
+    * 15 minutes (each event feeds 4 windows). Streaming twin of the
+    * batch q34; the oracle replays the epoch-aligned window set in SQL. */
+  def slidingWindowed(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+
   /** S3: streaming exact dedup on event_id within the watermark. */
   def dedupedEvents(events: DataFrame): DataFrame =
     events
@@ -85,6 +96,14 @@ object EventStreams {
     * windowed aggregation (complete mode — every window survives). */
   def s1StreamHourly(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     runToMemory(hourlyWindowed(eventStream(spark, dir)), "complete")
+      .select(col("window_start"), col("event_type"), col("n_events"),
+              round(col("sum_value"), 2).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** s6: S6 through the streaming engine (complete mode — bounded
+    * window-slot cardinality regardless of event volume). */
+  def s6StreamSliding(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    runToMemory(slidingWindowed(eventStream(spark, dir)), "complete")
       .select(col("window_start"), col("event_type"), col("n_events"),
               round(col("sum_value"), 2).as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))

@@ -37,6 +37,22 @@ class PlattCvSpec extends SparkSpec {
     assert(math.abs(m1.a - m2.a) < 1e-4 && math.abs(m1.b - m2.b) < 1e-4)
   }
 
+  test("feature scaling maps every dimension onto [0,1] with extremes attained") {
+    val df = (0 until 100).map { i =>
+      (i.toLong, Array(i * 0.5 + 3.0, -i * 2.0, 7.0)) // dim 2 constant
+    }.toDF("id", "v")
+    val stats = FeatureScale.fitStats(df, "v").collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(stats(0) == (3.0, 52.5) && stats(1) == (-198.0, 0.0) && stats(2) == (7.0, 7.0))
+    val mins = Array(stats(0)._1, stats(1)._1, stats(2)._1)
+    val maxs = Array(stats(0)._2, stats(1)._2, stats(2)._2)
+    val scaled = FeatureScale.applyScale(df, "v", "s", mins, maxs).select($"s")
+      .collect().map(_.getSeq[Double](0))
+    assert(scaled.forall(v => v.forall(x => x >= 0.0 && x <= 1.0)))
+    assert(scaled.map(_(0)).min == 0.0 && scaled.map(_(0)).max == 1.0)
+    assert(scaled.forall(_(2) == 0.0), "constant dim maps to lower bound")
+  }
+
   test("cv grid query self-validates and produces a full grid") {
     val out = CrossVal.cvGridQuery(spark, "/root/testdata/sf0.001",
       folds = 2, grid = Seq(1e-3, 1e-1), numLandmarks = 16, maxIter = 5)

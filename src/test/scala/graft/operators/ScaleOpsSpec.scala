@@ -66,6 +66,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(files >= 8, s"expected ~10 part files, got $files")
   }
 
+  test("runtime bloom filter is injected on the probe side of the selective join") {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val sel = graft.Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"))
+      val joined = graft.Tables.lineitem(spark, dir)
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"runtime bloom filter must reach the probe side:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("date-partitioned layout prunes directories at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("datepart").toString
     ScaleOps.writeDatePartitioned(
