@@ -30,16 +30,21 @@ import graft.Tables
   */
 object CrossVal {
 
+  /** Content-addressed fold assignment — the ONE definition both the
+    * grid query and its oracle-checked m12b twin use (the SQL replay in
+    * SparkEntry mirrors it; keep them in sync). */
+  private def foldCol(folds: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("cv:"), col("vec_id").cast("string"))), 1, 8),
+      16, 10).cast("long") % folds
+
   /** m12b: the fold assignment itself, oracle-checked — per (fold,
     * class-parity label) counts over the content-addressed md5 buckets.
     * This puts the deterministic half of the CV loop (the part that IS
     * SQL) under the hash gate, so the rows-only m12 grid runs on folds
     * the driver has independently verified. */
   def cvFoldsQuery(spark: SparkSession, dir: String, folds: Int = 3): DataFrame = {
-    val fold = (conv(substring(md5(concat(lit("cv:"), col("vec_id").cast("string"))), 1, 8),
-      16, 10).cast("long") % folds)
     Tables.embeddings(spark, dir)
-      .withColumn("fold", fold)
+      .withColumn("fold", foldCol(folds))
       .withColumn("y", when(col("label") % 2 === 0, 1.0).otherwise(-1.0))
       .groupBy(col("fold"), col("y"))
       .agg(count(lit(1)).as("n"))
@@ -52,8 +57,7 @@ object CrossVal {
     import spark.implicits._
     val data = Tables.embeddings(spark, dir)
       .withColumn("y", when(col("label") % 2 === 0, 1.0).otherwise(-1.0))
-    val fold = (conv(substring(md5(concat(lit("cv:"), col("vec_id").cast("string"))), 1, 8),
-      16, 10).cast("long") % folds).cast("int")
+    val fold = foldCol(folds).cast("int")
     val map = Nystrom.fit(data, "vec_id", "embedding", Kernel.Rbf(0.05), numLandmarks)
     val feats = Nystrom.transform(data.withColumn("__fold", fold), "embedding", map, "__phi")
       .withColumn("__features", array_to_vector(col("__phi")))
@@ -67,9 +71,18 @@ object CrossVal {
     require(foldSizes.keys.forall(f => f >= 0 && f < folds) &&
             foldSizes.values.sum == total && foldSizes.size == folds,
       s"fold partition broken: $foldSizes over $total rows")
-    val majority = {
-      val npos = feats.filter(col("__label01") === 1.0).count()
-      math.max(npos, total - npos).toDouble / total
+    // positives per fold: lets each cell be gated against ITS OWN train
+    // subset's majority (a skewed fold can push a train subset's majority
+    // below the pool's, and a constant predictor legitimately scores
+    // exactly the subset majority)
+    val posByFold = feats.filter(col("__label01") === 1.0)
+      .groupBy(col("__fold")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val totalPos = posByFold.values.sum
+    def trainMajority(heldOutFold: Int): Double = {
+      val n = total - foldSizes(heldOutFold)
+      val pos = totalPos - posByFold(heldOutFold)
+      math.max(pos, n - pos).toDouble / n
     }
 
     val combos = for (reg <- grid; f <- 0 until folds) yield (reg, f)
@@ -111,9 +124,9 @@ object CrossVal {
       rs.map(_._6).sum / rs.length).toMap
     val best = byParam.maxBy { case (reg, acc) => (acc, -reg) }
     require(results.forall(_._4 > 0), "empty validation fold")
-    require(results.map(_._5).max >= majority,
-      s"no grid cell beats the majority baseline $majority even in TRAINING " +
-        s"(train accuracies: ${results.map(_._5).mkString(", ")}) — CV loop broken")
+    require(results.exists(r => r._5 >= trainMajority(r._2)),
+      "no grid cell reaches even its own train-subset majority baseline in " +
+        s"TRAINING (train accuracies: ${results.map(_._5).mkString(", ")}) — CV loop broken")
 
     results.sortBy(r => (r._1, r._2))
       .toDF("reg_param", "fold", "n_train", "n_val", "train_accuracy", "val_accuracy")

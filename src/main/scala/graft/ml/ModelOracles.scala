@@ -84,8 +84,13 @@ object ModelOracles {
       spark.read.parquet(s"$ModelRoot/m4_icf_h")
     })
 
-  private val plattModels =
-    new java.util.concurrent.ConcurrentHashMap[String, Platt.PlattModel]()
+  /** Single-slot, last-dir-wins: the saved parquet lives at ONE fixed
+    * path (the oracle names it statically), so keeping per-dir entries
+    * would let a second dir overwrite the file while the first dir's
+    * stale in-memory pair kept scoring — file and memory must move
+    * together. */
+  private val plattModel =
+    new java.util.concurrent.atomic.AtomicReference[(String, Platt.PlattModel)]()
 
   /** m11: Platt probability calibration over the text-round-tripped
     * ICF-SVM model's decisions (the standard probabilistic-output layer
@@ -96,16 +101,24 @@ object ModelOracles {
     * fit quality never affects correctness, only the saved pair does. */
   def m11PlattProbs(spark: SparkSession, dir: String): DataFrame = {
     val model = icfModel(spark, dir)
-    val pm = plattModels.computeIfAbsent(dir, _ => {
-      val trainScored = model
-        .predictOrdered(trainSlice(spark, dir), "vec_id", "embedding")
-        .select(col("vec_id"), col("decision"), col("y"))
-      val m = Platt.fit(trainScored, "decision", "y")
-      import spark.implicits._
-      Seq((m.a, m.b)).toDF("a", "b").coalesce(1)
-        .write.mode("overwrite").parquet(s"$ModelRoot/m11_platt")
-      m
-    })
+    val pm = plattModel.get() match {
+      case (d, m) if d == dir => m
+      case _ => plattModel.synchronized {
+        plattModel.get() match {
+          case (d, m) if d == dir => m
+          case _ =>
+            val trainScored = model
+              .predictOrdered(trainSlice(spark, dir), "vec_id", "embedding")
+              .select(col("vec_id"), col("decision"), col("y"))
+            val m = Platt.fit(trainScored, "decision", "y")
+            import spark.implicits._
+            Seq((m.a, m.b)).toDF("a", "b").coalesce(1)
+              .write.mode("overwrite").parquet(s"$ModelRoot/m11_platt")
+            plattModel.set((dir, m))
+            m
+        }
+      }
+    }
     model.predictOrdered(heldOut(spark, dir), "vec_id", "embedding")
       .select(col("vec_id"),
         round(col("decision"), 6).as("decision"),

@@ -287,17 +287,31 @@ object ScaleOps {
     * same join from the raw tables (a filter can only be correct if it's
     * invisible in the result); ScaleOpsSpec asserts the plan actually
     * carries the bloom probe. */
-  def u9RuntimeFilterQuery(spark: SparkSession, dir: String): DataFrame = {
-    val confs = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      // force the non-broadcast join path: broadcast joins don't need a
-      // runtime filter (the hash table IS the filter)
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+  /** Session confs that make InjectRuntimeFilter fire at test scale —
+    * shared with ScaleOpsSpec so the spec asserts the exact
+    * configuration the query runs. On a real cluster only the enable
+    * flag changes (the default thresholds are sized for 10 GB+ scans).
+    * The broadcast threshold is disabled because broadcast joins don't
+    * need a runtime filter (the hash table IS the filter). */
+  val RuntimeFilterConfs: Seq[(String, String)] = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  /** Run `body` with session confs set, restoring prior values after. */
+  def withConfs[T](spark: SparkSession, confs: Seq[(String, String)])(body: => T): T = {
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  def u9RuntimeFilterQuery(spark: SparkSession, dir: String): DataFrame =
+    withConfs(spark, RuntimeFilterConfs) {
       val sel = graft.Tables.orders(spark, dir)
         .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 10 === 0)
         .select(col("o_orderkey"))
@@ -307,14 +321,9 @@ object ScaleOps {
         .agg(count(lit(1)).as("n_lines"),
              round(sum(col("l_extendedprice")), 2).as("sum_price"))
         .orderBy(col("l_returnflag"))
-      // materialize under the session confs, then restore them
-      val rows = agg.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
+      // materialize under the session confs; withConfs restores after
+      materializeThen(agg) { () }
     }
-  }
 
   def u3RangeLayoutQuery(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_range").toString

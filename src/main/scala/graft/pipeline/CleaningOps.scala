@@ -109,21 +109,28 @@ object CleaningOps {
     */
   def boilerplateQuery(spark: SparkSession, dir: String,
                        n: Int = 3, minDocs: Int = 8): DataFrame = {
+    // both join sides branch off the exploded gram relation — cache it
+    // or the split+shingle-hash pipeline executes twice (same reasoning
+    // as TrainingOps.contaminationQuery)
     val gk = Tables.documents(spark, dir)
       .filter(size(split(lower(col("text")), "\\s+")) >= n)
       .select(col("source"), col("doc_id"),
         explode(graft.functions.HashFunctions.token_shingle_hashes(lower(col("text")), n))
           .as("gk"))
+      .persist()
     val boiler = gk.groupBy(col("source"), col("gk"))
       .agg(count(lit(1)).as("n_docs_with"))
       .filter(col("n_docs_with") >= minDocs)
       .select(col("source"), col("gk"), lit(1L).as("is_boiler"))
-    gk.join(boiler, Seq("source", "gk"), "left")
+    val out = gk.join(boiler, Seq("source", "gk"), "left")
       .groupBy(col("source"), col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
            sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
       .withColumn("boiler_frac", round(col("n_boiler") / col("n_grams"), 6))
       .orderBy(col("source"), col("doc_id"))
+      .localCheckpoint()                   // per-doc rows only; frees the cache
+    gk.unpersist(false)
+    out
   }
 
   /** p24: deterministic stratified sampling — per source, keep the k

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -44,8 +44,12 @@ object Analytics {
         count(lit(1)).as("n_signup"),
         count($"t2").as("n_signup_click"),
         count($"t3").as("n_full_funnel"),
-        round(avg((unix_micros($"t3") - unix_micros($"t1")) / lit(1000000.0)), 4)
-          .as("avg_secs_to_purchase"))
+        // exact integer-microsecond sum, ONE division at the end — the
+        // oracle does the same, so both engines divide identical values
+        // (a per-row divide-then-average would accumulate order-dependent
+        // double error on this side only)
+        round((sum(unix_micros($"t3") - unix_micros($"t1")).cast("double")
+          / count($"t3")) / lit(1000000.0), 4).as("avg_secs_to_purchase"))
   }
 
   /** R32 — weekly retention cohorts: cohort = week of a user's first
@@ -109,15 +113,19 @@ object Analytics {
     */
   def q36CorrStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Spark returns NaN where DuckDB returns NULL (singleton groups,
+    // zero-variance corr); normalize to NULL so parity holds on ANY
+    // group shape, not just the current fixtures
+    def nullIfNaN(c: Column): Column = when(!isnan(c), c)
     Tables.events(spark, dir)
       .withColumn("uid", $"user_id".cast("double"))
       .groupBy($"event_type")
       .agg(
         count(lit(1)).as("n"),
-        round(stddev_samp($"value"), 6).as("sd_value"),
-        round(var_samp($"value"), 6).as("var_value"),
-        round(covar_samp($"value", $"uid"), 6).as("cov_value_uid"),
-        round(corr($"value", $"uid"), 6).as("corr_value_uid"))
+        round(nullIfNaN(stddev_samp($"value")), 6).as("sd_value"),
+        round(nullIfNaN(var_samp($"value")), 6).as("var_value"),
+        round(nullIfNaN(covar_samp($"value", $"uid")), 6).as("cov_value_uid"),
+        round(nullIfNaN(corr($"value", $"uid")), 6).as("corr_value_uid"))
       .orderBy($"event_type")
   }
 }

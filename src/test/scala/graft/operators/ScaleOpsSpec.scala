@@ -67,14 +67,7 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   test("runtime bloom filter is injected on the probe side of the selective join") {
-    val confs = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+    ScaleOps.withConfs(spark, ScaleOps.RuntimeFilterConfs) {
       val dir = "/root/testdata/sf0.001"
       val sel = graft.Tables.orders(spark, dir)
         .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 10 === 0)
@@ -84,9 +77,6 @@ class ScaleOpsSpec extends SparkSpec {
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("might_contain"),
         s"runtime bloom filter must reach the probe side:\n$plan")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
     }
   }
 
