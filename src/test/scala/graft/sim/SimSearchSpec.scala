@@ -44,6 +44,29 @@ class SimSearchSpec extends SparkSpec {
     assert(ivf.size <= exact.size)
   }
 
+  test("pq ann: planted identical twins share codes and are always retrieved") {
+    // base corpus + an exact duplicate of each query vector: the twin's
+    // PQ code coincides with the query's, so its ADC distance is the
+    // minimum possible and re-ranking must place it first.
+    val rng = new scala.util.Random(31)
+    val dim = 16
+    val base = (0 until 200).map { i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat))
+    }
+    val twins = (0 until 5).map(i => (1000L + i, base(i)._2.clone()))
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 5)
+    val pq = PqAnn.annTopK(df, q, "vec_id", "embedding", 10, m = 4, kCode = 8)
+      .collect()
+    for (i <- 0 until 5) {
+      val top = pq.filter(_.getAs[Long]("query_id") == i)
+        .sortBy(_.getAs[Long]("rank"))
+      assert(top.head.getAs[Long]("neighbor_id") == 1000L + i,
+        s"query $i must retrieve its identical twin first")
+      assert(math.abs(top.head.getAs[Double]("cos_sim") - 1.0) < 1e-6)
+    }
+  }
+
   test("lsh ann achieves reasonable recall vs brute force") {
     val e = graft.Tables.embeddings(spark, dir)
     val q = e.filter($"vec_id" < 20)
