@@ -48,6 +48,9 @@ object SparkEntry {
     "q34_sliding_windows"  -> (graft.queries.Analytics.q34SlidingWindows _),
     "q35_histogram"        -> (graft.queries.Analytics.q35Histogram _),
     "q36_corr_stats"       -> (graft.queries.Analytics.q36CorrStats _),
+    "q37_gap_fill"         -> (graft.queries.Analytics.q37GapFill _),
+    "q39_heavy_hitters"    -> ((s, d) => graft.operators.HeavyHitters.query(s, d)),
+    "q38_window_dist"      -> (graft.queries.Analytics.q38WindowDistribution _),
     "p21_pii_redaction"    -> (graft.pipeline.CleaningOps.piiRedactionQuery _),
     "p22_repetition"       -> ((s, d) => graft.pipeline.CleaningOps.repetitionQuery(s, d)),
     "p23_boilerplate"      -> ((s, d) => graft.pipeline.CleaningOps.boilerplateQuery(s, d)),
@@ -432,14 +435,14 @@ object SparkEntry {
       """WITH prm AS (
            SELECT CAST(regexp_extract(content, 'gamma ([^\n]+)', 1) AS DOUBLE) AS gamma,
                   CAST(regexp_extract(content, 'rho ([^\n]+)', 1) AS DOUBLE) AS rho
-           FROM read_text('/tmp/graft_models/m8_icf/header/part-*')),
+           FROM read_text('/tmp/graft_models/sf0.01/m8_icf/header/part-*')),
          sv AS (
            SELECT CAST(p[1] AS DOUBLE) AS coef,
                   list_transform(p[2:], t -> CAST(string_split(t, ':')[2] AS DOUBLE)) AS x
            FROM (
              SELECT string_split(line, ' ') AS p FROM (
                SELECT unnest(string_split(content, chr(10))) AS line
-               FROM read_text('/tmp/graft_models/m8_icf/sv/part-*')) t
+               FROM read_text('/tmp/graft_models/sf0.01/m8_icf/sv/part-*')) t
              WHERE length(line) > 0)),
          pts AS (
            SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS px
@@ -463,14 +466,14 @@ object SparkEntry {
       """WITH prm AS (
            SELECT CAST(regexp_extract(content, 'gamma ([^\n]+)', 1) AS DOUBLE) AS gamma,
                   CAST(regexp_extract(content, 'rho ([^\n]+)', 1) AS DOUBLE) AS rho
-           FROM read_text('/tmp/graft_models/m8_icf/header/part-*')),
+           FROM read_text('/tmp/graft_models/sf0.01/m8_icf/header/part-*')),
          sv AS (
            SELECT CAST(p[1] AS DOUBLE) AS coef,
                   list_transform(p[2:], t -> CAST(string_split(t, ':')[2] AS DOUBLE)) AS x
            FROM (
              SELECT string_split(line, ' ') AS p FROM (
                SELECT unnest(string_split(content, chr(10))) AS line
-               FROM read_text('/tmp/graft_models/m8_icf/sv/part-*')) t
+               FROM read_text('/tmp/graft_models/sf0.01/m8_icf/sv/part-*')) t
              WHERE length(line) > 0)),
          pts AS (
            SELECT vec_id, CASE WHEN label % 2 = 0 THEN 1.0 ELSE -1.0 END AS y,
@@ -514,13 +517,13 @@ object SparkEntry {
     "m10_nystrom_score" ->
       """WITH lm AS (
            SELECT array_agg(landmark ORDER BY idx) AS L
-           FROM read_parquet('/tmp/graft_models/m10_nystrom/landmarks/*.parquet')),
+           FROM read_parquet('/tmp/graft_models/sf0.01/m10_nystrom/landmarks/*.parquet')),
          pr AS (
            SELECT array_agg(w_row ORDER BY idx) AS W
-           FROM read_parquet('/tmp/graft_models/m10_nystrom/projection/*.parquet')),
+           FROM read_parquet('/tmp/graft_models/sf0.01/m10_nystrom/projection/*.parquet')),
          pp AS (
            SELECT gamma, weights, intercept
-           FROM read_parquet('/tmp/graft_models/m10_nystrom/params/*.parquet')),
+           FROM read_parquet('/tmp/graft_models/sf0.01/m10_nystrom/params/*.parquet')),
          pts AS (
            SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS px
            FROM embeddings WHERE vec_id >= 300 AND vec_id < 400),
@@ -558,15 +561,15 @@ object SparkEntry {
     "m3_svm_multiclass_eval" ->
       """WITH lm AS (
            SELECT array_agg(landmark ORDER BY idx) AS L
-           FROM read_parquet('/tmp/graft_models/m3_ovr/landmarks/*.parquet')),
+           FROM read_parquet('/tmp/graft_models/sf0.01/m3_ovr/landmarks/*.parquet')),
          pr AS (
            SELECT array_agg(w_row ORDER BY idx) AS W
-           FROM read_parquet('/tmp/graft_models/m3_ovr/projection/*.parquet')),
+           FROM read_parquet('/tmp/graft_models/sf0.01/m3_ovr/projection/*.parquet')),
          pp AS (
-           SELECT gamma FROM read_parquet('/tmp/graft_models/m3_ovr/params/*.parquet')),
+           SELECT gamma FROM read_parquet('/tmp/graft_models/sf0.01/m3_ovr/params/*.parquet')),
          cls AS (
            SELECT class, weights, intercept
-           FROM read_parquet('/tmp/graft_models/m3_ovr/classifiers/*.parquet')),
+           FROM read_parquet('/tmp/graft_models/sf0.01/m3_ovr/classifiers/*.parquet')),
          pts AS (
            SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS px
            FROM embeddings),
@@ -603,7 +606,7 @@ object SparkEntry {
     "m4_icf_factor" ->
       """WITH h AS (
            SELECT id, icf_features
-           FROM read_parquet('/tmp/graft_models/m4_icf_h/*.parquet')),
+           FROM read_parquet('/tmp/graft_models/sf0.01/m4_icf_h/*.parquet')),
          e AS (
            SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
            FROM embeddings WHERE vec_id < 20),
@@ -621,7 +624,7 @@ object SparkEntry {
     "m4c_icf_autorank" ->
       """WITH h AS (
            SELECT id, icf_features
-           FROM read_parquet('/tmp/graft_models/m4c_icf_auto/*.parquet')),
+           FROM read_parquet('/tmp/graft_models/sf0.01/m4c_icf_auto/*.parquet')),
          r AS (
            SELECT id, CAST(len(icf_features) AS BIGINT) AS rank,
              1.0 - list_sum(list_transform(list_zip(icf_features, icf_features),
@@ -635,7 +638,7 @@ object SparkEntry {
     "m4b_icf_residuals" ->
       """WITH h AS (
            SELECT id, icf_features
-           FROM read_parquet('/tmp/graft_models/m4_icf_h/*.parquet')),
+           FROM read_parquet('/tmp/graft_models/sf0.01/m4_icf_h/*.parquet')),
          r AS (
            SELECT id,
              1.0 - list_sum(list_transform(list_zip(icf_features, icf_features),
@@ -888,6 +891,29 @@ object SparkEntry {
            round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS cov_value_uid,
            round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_uid
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // q37: forward fill — last non-masked value per user timeline.
+    "q37_gap_fill" ->
+      """SELECT user_id, event_id, ts,
+           (reading IS NULL) AS was_gap,
+           round(last_value(reading IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled
+         FROM (
+           SELECT user_id, event_id, ts,
+             CASE WHEN event_type != 'error' THEN value END AS reading
+           FROM events WHERE user_id < 20) t
+         ORDER BY user_id, ts, event_id""",
+    // q38: distribution window functions over a total order (the
+    // event_id tiebreak makes ranks deterministic on both engines).
+    "q38_window_dist" ->
+      """SELECT event_type, event_id, value,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+         FROM events
+         WHERE user_id < 10
+         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+         ORDER BY event_type, value, event_id""",
     // p21: replay the planted PII and the redaction chain (patterns are
     // in the shared Java-regex/RE2 subset so both engines match
     // identically); md5 of the redacted text is fully discriminating.
@@ -1028,14 +1054,14 @@ object SparkEntry {
       """WITH prm AS (
            SELECT CAST(regexp_extract(content, 'gamma ([^\n]+)', 1) AS DOUBLE) AS gamma,
                   CAST(regexp_extract(content, 'rho ([^\n]+)', 1) AS DOUBLE) AS rho
-           FROM read_text('/tmp/graft_models/m8_icf/header/part-*')),
+           FROM read_text('/tmp/graft_models/sf0.01/m8_icf/header/part-*')),
          sv AS (
            SELECT CAST(p[1] AS DOUBLE) AS coef,
                   list_transform(p[2:], t -> CAST(string_split(t, ':')[2] AS DOUBLE)) AS x
            FROM (
              SELECT string_split(line, ' ') AS p FROM (
                SELECT unnest(string_split(content, chr(10))) AS line
-               FROM read_text('/tmp/graft_models/m8_icf/sv/part-*')) t
+               FROM read_text('/tmp/graft_models/sf0.01/m8_icf/sv/part-*')) t
              WHERE length(line) > 0)),
          pts AS (
            SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS px
@@ -1052,7 +1078,7 @@ object SparkEntry {
          dec AS (
            SELECT p.vec_id, COALESCE(k.s, 0.0) + -(SELECT rho FROM prm) AS d
            FROM pts p LEFT JOIN ksum k ON p.vec_id = k.vec_id),
-         pl AS (SELECT a, b FROM read_parquet('/tmp/graft_models/m11_platt/*.parquet'))
+         pl AS (SELECT a, b FROM read_parquet('/tmp/graft_models/sf0.01/m11_platt/*.parquet'))
          SELECT vec_id, round(d, 6) AS decision,
            round(1.0 / (1.0 + exp(d * pl.a + pl.b)), 6) AS prob_pos,
            CASE WHEN 1.0 / (1.0 + exp(d * pl.a + pl.b)) >= 0.5
@@ -1239,13 +1265,13 @@ object SparkEntry {
   private def nystromEvalSql(model: String): String =
     s"""WITH lm AS (
            SELECT array_agg(landmark ORDER BY idx) AS L
-           FROM read_parquet('/tmp/graft_models/$model/landmarks/*.parquet')),
+           FROM read_parquet('/tmp/graft_models/sf0.01/$model/landmarks/*.parquet')),
          pr AS (
            SELECT array_agg(w_row ORDER BY idx) AS W
-           FROM read_parquet('/tmp/graft_models/$model/projection/*.parquet')),
+           FROM read_parquet('/tmp/graft_models/sf0.01/$model/projection/*.parquet')),
          pp AS (
            SELECT gamma, weights, intercept
-           FROM read_parquet('/tmp/graft_models/$model/params/*.parquet')),
+           FROM read_parquet('/tmp/graft_models/sf0.01/$model/params/*.parquet')),
          pts AS (
            SELECT vec_id, CASE WHEN label % 2 = 0 THEN 1.0 ELSE -1.0 END AS y,
                   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS px
@@ -1274,14 +1300,14 @@ object SparkEntry {
     s"""WITH prm AS (
            SELECT CAST(regexp_extract(content, 'gamma ([^\\n]+)', 1) AS DOUBLE) AS gamma,
                   CAST(regexp_extract(content, 'rho ([^\\n]+)', 1) AS DOUBLE) AS rho
-           FROM read_text('/tmp/graft_models/$model/header/part-*')),
+           FROM read_text('/tmp/graft_models/sf0.01/$model/header/part-*')),
          sv AS (
            SELECT CAST(p[1] AS DOUBLE) AS coef,
                   list_transform(p[2:], t -> CAST(string_split(t, ':')[2] AS DOUBLE)) AS x
            FROM (
              SELECT string_split(line, ' ') AS p FROM (
                SELECT unnest(string_split(content, chr(10))) AS line
-               FROM read_text('/tmp/graft_models/$model/sv/part-*')) t
+               FROM read_text('/tmp/graft_models/sf0.01/$model/sv/part-*')) t
              WHERE length(line) > 0)),
          pts AS (
            SELECT vec_id, CASE WHEN label % 2 = 0 THEN 1.0 ELSE -1.0 END AS y,

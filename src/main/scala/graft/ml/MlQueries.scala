@@ -69,8 +69,8 @@ object MlQueries {
     val fitted = KernelSvmTrainer.fit(data, "vec_id", "embedding", "y",
       KernelSvmParams(kernel = Kernel.Rbf(0.05), numLandmarks = 64,
                       regParam = 1e-3, maxIter = 10, tol = 1e-4))
-    fitted.save(spark, s"${ModelOracles.ModelRoot}/m1_nystrom")
-    val model = KernelSvmModel.load(spark, s"${ModelOracles.ModelRoot}/m1_nystrom")
+    fitted.save(spark, s"${ModelOracles.modelRoot(dir)}/m1_nystrom")
+    val model = KernelSvmModel.load(spark, s"${ModelOracles.modelRoot(dir)}/m1_nystrom")
     SvmEvaluator.evaluate(model.predict(data, "embedding"), "y")
   }
 
@@ -86,8 +86,8 @@ object MlQueries {
     val fitted = KernelSvmTrainer.fitMulticlassModel(data, "vec_id", "embedding", "label",
       KernelSvmParams(kernel = Kernel.Rbf(0.05), numLandmarks = 64,
                       regParam = 1e-3, maxIter = 10, tol = 1e-4))
-    fitted.save(spark, s"${ModelOracles.ModelRoot}/m3_ovr")
-    val model = MulticlassKernelSvmModel.load(spark, s"${ModelOracles.ModelRoot}/m3_ovr")
+    fitted.save(spark, s"${ModelOracles.modelRoot(dir)}/m3_ovr")
+    val model = MulticlassKernelSvmModel.load(spark, s"${ModelOracles.modelRoot(dir)}/m3_ovr")
     model.predict(data, "embedding")
       .groupBy($"label")
       .agg(count(lit(1)).as("n"),
@@ -107,8 +107,8 @@ object MlQueries {
     val fitted = KernelSvmTrainer.fitIpm(data, "vec_id", "embedding", "y",
       KernelSvmParams(kernel = Kernel.Rbf(0.05), numLandmarks = 32, tol = 1e-4),
       c = 5.0, maxIter = 60)
-    fitted.save(spark, s"${ModelOracles.ModelRoot}/m5_ipm")
-    val model = KernelSvmModel.load(spark, s"${ModelOracles.ModelRoot}/m5_ipm")
+    fitted.save(spark, s"${ModelOracles.modelRoot(dir)}/m5_ipm")
+    val model = KernelSvmModel.load(spark, s"${ModelOracles.modelRoot(dir)}/m5_ipm")
     SvmEvaluator.evaluate(model.predict(data, "embedding"), "y")
   }
 
@@ -124,9 +124,9 @@ object MlQueries {
       .withColumn("yy", when($"label" % 2 === 0, 1.0).otherwise(-1.0))
     val fitted = IcfSvmTrainer.fit(data, "vec_id", "embedding", "yy",
       Kernel.Rbf(0.05), rank = 16, c = 5.0, maxIter = 40, tol = 1e-3)
-    fitted.saveText(spark, s"${ModelOracles.ModelRoot}/m6_icf")
+    fitted.saveText(spark, s"${ModelOracles.modelRoot(dir)}/m6_icf")
     fitted.unpersist()
-    val model = IcfSvmModel.loadText(spark, s"${ModelOracles.ModelRoot}/m6_icf")
+    val model = IcfSvmModel.loadText(spark, s"${ModelOracles.modelRoot(dir)}/m6_icf")
     // predictOrdered: value-sorted kernel-sum fold, so DuckDB replays the
     // decisions bit-exactly from the saved text model
     SvmEvaluator.evaluate(model.predictOrdered(data, "vec_id", "embedding"), "yy")

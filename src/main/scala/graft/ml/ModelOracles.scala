@@ -21,10 +21,15 @@ import graft.functions.VectorOps
   */
 object ModelOracles {
 
-  /** Fixed model root: the oracle SQL must name the path statically.
-    * (Verify runs the Spark queries first, then the driver replays the
-    * oracle SQL — the files are guaranteed present by then.) */
-  val ModelRoot = "/tmp/graft_models"
+  /** Model root, SCOPED BY SF DIR: the oracle SQL names the sf0.01 path
+    * statically (the driver's correctness gate always runs at sf0.01),
+    * and scoping the writes by dataset means a bench run at another SF
+    * can never clobber the files the verify oracles are about to read —
+    * verify and bench become order-independent. (Verify runs the Spark
+    * queries first, then the driver replays the oracle SQL — the files
+    * are guaranteed present by then.) */
+  def modelRoot(dir: String): String =
+    s"/tmp/graft_models/${new java.io.File(dir).getName}"
 
   // one fit per (path-key, sf dir) per JVM: Verify and Bench each score
   // the same persisted model rather than re-fitting per query
@@ -53,9 +58,9 @@ object ModelOracles {
     icfModels.computeIfAbsent(dir, _ => {
       val m = IcfSvmTrainer.fit(trainSlice(spark, dir), "vec_id", "embedding", "y",
         Kernel.Rbf(0.05), rank = 16, c = 5.0, maxIter = 40, tol = 1e-3)
-      m.saveText(spark, s"$ModelRoot/m8_icf")
+      m.saveText(spark, s"${modelRoot(dir)}/m8_icf")
       m.unpersist()
-      IcfSvmModel.loadText(spark, s"$ModelRoot/m8_icf")
+      IcfSvmModel.loadText(spark, s"${modelRoot(dir)}/m8_icf")
     })
 
   /** Fit + save + load a Nyström kernel-SVM model (parquet form). */
@@ -68,8 +73,8 @@ object ModelOracles {
       val m = KernelSvmTrainer.fit(trainSlice(spark, dir), "vec_id", "embedding", "y",
         KernelSvmParams(kernel = Kernel.Rbf(0.05), numLandmarks = 64,
                         regParam = 1e-3, maxIter = 10, tol = 1e-4))
-      m.save(spark, s"$ModelRoot/m10_nystrom")
-      KernelSvmModel.load(spark, s"$ModelRoot/m10_nystrom")
+      m.save(spark, s"${modelRoot(dir)}/m10_nystrom")
+      KernelSvmModel.load(spark, s"${modelRoot(dir)}/m10_nystrom")
     })
 
   /** ICF factor H (rank 8, first 200 vectors), persisted to the fixed
@@ -80,15 +85,13 @@ object ModelOracles {
       Icf.factorize(
           Tables.embeddings(spark, dir).filter(col("vec_id") < 200),
           "vec_id", "embedding", Kernel.Rbf(0.05), rank = 8)
-        .write.mode("overwrite").parquet(s"$ModelRoot/m4_icf_h")
-      spark.read.parquet(s"$ModelRoot/m4_icf_h")
+        .write.mode("overwrite").parquet(s"${modelRoot(dir)}/m4_icf_h")
+      spark.read.parquet(s"${modelRoot(dir)}/m4_icf_h")
     })
 
-  /** Single-slot, last-dir-wins: the saved parquet lives at ONE fixed
-    * path (the oracle names it statically), so keeping per-dir entries
-    * would let a second dir overwrite the file while the first dir's
-    * stale in-memory pair kept scoring — file and memory must move
-    * together. */
+  /** Single-slot, last-dir-wins: file and in-memory (A, B) must move
+    * together (the paths are now sf-scoped, but the slot also guards
+    * against an interleaving refit racing the parquet write). */
   private val plattModel =
     new java.util.concurrent.atomic.AtomicReference[(String, Platt.PlattModel)]()
 
@@ -113,7 +116,7 @@ object ModelOracles {
             val m = Platt.fit(trainScored, "decision", "y")
             import spark.implicits._
             Seq((m.a, m.b)).toDF("a", "b").coalesce(1)
-              .write.mode("overwrite").parquet(s"$ModelRoot/m11_platt")
+              .write.mode("overwrite").parquet(s"${modelRoot(dir)}/m11_platt")
             plattModel.set((dir, m))
             m
         }
@@ -139,8 +142,8 @@ object ModelOracles {
           Tables.embeddings(spark, dir).filter(col("vec_id") < 200),
           "vec_id", "embedding", Kernel.Rbf(0.05),
           rankRatio = 0.08, maxRank = 12, residualTol = 1e-6)
-        .write.mode("overwrite").parquet(s"$ModelRoot/m4c_icf_auto")
-      spark.read.parquet(s"$ModelRoot/m4c_icf_auto")
+        .write.mode("overwrite").parquet(s"${modelRoot(dir)}/m4c_icf_auto")
+      spark.read.parquet(s"${modelRoot(dir)}/m4c_icf_auto")
     })
     val r = h.select(col("id"),
       org.apache.spark.sql.functions.size(col("icf_features")).cast("long").as("rank"),

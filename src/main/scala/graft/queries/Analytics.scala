@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -103,6 +104,41 @@ object Analytics {
       .withColumn("bin_lo", ($"bin" * width).cast("double"))
       .select($"bin", $"bin_lo", $"n_orders", $"sum_price", $"min_price", $"max_price")
       .orderBy($"bin")
+  }
+
+  /** R36 — time-series gap filling (forward fill / LOCF): error events
+    * mask their reading; each row carries the last non-null value seen
+    * in its user's timeline. One partitioned window, no global order —
+    * the standard sensor/telemetry repair op.
+    */
+  def q37GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter($"user_id" < 20)
+      .withColumn("reading", when($"event_type" =!= "error", $"value"))
+      .withColumn("filled",
+        round(last($"reading", ignoreNulls = true).over(w), 2))
+      .select($"user_id", $"event_id", $"ts",
+        $"reading".isNull.as("was_gap"), $"filled")
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
+  /** R37 — distribution window functions: quartile bucket, percent_rank
+    * and cume_dist of event values within each event type. The order
+    * key includes event_id so ranks are total and both engines agree.
+    */
+  def q38WindowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    Tables.events(spark, dir)
+      .filter($"user_id" < 10)
+      .select($"event_type", $"event_id", $"value",
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy($"event_type", $"value", $"event_id")
   }
 
   /** R35 — co-moment statistics per group: stddev / variance /
