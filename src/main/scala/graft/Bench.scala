@@ -37,7 +37,13 @@ object Bench {
           numLandmarks = 8, regParam = 1e-3, maxIter = 2, tol = 1e-3))
     } catch { case _: Throwable => () }
     spark.catalog.clearCache(); System.gc()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev aid: SPARK_GRAFT_BENCH_ONLY="p14_dedup_clusters,p15_tfidf_topterms"
+    // times just those queries (driver leaves it unset → full suite)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -82,6 +88,20 @@ object Bench {
       }
       prefix + sb.toString + suffix
     }
+    // Machine-parseable summary, three redundant ways (the tail-window
+    // rescue alone proved fragile — BENCH_r03/r04 both parsed null):
+    // 1. full-precision JSON written to a file (SPARK_GRAFT_BENCH_OUT,
+    //    default ./BENCH_SUMMARY.json);
+    // 2. the same JSON on stdout prefixed with a grep-able sentinel;
+    // 3. the legacy bounded line as the FINAL stdout line for any parser
+    //    that reads a 2000-char tail.
+    val full = line(2)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SUMMARY.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
+      try w.println(full) finally w.close()
+    } catch { case _: Throwable => () }
+    println("GRAFT_BENCH_JSON " + full)
     val out = Seq(2, 1, 0).map(line).find(_.length <= 1900).getOrElse(truncatedLine())
     println(out)
     spark.stop()

@@ -46,8 +46,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The model-replay oracles name the sf0.01 model root statically;
+    // re-anchor them to this run's actual data dir (same modelRoot(dir)
+    // the Spark queries write to) so a verify run against any dir
+    // basename replays the files IT created, not a stale sf0.01 set.
+    val modelRootFix: String => String =
+      _.replace("/tmp/graft_models/sf0.01", graft.ml.ModelOracles.modelRoot(sfDir))
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(modelRootFix(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

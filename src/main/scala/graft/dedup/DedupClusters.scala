@@ -37,10 +37,9 @@ object DedupClusters {
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // eager localCheckpoint each round: the loop would otherwise DOUBLE
-    // the logical plan per iteration (labels feeds both the neighbor
-    // aggregation and the convergence join) and Catalyst analysis blows
-    // up exponentially — the standard iterative-DataFrame lineage trap.
+    // eager localCheckpoint each round: the loop would otherwise grow the
+    // logical plan per iteration and Catalyst analysis blows up
+    // exponentially — the standard iterative-DataFrame lineage trap.
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
@@ -49,17 +48,23 @@ object DedupClusters {
     while (iter < math.min(maxIter, starSwitchRounds) && !converged) {
       // (convergence is REQUIRED below — silently returning mixed labels
       // would split one logical cluster into several)
-      // neighbor labels: for each edge (a,b), b's current label flows to a
-      val nbr = und.join(labels.withColumnRenamed("id", "b"), Seq("b"))
-        .groupBy(col("a").as("id"))
-        .agg(min(col("comp")).as("nbr_comp"))
-      val next = labels.join(nbr, Seq("id"))
-        .select(col("id"), least(col("comp"), col("nbr_comp")).as("comp"))
+      // ONE shuffle per round: union each vertex's own label with the labels
+      // flowing in over edges, take the min per vertex, and carry the old
+      // label through the same aggregation so changed-detection needs no
+      // second join. The eager localCheckpoint is the round's only heavy
+      // job; the convergence probe below is a limit(1) scan of the
+      // checkpointed partitions — no shuffle, no recompute.
+      val own = labels.select(col("id"), col("comp"), lit(true).as("own"))
+      val flow = und.join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .select(col("a").as("id"), col("comp"), lit(false).as("own"))
+      val next = own.union(flow)
+        .groupBy("id")
+        .agg(min(col("comp")).as("comp"),
+             min(when(col("own"), col("comp"))).as("old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
+      converged =
+        next.filter(col("comp") < col("old")).limit(1).count() == 0L
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     und.unpersist(false)
@@ -115,8 +120,14 @@ object DedupClusters {
             .select(col("lo").as("x"), col("m").as("y"))
           .union(withM.select(col("hi").as("x"), col("m").as("y"))))
         .localCheckpoint(true)
-      converged = ss.count() == e.count() &&
-        ss.exceptAll(e).limit(1).count() == 0L
+      // single-job convergence probe: both sides are canonical DISTINCT
+      // edge sets, so set equality ⇔ the full-outer join has no one-sided
+      // rows (replaces the old count + exceptAll + count trio of jobs)
+      converged = e.select(col("lo"), col("hi"), lit(1).as("in_e"))
+        .join(ss.select(col("lo"), col("hi"), lit(1).as("in_ss")),
+              Seq("lo", "hi"), "full_outer")
+        .filter(col("in_e").isNull || col("in_ss").isNull)
+        .limit(1).count() == 0L
       e = ss
       iter += 1
     }

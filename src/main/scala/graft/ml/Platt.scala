@@ -110,7 +110,6 @@ object Platt {
       it += 1
     }
     df.unpersist()
-    System.err.println(s"[platt] iters=$it objEvals=$nObjEvals a=$a b=$b")
     PlattModel(a, b)
   }
 

@@ -47,16 +47,12 @@ object ScaleOps {
       .drop("__salt")
   }
 
-  /** Materialize a SMALL (aggregate-sized) result eagerly, then run
-    * `cleanup` — the u* queries write temp datasets/tables as part of
-    * demonstrating a layout, and without an eager collect the returned
-    * lazy plan would still need those files. Collecting lets the temp
-    * state be deleted immediately, so repeated bench/verify runs don't
-    * accumulate disk or race on catalog names. Only for results that are
+  /** Eagerly materialize a SMALL (aggregate-sized) result, then run
+    * `cleanup` (temp-dir deletion etc.); the returned LocalRelation no
+    * longer depends on the cleaned-up files, so repeated bench/verify
+    * runs don't accumulate disk or race on catalog names. Shared by
+    * every roundtrip/self-validating query. Only for results that are
     * aggregates (a handful of rows) — never for row-scale outputs. */
-  /** Eagerly materialize a SMALL result, then run `cleanup` (temp-dir
-    * deletion etc.); the returned LocalRelation no longer depends on the
-    * cleaned-up files. Shared by every roundtrip/self-validating query. */
   private[graft] def materializeThen(df: DataFrame)(cleanup: => Unit): DataFrame = {
     val rows = df.collect()
     val out = df.sparkSession.createDataFrame(
@@ -299,7 +295,12 @@ object ScaleOps {
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
     "spark.sql.autoBroadcastJoinThreshold" -> "-1")
 
-  /** Run `body` with session confs set, restoring prior values after. */
+  /** Run `body` with session confs set, restoring prior values after.
+    * ASSUMES sequential query execution (true for Verify/Bench, which
+    * run one query at a time): the confs are mutated on the SHARED
+    * session, so a concurrently-running query would observe them. If
+    * queries ever run concurrently, switch to `spark.newSession()` for
+    * the conf-scoped body. */
   def withConfs[T](spark: SparkSession, confs: Seq[(String, String)])(body: => T): T = {
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -1,7 +1,7 @@
 package graft.sim
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
+
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -26,26 +26,105 @@ import graft.functions.{GraftFunctions, VectorOps}
   * cosine, the standard PQ + re-ranking pipeline.
   *
   * Scale shape: codebooks are driver-side m×k×(dim/m) literals (tiny by
-  * design); encoding and table-building are per-row maps; the only
-  * shuffle is the per-query top-k window. Approximate by design →
-  * rows-only with measured recall (like p7/p7b), fail-fast below floor.
+  * design); encoding and table-building are per-row maps; the ADC scan
+  * shuffles only narrow (query, neighbor, adc) triples through a
+  * two-level top-`rerank` (per corpus-partition first, then global), so
+  * no task ever ranks the whole corpus and the vectors themselves never
+  * enter a shuffle. Approximate by design → rows-only with measured
+  * recall (like p7/p7b), fail-fast below floor.
   */
 object PqAnn {
 
-  /** Per-subspace seeded k-means codebooks: m × k × (dim/m). */
+  /** Per-subspace seeded k-means codebooks: m × k × (dim/m).
+    *
+    * Codebooks are trained on a bounded sample (`trainRows`), the
+    * standard PQ practice (Jégou et al. train on a corpus subset): the
+    * codebook quality saturates at thousands of vectors per codeword
+    * while a full-corpus fit would rescan 100 TB per k-means iteration
+    * per subspace. Because the sample is bounded regardless of corpus
+    * size, the k-means itself runs DRIVER-LOCAL (seeded k-means++ +
+    * Lloyd's over ≤ trainRows×dim doubles, a few MB): one Spark job
+    * collects the sample, then the m×maxIter iterations cost zero
+    * scheduler round-trips — versus ~m×maxIter distributed jobs whose
+    * fixed overhead dwarfs the microseconds of real work per iteration. */
   def fitCodebooks(df: DataFrame, vecCol: String, m: Int, k: Int,
-                   seed: Long = 42L, maxIter: Int = 10): Array[Array[Array[Double]]] = {
-    val v = df.select(VectorOps.toDoubleArray(col(vecCol)).as("v"))
-    val dim = v.head().getSeq[Double](0).length
+                   seed: Long = 42L, maxIter: Int = 10,
+                   trainRows: Int = 4096): Array[Array[Array[Double]]] = {
+    val sample = df.select(VectorOps.toDoubleArray(col(vecCol)).as("v"))
+      .limit(trainRows)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty training sample for PQ codebooks")
+    val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     (0 until m).toArray.map { s =>
-      val feats = v.select(
-        array_to_vector(slice(col("v"), s * sub + 1, sub)).as("features"))
-      new KMeans().setK(k).setSeed(seed + s).setMaxIter(maxIter)
-        .setFeaturesCol("features")
-        .fit(feats).clusterCenters.map(_.toArray)
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      lloyd(pts, k, seed + s, maxIter)
     }
+  }
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Seeded k-means++ init + Lloyd's, driver-local. Deterministic for a
+    * given (points, k, seed). Empty clusters keep their previous center. */
+  private def lloyd(pts: Array[Array[Double]], k: Int, seed: Long,
+                    maxIter: Int): Array[Array[Double]] = {
+    val n = pts.length
+    val rnd = new scala.util.Random(seed)
+    val kk = math.min(k, n)
+    // k-means++ seeding: first center uniform, rest ∝ squared distance
+    val centers = scala.collection.mutable.ArrayBuffer(pts(rnd.nextInt(n)).clone())
+    val d2 = Array.fill(n)(Double.MaxValue)
+    while (centers.length < kk) {
+      val c = centers.last
+      var i = 0; var sum = 0.0
+      while (i < n) {
+        val d = sqDist(pts(i), c); if (d < d2(i)) d2(i) = d; sum += d2(i); i += 1
+      }
+      var r = rnd.nextDouble() * sum; var j = 0
+      while (j < n - 1 && r > d2(j)) { r -= d2(j); j += 1 }
+      centers += pts(j).clone()
+    }
+    // pad (degenerate tiny samples) so callers always get k codewords
+    while (centers.length < k) centers += centers(centers.length % kk).clone()
+    val cs = centers.toArray
+    val dimS = pts(0).length
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val sums = Array.fill(k)(new Array[Double](dimS))
+      val counts = new Array[Int](k)
+      var i = 0
+      while (i < n) {
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) {
+          val d = sqDist(pts(i), cs(c)); if (d < bd) { bd = d; best = c }; c += 1
+        }
+        counts(best) += 1
+        val s = sums(best); var j = 0
+        while (j < dimS) { s(j) += pts(i)(j); j += 1 }
+        i += 1
+      }
+      moved = false
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dimS) {
+            val v = sums(c)(j) / counts(c)
+            if (v != cs(c)(j)) { moved = true; cs(c)(j) = v }
+            j += 1
+          }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    cs
   }
 
   private def cwLit(c: Array[Double]): Column = array(c.map(lit): _*)
@@ -80,8 +159,8 @@ object PqAnn {
   /** Approximate top-k neighbors per query: ADC shortlist → exact
     * cosine re-rank. */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, m: Int = 4, kCode: Int = 16,
-              rerank: Int = 50, seed: Long = 42L): DataFrame = {
+              vecCol: String, k: Int, m: Int = 8, kCode: Int = 16,
+              rerank: Int = 100, seed: Long = 42L): DataFrame = {
     val codebooks = fitCodebooks(corpus, vecCol, m, kCode, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"),
         VectorOps.toDoubleArray(col(vecCol)).as("nvec"))
@@ -89,15 +168,38 @@ object PqAnn {
     val q = queries.select(col(idCol).as("query_id"),
         VectorOps.toDoubleArray(col(vecCol)).as("qvec"))
       .withColumn("tab", adcTable(col("qvec"), codebooks))
+    // ADC scan stays narrow: only (query_id, neighbor_id, adc) leaves the
+    // map side — the vectors, codes, and ADC tables never enter a shuffle.
+    val scored = q.select(col("query_id"), col("tab"))
+      .crossJoin(c.select(col("neighbor_id"), col("codes")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              adcDist(col("tab"), col("codes"), m, kCode).as("adc"),
+              spark_partition_id().as("pid"))
+    // Two-level top-`rerank`: first per (query, corpus-partition) — spread
+    // over #queries × #partitions keys so no task ever ranks the full
+    // corpus — then globally per query over ≤ rerank × #partitions
+    // survivors. Exact min-by-(adc, neighbor_id) is preserved by the
+    // two-level reduction because every global top-rerank row is in its
+    // partition's top-rerank.
+    val wLocal = Window.partitionBy(col("query_id"), col("pid"))
+      .orderBy(col("adc"), col("neighbor_id"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("neighbor_id"))
-    val wExact = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    q.crossJoin(c)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", adcDist(col("tab"), col("codes"), m, kCode))
+    val shortlist = scored
+      .withColumn("lr", row_number().over(wLocal))
+      .filter(col("lr") <= rerank)
       .withColumn("adc_rank", row_number().over(wAdc))
       .filter(col("adc_rank") <= rerank)          // compressed-domain shortlist
+      .select(col("query_id"), col("neighbor_id"))
+    // Exact re-rank of the tiny shortlist: broadcast it into the corpus to
+    // recover vectors (corpus side never shuffles), then the final window
+    // ranks only #queries × rerank rows.
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.select(col("neighbor_id"), col("nvec"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qvec"))), Seq("query_id"))
       .withColumn("cos", GraftFunctions.cosine_sim(col("qvec"), col("nvec")))
       .withColumn("rank", row_number().over(wExact).cast("long"))
       .filter(col("rank") <= k)

@@ -11,10 +11,9 @@ import graft.Tables
   *
   * Scale shape: one explode + (doc, term) aggregation (map-side
   * combinable), one term-level aggregation for document frequency, one
-  * broadcastable join of term stats back to the postings (the term
-  * dictionary is vocabulary-sized, ≪ corpus), and a per-doc top-k
-  * window. No cross products, no driver-side loops; the only driver
-  * scalar is the corpus size N.
+  * shuffled (AQE-broadcastable) join of term stats back to the postings,
+  * and a per-doc top-k window. No cross products, no driver-side loops;
+  * the only driver scalar is the corpus size N.
   */
 object TfIdf {
 
@@ -31,7 +30,13 @@ object TfIdf {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_raw").desc, col("term"))
-    tf.join(broadcast(dfreq), Seq("term"))
+    // Plain shuffled join on term: the dictionary is vocabulary-sized and at
+    // 100 TB can be billions of terms — an unconditional broadcast would OOM
+    // the driver. AQE still converts this to a broadcast join at runtime
+    // whenever dfreq is actually under the threshold, so small corpora lose
+    // nothing. Both sides are already hash-partitioned on `term` from their
+    // own aggregations, so the join reuses that partitioning.
+    tf.join(dfreq, Seq("term"))
       .withColumn("score_raw",
         col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -40,8 +40,12 @@ object VerifySubset {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // keep the model-replay oracle paths anchored to THIS run's data dir
+    // (see Verify.scala)
+    val modelRootFix: String => String =
+      _.replace("/tmp/graft_models/sf0.01", graft.ml.ModelOracles.modelRoot(sfDir))
     val json = graft.SparkEntry.oracleSql.filter(o => wanted(o._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(modelRootFix(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
