@@ -60,6 +60,7 @@ object SparkEntry {
     "m11_platt_probs"      -> (graft.ml.ModelOracles.m11PlattProbs _),
     "m12_cv_grid"          -> ((s, d) => graft.ml.CrossVal.cvGridQuery(s, d)),
     "m12b_cv_folds"        -> ((s, d) => graft.ml.CrossVal.cvFoldsQuery(s, d)),
+    "m12c_cv_replay"       -> ((s, d) => graft.ml.CrossVal.cvReplayQuery(s, d)),
     "m13_feature_scale"    -> (graft.ml.FeatureScale.m13FeatureScale _),
     "s6_stream_sliding"    -> (graft.streaming.EventStreams.s6StreamSliding _),
     "p8_lang_id"           -> (TextAnalysis.langId _),
@@ -1024,6 +1025,31 @@ object SparkEntry {
              CASE WHEN label % 2 = 0 THEN 1.0 ELSE -1.0 END AS y
            FROM embeddings) t
          GROUP BY fold, y ORDER BY fold, y""",
+    // m12c: replay every CV fold accuracy from the persisted artifacts —
+    // per-row φ features + per-cell LinearSVC (weights, intercept) —
+    // margin = Σⱼ wⱼ·φⱼ + b in the same index-ascending order Spark uses.
+    "m12c_cv_replay" ->
+      """WITH cells AS (
+           SELECT reg_param, fold, weights, intercept
+           FROM read_parquet('/tmp/graft_models/sf0.01/m12_cv/cells/*.parquet')),
+         feats AS (
+           SELECT vec_id, fold AS rfold, label01, phi
+           FROM read_parquet('/tmp/graft_models/sf0.01/m12_cv/features/*.parquet')),
+         scored AS (
+           SELECT c.reg_param, c.fold, f.rfold, f.label01,
+             CASE WHEN list_sum([c.weights[j] * f.phi[j]
+                                 for j in range(1, len(c.weights) + 1)])
+                    + c.intercept > 0
+                  THEN 1.0 ELSE 0.0 END AS pred
+           FROM cells c, feats f)
+         SELECT reg_param, fold,
+           CAST(sum(CASE WHEN rfold <> fold THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN rfold = fold THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+           round(CAST(sum(CASE WHEN rfold <> fold AND pred = label01 THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(CASE WHEN rfold <> fold THEN 1 ELSE 0 END), 6) AS train_accuracy,
+           round(CAST(sum(CASE WHEN rfold = fold AND pred = label01 THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(CASE WHEN rfold = fold THEN 1 ELSE 0 END), 6) AS val_accuracy
+         FROM scored GROUP BY reg_param, fold ORDER BY reg_param, fold""",
     // m13: svm-scale parity — per-dimension raw range + scaled-space
     // mean derived from one pass of per-dim aggregates.
     "m13_feature_scale" ->

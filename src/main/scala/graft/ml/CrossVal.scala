@@ -18,6 +18,11 @@ import graft.Tables
   * sharing it keeps the grid cost at |grid|·|folds| linear fits over a
   * cached feature table instead of re-landmarking per cell; fits run
   * concurrently (they are independent), mirroring fitMulticlassModel.
+  * (Recorded trade-off: fitting the map on the full pool includes each
+  * fold's validation rows — mild transductive leakage into CV scores.
+  * Harmless for the self-validation gate, which checks training
+  * accuracy; if CV scores ever drive real model selection, fit the map
+  * per-fold on training rows only.)
   *
   * Rows-only by design (iterative fits are not SQL), but SELF-VALIDATING:
   * the query fails fast unless (a) every row lands in exactly one fold,
@@ -51,9 +56,43 @@ object CrossVal {
       .orderBy(col("fold"), col("y"))
   }
 
+  /** One grid fit per (cell): per-cell LinearSVC weights + accuracies.
+    * `weights`/`intercept` are persisted so the m12c replay twin (and
+    * its DuckDB oracle) can recompute every accuracy from files. */
+  private[ml] case class CellFit(reg: Double, fold: Int, nTrain: Long,
+                                 nVal: Long, trainAcc: Double, valAcc: Double,
+                                 weights: Array[Double], intercept: Double)
+
+  // one grid fit per model root per JVM (m12 and m12c share it); the
+  // fit also persists features + cells parquet for oracle replay
+  private val gridCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[CellFit]]()
+
   def cvGridQuery(spark: SparkSession, dir: String,
                   folds: Int = 3, grid: Seq[Double] = Seq(1e-3, 1e-1),
                   numLandmarks: Int = 48, maxIter: Int = 8): DataFrame = {
+    import spark.implicits._
+    val results = fitGrid(spark, dir, folds, grid, numLandmarks, maxIter)
+    val byParam = results.groupBy(_.reg).view.mapValues(rs =>
+      rs.map(_.valAcc).sum / rs.length).toMap
+    val best = byParam.maxBy { case (reg, acc) => (acc, -reg) }
+    results.sortBy(r => (r.reg, r.fold))
+      .map(r => (r.reg, r.fold, r.nTrain, r.nVal, r.trainAcc, r.valAcc))
+      .toDF("reg_param", "fold", "n_train", "n_val", "train_accuracy", "val_accuracy")
+      .withColumn("train_accuracy", round(col("train_accuracy"), 6))
+      .withColumn("val_accuracy", round(col("val_accuracy"), 6))
+      .withColumn("is_best_param", col("reg_param") === best._1)
+  }
+
+  private def fitGrid(spark: SparkSession, dir: String,
+                      folds: Int, grid: Seq[Double],
+                      numLandmarks: Int, maxIter: Int): Seq[CellFit] =
+    gridCache.computeIfAbsent(ModelOracles.modelRoot(dir), _ =>
+      fitGridUncached(spark, dir, folds, grid, numLandmarks, maxIter))
+
+  private def fitGridUncached(spark: SparkSession, dir: String,
+                              folds: Int, grid: Seq[Double],
+                              numLandmarks: Int, maxIter: Int): Seq[CellFit] = {
     import spark.implicits._
     val data = Tables.embeddings(spark, dir)
       .withColumn("y", when(col("label") % 2 === 0, 1.0).otherwise(-1.0))
@@ -62,7 +101,7 @@ object CrossVal {
     val feats = Nystrom.transform(data.withColumn("__fold", fold), "embedding", map, "__phi")
       .withColumn("__features", array_to_vector(col("__phi")))
       .withColumn("__label01", when(col("y") > 0, 1.0).otherwise(0.0))
-      .select(col("__fold"), col("__features"), col("__label01"))
+      .select(col("vec_id"), col("__fold"), col("__phi"), col("__features"), col("__label01"))
       .coalesce(1)
       .persist()
     val total = feats.count()
@@ -110,28 +149,67 @@ object CrossVal {
             }
             val (nTrain, trainAcc) = acc(train)
             val (nVal, valAcc) = acc(valid)
-            (reg, f, nTrain, nVal, trainAcc, valAcc)
+            CellFit(reg, f, nTrain, nVal, trainAcc, valAcc,
+              m.coefficients.toArray, m.intercept)
           }
         }
-        futs.map(x =>
+        val rs = futs.map(x =>
           scala.concurrent.Await.result(x, scala.concurrent.duration.Duration.Inf))
+        // persist the replayable artifacts BEFORE unpersisting the
+        // feature table: per-row φ features + per-cell weights, the
+        // complete inputs to every fold accuracy (m12c + its oracle)
+        val rootPath = ModelOracles.modelRoot(dir)
+        feats.select(col("vec_id"), col("__fold").as("fold"),
+            col("__label01").as("label01"), col("__phi").as("phi"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$rootPath/m12_cv/features")
+        rs.map(r => (r.reg, r.fold, r.weights.toSeq, r.intercept))
+          .toDF("reg_param", "fold", "weights", "intercept")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$rootPath/m12_cv/cells")
+        rs
       } finally {
         pool.shutdown()
         feats.unpersist()
       }
 
-    val byParam = results.groupBy(_._1).view.mapValues(rs =>
-      rs.map(_._6).sum / rs.length).toMap
-    val best = byParam.maxBy { case (reg, acc) => (acc, -reg) }
-    require(results.forall(_._4 > 0), "empty validation fold")
-    require(results.exists(r => r._5 >= trainMajority(r._2)),
+    require(results.forall(_.nVal > 0), "empty validation fold")
+    require(results.exists(r => r.trainAcc >= trainMajority(r.fold)),
       "no grid cell reaches even its own train-subset majority baseline in " +
-        s"TRAINING (train accuracies: ${results.map(_._5).mkString(", ")}) — CV loop broken")
+        s"TRAINING (train accuracies: ${results.map(_.trainAcc).mkString(", ")}) — CV loop broken")
+    results
+  }
 
-    results.sortBy(r => (r._1, r._2))
-      .toDF("reg_param", "fold", "n_train", "n_val", "train_accuracy", "val_accuracy")
-      .withColumn("train_accuracy", round(col("train_accuracy"), 6))
-      .withColumn("val_accuracy", round(col("val_accuracy"), 6))
-      .withColumn("is_best_param", col("reg_param") === best._1)
+  /** m12c: the CV grid's fold accuracies REPLAYED from the persisted
+    * artifacts — per-row φ features and per-cell (weights, intercept) —
+    * using the explicit margin Σⱼ wⱼ·φⱼ + b, prediction = margin > 0.
+    * Spark and the DuckDB oracle both compute from the SAME files with
+    * the same index-ascending summation, so the driver hash-checks every
+    * fold accuracy end-to-end (the m8/m10 persist-and-replay pattern);
+    * this closes the gate VERDICT r04 flagged as m12's missing half. */
+  def cvReplayQuery(spark: SparkSession, dir: String): DataFrame = {
+    // make sure the artifacts exist (no-op if m12 already ran this JVM)
+    fitGrid(spark, dir, 3, Seq(1e-3, 1e-1), 48, 8)
+    val rootPath = ModelOracles.modelRoot(dir)
+    val cells = spark.read.parquet(s"$rootPath/m12_cv/cells")
+    val feats = spark.read.parquet(s"$rootPath/m12_cv/features")
+      .withColumnRenamed("fold", "rfold")
+    val margin = expr(
+      "aggregate(zip_with(weights, phi, (w, p) -> w * p), 0D, (acc, x) -> acc + x)") +
+      col("intercept")
+    val isTrain = col("rfold") =!= col("fold")
+    val isVal = col("rfold") === col("fold")
+    val okCol = col("pred") === col("label01")
+    cells.crossJoin(feats)   // |grid|·|folds| cells × bounded eval panel
+      .withColumn("pred", when(margin > 0, 1.0).otherwise(0.0))
+      .groupBy(col("reg_param"), col("fold"))
+      .agg(
+        sum(when(isTrain, 1L).otherwise(0L)).as("n_train"),
+        sum(when(isVal, 1L).otherwise(0L)).as("n_val"),
+        round(sum(when(isTrain && okCol, 1L).otherwise(0L)).cast("double") /
+          sum(when(isTrain, 1L).otherwise(0L)), 6).as("train_accuracy"),
+        round(sum(when(isVal && okCol, 1L).otherwise(0L)).cast("double") /
+          sum(when(isVal, 1L).otherwise(0L)), 6).as("val_accuracy"))
+      .orderBy(col("reg_param"), col("fold"))
   }
 }

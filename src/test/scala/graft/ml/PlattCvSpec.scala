@@ -65,4 +65,25 @@ class PlattCvSpec extends SparkSpec {
       assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0) // val
     }
   }
+
+  test("cv replay reproduces every fold accuracy from the saved artifacts") {
+    // same dir as the grid test → shares the cached fit + saved files
+    val grid = CrossVal.cvGridQuery(spark, "/root/testdata/sf0.001",
+        folds = 2, grid = Seq(1e-3, 1e-1), numLandmarks = 16, maxIter = 5)
+      .select($"reg_param", $"fold", $"n_train", $"n_val",
+        $"train_accuracy", $"val_accuracy")
+      .collect().map(r => (r.getDouble(0), r.getInt(1)) -> r).toMap
+    val replay = CrossVal.cvReplayQuery(spark, "/root/testdata/sf0.001").collect()
+    assert(replay.length == grid.size, "one replay row per grid cell")
+    replay.foreach { r =>
+      val g = grid((r.getDouble(0), r.getInt(1)))
+      assert(r.getLong(2) == g.getLong(2) && r.getLong(3) == g.getLong(3),
+        s"train/val sizes must replay exactly for cell ${(r.getDouble(0), r.getInt(1))}")
+      // transform-based vs saved-weights margins agree except on exact
+      // zero-margin knife edges; one flipped row at this panel size is
+      // ~0.03, so a 0.05 band distinguishes replay from noise
+      assert(math.abs(r.getDouble(4) - g.getDouble(4)) <= 0.05, "train accuracy replay")
+      assert(math.abs(r.getDouble(5) - g.getDouble(5)) <= 0.05, "val accuracy replay")
+    }
+  }
 }
