@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression gate: the scale-critical invariants the bench
+  * history argues from (pushdown, broadcast strategy, no accidental
+  * cartesians, codegen coverage) asserted as RED tests, so a Catalyst
+  * upgrade or refactor that silently un-broadcasts a dim or introduces a
+  * cross product fails here instead of surfacing as a slow bench run.
+  *
+  * Plans are built at sf0.001 — strategy choices for these queries are
+  * identical across the test SFs (dims stay under the broadcast
+  * threshold; filter/pruning shapes are SF-independent), and building
+  * the DataFrame is free (nothing is executed, only explained). The ML
+  * fit queries and iterative/checkpointed ops (m*, p14) are excluded:
+  * their "plan" at explain time is a materialized local result, not the
+  * dataflow that did the work. Streaming (s*) is covered by its own
+  * engine-run specs.
+  */
+class PlanRegressionSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private val planCache = scala.collection.mutable.Map[String, String]()
+
+  /** Execute (cheap at sf0.001) so AQE finalizes, then explain: the
+    * formatted FINAL plan is the one with real join strategies and
+    * WholeStageCodegen spans — the initial `isFinalPlan=false` skeleton
+    * renders neither. */
+  private def planOf(name: String, at: String = dir): String =
+    planCache.getOrElseUpdate(s"$name@$at", {
+      val df = graft.SparkEntry.queries(name)(spark, at)
+      df.collect()
+      df.queryExecution.explainString(FormattedMode)
+    })
+
+  /** At least one scan pushes a non-empty predicate list. */
+  private def assertPushedFilters(name: String, plan: String): Unit =
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      s"$name: no scan carries pushed filters")
+
+  private def assertNoCartesian(name: String, plan: String): Unit =
+    assert(!plan.contains("CartesianProduct"),
+      s"$name: CartesianProduct in plan — a join lost its equi-condition")
+
+  private def assertCodegen(name: String, plan: String): Unit =
+    assert(plan.contains("[codegen id :"),
+      s"$name: no whole-stage-codegen span — hot path fell out of codegen")
+
+  private def assertBroadcast(name: String, plan: String): Unit =
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"$name: dimension join no longer broadcast")
+
+  test("q1 pricing summary: filter pushed to scan, pruned columns, codegen") {
+    val p = planOf("q1_pricing_summary")
+    assertPushedFilters("q1", p)
+    assert(!p.contains("l_comment"),
+      "q1: scan reads l_comment — column pruning regressed")
+    assertCodegen("q1", p)
+    assertNoCartesian("q1", p)
+  }
+
+  test("q3 shipping priority: dims broadcast, filters pushed, codegen") {
+    val p = planOf("q3_shipping_priority")
+    assertBroadcast("q3", p)
+    assertPushedFilters("q3", p)
+    assertCodegen("q3", p)
+    assertNoCartesian("q3", p)
+  }
+
+  test("q5 local supplier: 5-way join plans with broadcasts and no cartesian") {
+    val p = planOf("q5_local_supplier")
+    assertBroadcast("q5", p)
+    assertCodegen("q5", p)
+    assertNoCartesian("q5", p)
+  }
+
+  test("q6 forecast revenue: all three predicates pushed to the scan") {
+    val p = planOf("q6_forecast_revenue")
+    assertPushedFilters("q6", p)
+    assertCodegen("q6", p)
+  }
+
+  test("q9 rollup and q18 large orders: shuffled aggregation, no cartesian") {
+    for (name <- Seq("q9_rollup", "q18_large_orders")) {
+      val p = planOf(name)
+      assertCodegen(name, p)
+      assertNoCartesian(name, p)
+    }
+  }
+
+  test("dedup/pipeline plans: banded joins stay equi-joins (no cartesian)") {
+    for (name <- Seq("p2_minhash_pairs", "p3_simhash_pairs", "p4_ngram_jaccard",
+                     "p15_tfidf_topterms", "p17_pack", "p18_contamination",
+                     "p13_curation_pipeline")) {
+      val p = planOf(name)
+      assertNoCartesian(name, p)
+      assertCodegen(name, p)
+    }
+  }
+
+  test("p1 exact dedup: single hash aggregation over a pruned scan") {
+    // the correct p1 answer is EMPTY at test SFs (the synthetic docs have
+    // near-dups but no byte-exact copies), so AQE rightly collapses the
+    // final plan to EmptyRelation — assert on the INITIAL plan's shape
+    val p = planOf("p1_dedup_exact", "/root/testdata/sf0.01")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "p1: scan must read only (doc_id, text) — column pruning regressed")
+    assert(p.contains("HashAggregate"),
+      "p1: dedup must be a hash aggregation over content_hash")
+    assertNoCartesian("p1", p)
+  }
+
+  test("declared compressed-domain scans are the ONLY nested-loop joins") {
+    // p5/p6 (exact oracle twins) and p7c's ADC scan are cross joins BY
+    // DESIGN; every other audited query must stay nested-loop-free.
+    for (name <- Seq("q1_pricing_summary", "q3_shipping_priority",
+                     "q5_local_supplier", "q9_rollup", "p2_minhash_pairs",
+                     "p15_tfidf_topterms", "p18_contamination")) {
+      val p = planOf(name)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name: BroadcastNestedLoopJoin appeared — a join lost its keys")
+    }
+  }
+}
