@@ -43,11 +43,17 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val n = try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        -1L
+      }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $dt%8.2fs")
+      System.err.println(f"[bench] $name%-24s $dt%8.2fs" +
+        (if (n < 0) "  FAILED" else ""))
       // queries are independent: drop caches leaked by iterative ops so
       // later queries aren't taxed by earlier ones' memory footprint
       spark.catalog.clearCache()
@@ -67,7 +73,10 @@ object Bench {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(dp, v) }
         .mkString("{", ",", "}")
       val sfName = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":${fmt(2, total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      val failedJson =
+        if (failed.isEmpty) ""
+        else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+      s"""{"metric":"total","value":${fmt(2, total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfName"}"""
     }
     // If even dp=0 overflows the tail window, emit the SLOWEST queries
     // that fit (the informative ones) plus an omission count, rather
