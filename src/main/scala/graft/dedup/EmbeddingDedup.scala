@@ -51,20 +51,34 @@ object EmbeddingDedup {
     * one table w.p. (1 − arccos(c)/π)^planes, amplified over tables. The
     * defaults target the real near-dup regime (c ≥ 0.9 → recall ≈ 1);
     * at low thresholds LSH is inherently lossy — use [[nearDupPairs]]
-    * when exactness matters more than scale. */
+    * when exactness matters more than scale.
+    *
+    * `planesPerTable < 0` (default) picks ~log₂(n) planes from the
+    * corpus size: a FIXED plane count makes the expected random-pair
+    * collision rate a constant fraction of all n² pairs (measured: 6
+    * planes was tuned at n=2k and produced tens of millions of random
+    * candidates at n=20k, GC-storming the executor), while log₂(n)
+    * planes keep expected random collisions O(n) per table and leave
+    * near-identical recall ≈ 1 (arccos 0.95 → per-plane retain 0.90,
+    * ^15 ≈ 0.2 per table, 12 tables → 0.93+; the self-gate's predicted
+    * recall uses the ACTUAL plane count, so the measured-vs-theory
+    * check stays honest at every size). */
   /** `eager = true` materializes the (small) pair output and releases the
     * internal vector cache before returning (see
     * [[SimHashDedup.nearDuplicatePairs]] for the lifecycle rationale). */
   def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, numTables: Int = 12,
-                      planesPerTable: Int = 6, dim: Int = 64,
+                      planesPerTable: Int = -1, dim: Int = 64,
                       maxBucketSize: Int = 4096,
                       eager: Boolean = false): DataFrame = {
-    val tables = graft.sim.LshAnn.hyperplanes(numTables, planesPerTable, dim)
     val v = df.select(col(idCol).as("id"),
                       VectorOps.toDoubleArray(col(vecCol)).as("vec"))
       .withColumn("nrm", VectorOps.norm(col("vec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val planes =
+      if (planesPerTable > 0) planesPerTable
+      else planesForSize(v.count())
+    val tables = graft.sim.LshAnn.hyperplanes(numTables, planes, dim)
     val banded = v
       .select(col("id"), posexplode(array(
         tables.map(t => graft.sim.LshAnn.bucketKey(col("vec"), t)): _*)))
@@ -91,19 +105,26 @@ object EmbeddingDedup {
     * a silent bucketing/hashing regression can't pass as "rows > 0".
     * (The spec separately pins recall ≈ 1 on planted near-identical
     * vectors, the regime the defaults target.) */
+  /** ~log₂(n) hyperplanes per table, floored at the small-corpus tuning
+    * point: keeps each table's expected random-collision pair count
+    * O(n) instead of O(n²/2^planes) with a fixed exponent. */
+  private[dedup] def planesForSize(n: Long): Int =
+    math.max(6, math.ceil(math.log(math.max(n, 2).toDouble) / math.log(2.0)).toInt)
+
   def queryLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val planes = planesForSize(Tables.embeddings(spark, dir).count())
     val lsh = nearDupPairsLsh(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4,
-        eager = true)
+        planesPerTable = planes, eager = true)
     val exact = nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
       .select($"id_a", $"id_b", $"cos_sim").localCheckpoint()
     val nExact = exact.count()
     val nFound = exact.join(lsh.select($"id_a", $"id_b"), Seq("id_a", "id_b"), "left_semi")
       .count()
-    // collision probability of THESE pairs under the default banding
+    // collision probability of THESE pairs under the ACTUAL banding used
     val expected = exact
-      .withColumn("p1", pow(lit(1.0) - acos($"cos_sim") / math.Pi, 6))
-      .agg(avg(lit(1.0) - pow(lit(1.0) - $"p1", 12))).head.getDouble(0)
+      .withColumn("p1", pow(lit(1.0) - acos($"cos_sim") / math.Pi, planes))
+      .agg(avg(lit(1.0) - pow(lit(1.0) - $"p1", 12))).head().getDouble(0)
     val recall = if (nExact == 0) 1.0 else nFound.toDouble / nExact
     require(recall >= 0.6 * expected,
       f"p5b measured recall $recall%.3f < 60%% of banding-predicted $expected%.3f — LSH regressed")

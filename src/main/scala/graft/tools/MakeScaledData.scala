@@ -8,11 +8,20 @@ import org.apache.spark.sql.functions._
   * available in this container, and /root/testdata is read-only).
   *
   * Every replica shifts the table's primary/foreign keys by i·OFF so
-  * referential integrity holds across the whole scaled corpus; content
-  * columns are kept byte-identical, which deliberately grows the dedup
-  * pair graph and ANN twin structure with SF — a harsher scaling test
-  * for p2/p14 than fresh random text would be. region/nation stay
-  * unscaled (TPC-H dimension semantics).
+  * referential integrity holds across the whole scaled corpus.
+  * Content columns are PERTURBED per replica so the near-dup structure
+  * scales realistically (each replica contributes its own sf0.1-shaped
+  * pair subgraph; ~10× pairs at 10× docs): byte-identical replicas
+  * would instead put every doc in a 10-clique and grow every pair graph
+  * quadratically — a pathological corpus, not a bigger one.
+  *   - documents: a replica-marker token is spliced in every 8 tokens,
+  *     pushing cross-replica shingle Jaccard below the 0.8 near-dup
+  *     threshold and flipping ≥4 simhash band chunks, while within-
+  *     replica near-dups keep their sf0.1 similarity exactly;
+  *   - embeddings: each replica circularly shifts the vector by i
+  *     positions — norms and value distributions preserved, cross-
+  *     replica cosine decorrelated to the random-pair regime.
+  * region/nation stay unscaled (TPC-H dimension semantics).
   *
   * Usage: MakeScaledData <srcDir> <dstDir> <factor>
   */
@@ -55,8 +64,29 @@ object MakeScaledData {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     write(replicate(spark.read.parquet(s"$src/events.parquet"),
       Seq("event_id", "user_id")), "events")
-    write(replicate(spark.read.parquet(s"$src/documents.parquet"), Seq("doc_id")), "documents")
-    write(replicate(spark.read.parquet(s"$src/embeddings.parquet"), Seq("vec_id")), "embeddings")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docReplicas = (0 until factor).map { i =>
+      val d = docs.withColumn("doc_id", col("doc_id") + lit(i * OFF))
+      if (i == 0) d
+      else d.withColumn("text", expr(
+        s"""array_join(
+              flatten(transform(split(text, '\\\\s+'),
+                (t, j) -> CASE WHEN j % 8 = 7 THEN array(t, 'zrep$i')
+                               ELSE array(t) END)),
+              ' ')"""))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    write(docReplicas.reduce(_ union _), "documents")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val embReplicas = (0 until factor).map { i =>
+      val e = emb.withColumn("vec_id", col("vec_id") + lit(i * OFF))
+      if (i == 0) e
+      else e.withColumn("embedding", expr(
+        s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), slice(embedding, 1, $i))"))
+    }
+    write(embReplicas.reduce(_ union _), "embeddings")
     spark.stop()
   }
 }
