@@ -170,22 +170,37 @@ object MulticlassKernelSvmModel {
 
 object KernelSvmTrainer {
 
+  /** Partition count for a cached iterative-fit feature table: ~2.5k
+    * rows per task, floored at 1 and capped at the session's default
+    * parallelism. The old ~50k-rows-per-task target collapsed a 20k-row
+    * set onto ONE partition, so every OWLQN iteration of every
+    * (possibly concurrent) fit ran single-threaded — measured 16×
+    * super-linear on the OVR fit at 10× data. The lower target still
+    * amortizes scheduler overhead (a task is ~ms at 2.5k×97 doubles)
+    * while letting treeAggregate use the cores; at cluster scale the
+    * parallelism cap is what binds, which is the right regime. Callers
+    * pair this with repartition (NOT coalesce: a single-file parquet
+    * source arrives as 1-2 partitions and coalesce can only shrink). */
+  private[ml] def fitPartitions(df: DataFrame, n: Long): Int = {
+    val cap = df.sparkSession.sparkContext.defaultParallelism
+    math.max(1, math.min(cap, (n / 2500L).toInt + 1))
+  }
+
   /** M8: fit a binary kernel SVM; labels in `labelCol` must be ±1. */
   def fit(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
           params: KernelSvmParams = KernelSvmParams()): KernelSvmModel = {
     val map = Nystrom.fit(df, idCol, vecCol, params.kernel, params.numLandmarks)
-    // The mapped training set is tiny relative to cluster cores when n is
-    // moderate; for the iterative OWLQN fit, scheduler overhead per
-    // micro-task dominates — compact the partitioning to ~50k rows per
-    // task and cache so the feature map runs once, not once per pass.
+    // Compact the partitioning for the iterative OWLQN fit (scheduler
+    // overhead per micro-task dominates when partitions are tiny) and
+    // cache so the feature map runs once, not once per pass.
     val n = df.count()
-    val parts = math.max(1, math.min(df.rdd.getNumPartitions, (n / 50000L).toInt + 1))
+    val parts = fitPartitions(df, n)
     val feats = Nystrom.transform(df, vecCol, map, "__phi")
       .withColumn("__features", array_to_vector(col("__phi")))
       .withColumn("__label01", when(col(labelCol) > 0, 1.0).otherwise(0.0))
       .withColumn("__weight",
         when(col(labelCol) > 0, params.posWeight).otherwise(params.negWeight))
-      .coalesce(parts)
+      .repartition(parts)
       .persist()
     val svc = new LinearSVC()
       .setFeaturesCol("__features").setLabelCol("__label01")
@@ -257,11 +272,11 @@ object KernelSvmTrainer {
                          parallelism: Int = 8): MulticlassKernelSvmModel = {
     val map = Nystrom.fit(df, idCol, vecCol, params.kernel, params.numLandmarks)
     val n = df.count()
-    val parts = math.max(1, math.min(df.rdd.getNumPartitions, (n / 50000L).toInt + 1))
+    val parts = fitPartitions(df, n)
     val feats = Nystrom.transform(df, vecCol, map, "__phi")
       .withColumn("__features", array_to_vector(col("__phi")))
       .withColumn("__cls", col(labelCol).cast("double"))
-      .coalesce(parts)
+      .repartition(parts)
       .persist()
     val classes = feats.select(col("__cls")).distinct()
       .collect().map(_.getDouble(0)).sorted   // bounded: one value per class
@@ -299,11 +314,11 @@ object KernelSvmTrainer {
                     params: KernelSvmParams = KernelSvmParams()): DataFrame = {
     val map = Nystrom.fit(df, idCol, vecCol, params.kernel, params.numLandmarks)
     val n = df.count()
-    val parts = math.max(1, math.min(df.rdd.getNumPartitions, (n / 50000L).toInt + 1))
+    val parts = fitPartitions(df, n)
     val feats = Nystrom.transform(df, vecCol, map, "__phi")
       .withColumn("__features", array_to_vector(col("__phi")))
       .withColumn("__label", col(labelCol).cast("double"))
-      .coalesce(parts)
+      .repartition(parts)
       .persist()
     val ovr = new OneVsRest()
       .setClassifier(new LinearSVC()

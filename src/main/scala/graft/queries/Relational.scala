@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -399,13 +399,44 @@ object Relational {
     * and fails fast past the accuracy budget. */
   def q29ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val out = Tables.lineitem(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val approx = li
       .groupBy($"l_returnflag")
       .agg(
         round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("ap50_price"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),
-        round(expr("approx_percentile(l_extendedprice, 0.95, 1000)"), 2).as("ap95_price"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"))
+        round(expr("approx_percentile(l_extendedprice, 0.95, 1000)"), 2).as("ap95_price"))
+    // EXACT side via value-compressed distributed sort + interpolation
+    // at the two closest ranks (same linear-interpolation definition as
+    // Spark's `percentile`), NOT the percentile() aggregate: that one
+    // accumulates a value→count map per group in a single aggregation
+    // buffer — at 10× rows that meant multi-million-entry maps per
+    // buffer and a 35× super-linear blow-up. Here the rows first
+    // compress to (group, value, cnt) with a parallel hash aggregate,
+    // and only the distinct values go through the per-group sort, with
+    // cumulative counts recovering the global 0-based rank range
+    // [cumb, cumb+cnt) each value occupies.
+    val wCum = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wN = Window.partitionBy($"l_returnflag")
+    def interp(p: Double, alias: String): Column = {
+      val pos = (col("n") - 1) * p
+      val lo = floor(pos)
+      val f = pos - lo
+      val covers: Column => Column = i =>
+        col("cumb") <= i && i < col("cumb") + col("cnt")
+      round(sum(
+        when(covers(lo), col("l_extendedprice") * (lit(1.0) - f)).otherwise(0.0) +
+        when(covers(lo + 1), col("l_extendedprice") * f).otherwise(0.0)), 2).as(alias)
+    }
+    val exact = li.groupBy($"l_returnflag", $"l_extendedprice")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cumb", coalesce(sum($"cnt").over(wCum), lit(0L)))
+      .withColumn("n", sum($"cnt").over(wN))
+      .groupBy($"l_returnflag")
+      .agg(interp(0.5, "p50_price"), interp(0.95, "p95_price"))
+    val out = approx.join(exact, Seq("l_returnflag"))
+      .select($"l_returnflag", $"ap50_price", $"p50_price",
+              $"ap95_price", $"p95_price")
       .withColumn("max_rel_error", round(greatest(
         abs($"ap50_price" - $"p50_price") / $"p50_price",
         abs($"ap95_price" - $"p95_price") / $"p95_price"), 6))

@@ -50,7 +50,12 @@ object PqAnn {
   def fitCodebooks(df: DataFrame, vecCol: String, m: Int, k: Int,
                    seed: Long = 42L, maxIter: Int = 10,
                    trainRows: Int = 4096): Array[Array[Array[Double]]] = {
+    // hash-ordered sample, not limit(): a limit takes whatever file
+    // prefix the scan yields, which on a partitioned/sorted corpus is a
+    // biased slice of the distribution; ordering by the vector's hash
+    // spreads the sample deterministically across the whole corpus
     val sample = df.select(VectorOps.toDoubleArray(col(vecCol)).as("v"))
+      .orderBy(xxhash64(col("v")))
       .limit(trainRows)
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty training sample for PQ codebooks")
@@ -157,10 +162,21 @@ object PqAnn {
       element_at(tab, element_at(codes, s + 1) + lit(s * k) + 1)).reduce(_ + _)
 
   /** Approximate top-k neighbors per query: ADC shortlist → exact
-    * cosine re-rank. */
+    * cosine re-rank.
+    *
+    * `rerank < 0` (default) auto-scales the shortlist with corpus size,
+    * clamp(n/50, 100, 1000): a FIXED shortlist is a shrinking fraction
+    * of a growing corpus (100 of 2k = 5%; 100 of 20k = 0.5%), which
+    * silently degrades recall with scale; the 1000 cap keeps the
+    * per-query re-rank cost bounded at billion-vector corpora, where
+    * recall should come from better codes (larger m/kCode, or PQ over
+    * IVF cells), not an unbounded shortlist. */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, m: Int = 8, kCode: Int = 16,
-              rerank: Int = 100, seed: Long = 42L): DataFrame = {
+              rerank: Int = -1, seed: Long = 42L): DataFrame = {
+    val rerankN =
+      if (rerank > 0) rerank
+      else math.min(1000, math.max(100, (corpus.count() / 50L).toInt))
     val codebooks = fitCodebooks(corpus, vecCol, m, kCode, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"),
         VectorOps.toDoubleArray(col(vecCol)).as("nvec"))
@@ -188,9 +204,9 @@ object PqAnn {
       .orderBy(col("adc"), col("neighbor_id"))
     val shortlist = scored
       .withColumn("lr", row_number().over(wLocal))
-      .filter(col("lr") <= rerank)
+      .filter(col("lr") <= rerankN)
       .withColumn("adc_rank", row_number().over(wAdc))
-      .filter(col("adc_rank") <= rerank)          // compressed-domain shortlist
+      .filter(col("adc_rank") <= rerankN)          // compressed-domain shortlist
       .select(col("query_id"), col("neighbor_id"))
     // Exact re-rank of the tiny shortlist: broadcast it into the corpus to
     // recover vectors (corpus side never shuffles), then the final window
