@@ -58,18 +58,28 @@ object EventStreams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Paths.get(dir, "events.parquet")
     // the file stream source lists a DIRECTORY (that's its contract —
-    // new files arrive over time); the test table is a single parquet
-    // file, so stage a symlink to it in a temp dir
-    val staged = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    // staged dirs hold one symlink each; clean them up on JVM exit so
-    // repeated bench/verify sessions don't accumulate temp entries
-    staged.toFile.deleteOnExit()
-    val link = staged.resolve("events.parquet")
-    link.toFile.deleteOnExit()
-    try java.nio.file.Files.createSymbolicLink(link, src)
-    catch { case _: Throwable => java.nio.file.Files.copy(src, link) }
+    // new files arrive over time). A directory-shaped table (the
+    // production layout, and any multi-file write) streams as-is; the
+    // driver's single-FILE test table is staged behind a symlink in a
+    // temp dir. (The source does NOT recurse into subdirectories, so
+    // pointing it at the parent with a file-named child dir silently
+    // streams zero files — found when the 10× scaled corpus produced
+    // empty streaming results.)
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val staged = java.nio.file.Files.createTempDirectory("graft_stream_src")
+        // staged dirs hold one symlink each; clean them up on JVM exit so
+        // repeated bench/verify sessions don't accumulate temp entries
+        staged.toFile.deleteOnExit()
+        val link = staged.resolve("events.parquet")
+        link.toFile.deleteOnExit()
+        try java.nio.file.Files.createSymbolicLink(link, src)
+        catch { case _: Throwable => java.nio.file.Files.copy(src, link) }
+        staged.toString
+      }
     val schema = spark.read.parquet(src.toString).schema
-    spark.readStream.schema(schema).parquet(staged.toString)
+    spark.readStream.schema(schema).parquet(streamDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
