@@ -10,8 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // see Verify.scala: the codegen class cache (static conf, default
       // 100) must hold the whole query pack or evicted stages recompile
-      // per task through janino — a 30-90x tax on later queries
-      .config("spark.sql.codegen.cache.maxEntries", "1500")
+      // per task through janino — a 30-90x tax on later queries.
+      // Env-overridable for A/B-ing the late-suite contamination band.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "1500"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: touch each table + force codegen/JIT of the common
