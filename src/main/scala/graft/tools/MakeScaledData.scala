@@ -79,12 +79,26 @@ object MakeScaledData {
     }
     write(docReplicas.reduce(_ union _), "documents")
 
+    // Per-replica transform must be (a) norm-preserving, (b) uniform
+    // within the replica (so within-replica near-dup structure is kept
+    // exactly), (c) UNIQUE per replica (two replicas sharing a transform
+    // would be byte-identical to each other — every doc gains an exact
+    // twin and the pair graph grows pathologically). A circular shift
+    // alone repeats at i ≥ dim; compose it with an alternating sign
+    // flip keyed by i/dim — unique for factor ≤ 2·dim (= 128 at dim 64).
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = emb.selectExpr("size(embedding) d").head().getInt(0)
+    require(factor <= 2 * dim,
+      s"factor $factor exceeds the ${2 * dim} distinct per-replica transforms at dim $dim")
     val embReplicas = (0 until factor).map { i =>
       val e = emb.withColumn("vec_id", col("vec_id") + lit(i * OFF))
-      if (i == 0) e
+      val s = i % dim
+      val shifted = if (s == 0) e
       else e.withColumn("embedding", expr(
-        s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), slice(embedding, 1, $i))"))
+        s"concat(slice(embedding, ${s + 1}, size(embedding) - $s), slice(embedding, 1, $s))"))
+      if (i < dim) shifted
+      else shifted.withColumn("embedding", expr(
+        "transform(embedding, (x, j) -> IF(j % 2 = 0, -x, x))"))
     }
     write(embReplicas.reduce(_ union _), "embeddings")
     spark.stop()
