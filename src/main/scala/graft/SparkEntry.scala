@@ -76,6 +76,7 @@ object SparkEntry {
     "p5_embedding_dedup"   -> (EmbeddingDedup.query _),
     "p5b_embedding_dedup_lsh" -> (EmbeddingDedup.queryLsh _),
     "p14_dedup_clusters"   -> (graft.dedup.DedupClusters.query _),
+    "p25_keep_best"        -> (graft.dedup.DedupClusters.keepBestQuery _),
     "p6_knn_bruteforce"    -> (Knn.query _),
     "p7_ann_lsh"           -> (LshAnn.query _),
     "p7b_ann_ivf"          -> (graft.sim.IvfAnn.query _),
@@ -338,6 +339,7 @@ object SparkEntry {
     // p7 (ANN): rows-only; the spec measures recall vs brute force.
     "p2_minhash_pairs" -> graft.dedup.MinHashDedup.oracleSql,
     "p14_dedup_clusters" -> graft.dedup.DedupClusters.oracleSql,
+    "p25_keep_best" -> graft.dedup.DedupClusters.keepBestOracleSql,
     "p3_simhash_pairs" -> graft.dedup.SimHashDedup.oracleSql,
     "p4_ngram_jaccard" -> graft.dedup.NgramJaccard.oracleSql,
     "p5_embedding_dedup" ->

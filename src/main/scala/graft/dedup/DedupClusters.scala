@@ -154,6 +154,83 @@ object DedupClusters {
       .orderBy($"doc_id")
   }
 
+  /** §2.3 P25: canonical representative selection — clustering alone
+    * doesn't dedup a corpus; the production step that follows keeps
+    * exactly ONE doc per near-dup cluster. "Best" is the highest
+    * quality_score (P9's metric) with doc_id as the deterministic
+    * tie-break — near-identical copies frequently carry identical
+    * rounded scores, so the tie-break is load-bearing, not cosmetic.
+    * Output is the per-cluster decision record: who was kept, at what
+    * quality, and how many near-dups were dropped.
+    *
+    * Scale shape: the cluster table only contains docs that HAVE a
+    * near-dup (a small fraction of the corpus), the quality join is
+    * keyed on doc_id, and the argmax is a window partitioned by
+    * cluster_id whose shuffle key is reused by the summary aggregation
+    * — one narrow shuffle end to end, nothing global. */
+  def keepBestQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = MinHashDedup.nearDuplicatePairs(
+      Tables.documents(spark, dir), "doc_id", "text", 0.8)
+    val clusters = connectedComponents(
+        pairs.select($"id_a".as("src"), $"id_b".as("dst")))
+      .select($"id".as("doc_id"), $"comp".as("cluster_id"))
+    val quality = graft.text.TextAnalysis.quality(spark, dir)
+      .select($"doc_id", $"quality_score")
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"quality_score".desc, $"doc_id")
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+           max(when($"rk" === 1, $"doc_id")).as("kept_doc_id"),
+           max(when($"rk" === 1, $"quality_score")).as("kept_quality"))
+      .orderBy($"cluster_id")
+  }
+
+  /** DuckDB oracle for [[keepBestQuery]]: P14's recursive closure for
+    * the clusters + P9's quality formula replayed in SQL, then the same
+    * rank-1 selection. */
+  val keepBestOracleSql: String =
+    """WITH RECURSIVE sh AS (
+         SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+         FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents)),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sh a, sh b
+         WHERE a.doc_id < b.doc_id
+           AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+       edges AS (
+         SELECT id_a AS a, id_b AS b FROM pairs
+         UNION ALL
+         SELECT id_b AS a, id_a AS b FROM pairs),
+       reach(id, r) AS (
+         SELECT a, a FROM edges
+         UNION
+         SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+       clusters AS (
+         SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       q AS (
+         SELECT doc_id,
+           round(0.4 * (len(list_distinct(toks)) / len(toks)) +
+                 0.3 * (1.0 - len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) / len(toks)) +
+                 0.3 * least(1.0, len(toks) / 100.0), 6) AS quality_score
+         FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents) t),
+       ranked AS (
+         SELECT c.cluster_id, c.doc_id, q.quality_score,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY q.quality_score DESC, c.doc_id) AS rk
+         FROM clusters c JOIN q USING (doc_id))
+       SELECT cluster_id, count(*) AS n_members,
+         max(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc_id,
+         max(CASE WHEN rk = 1 THEN quality_score END) AS kept_quality
+       FROM ranked
+       GROUP BY cluster_id
+       ORDER BY cluster_id"""
+
   /** DuckDB oracle: p2's exact pair graph + recursive transitive closure;
     * each clustered doc gets the min reachable id as its cluster label. */
   val oracleSql: String =

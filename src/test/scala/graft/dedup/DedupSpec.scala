@@ -185,6 +185,29 @@ class DedupSpec extends SparkSpec {
     assert(star === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("keep-best selection keeps the highest-quality doc per cluster, min id on ties") {
+    val dir = "/root/testdata/sf0.001"
+    val out = DedupClusters.keepBestQuery(spark, dir)
+      .select("cluster_id", "n_members", "kept_doc_id").collect()
+    // structural invariants that hold for ANY corpus: the kept doc is a
+    // member of its own cluster, clusters have >= 2 members (singletons
+    // never enter the pair graph), and cluster ids are the member min
+    val clusters = DedupClusters.query(spark, dir)
+      .as[(Long, Long)].collect().groupBy(_._2).map { case (c, ms) => (c, ms.map(_._1).toSet) }
+    assert(out.nonEmpty, "sf0.001 plants at least one near-dup cluster")
+    out.foreach { r =>
+      val (cid, n, kept) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(clusters(cid).contains(kept), s"kept $kept not in cluster $cid")
+      assert(n === clusters(cid).size.toLong)
+      assert(cid === clusters(cid).min)
+    }
+    // deterministic tie-break: identical copies carry identical rounded
+    // quality, so a kept id must be reproducible run to run
+    val again = DedupClusters.keepBestQuery(spark, dir)
+      .select("cluster_id", "n_members", "kept_doc_id").collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("embedding near-dup pairs at threshold") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
