@@ -7,7 +7,26 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+      // Fine-grained INITIAL shuffle partitioning, AQE coalesces small
+      // stages back down: with a static 32, a shuffle whose rows are fat
+      // (dedup verification joins carry ~1KB shingle arrays per pair)
+      // concentrates gigabytes per sort buffer — measured GC-storm →
+      // heartbeat-timeout → dead context on a 500k-doc corpus. 8×cpus
+      // initial granularity caps per-partition bytes at scale and costs
+      // nothing small (AQE merges sub-64MB partitions immediately).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
+      // finer scan grain than the 128m default: compressed columnar
+      // bytes under-represent decode work, and a ~100MB single-file
+      // table otherwise scans 1-wide on a 32-core box
+      .config("spark.sql.files.maxPartitionBytes", "32m")
+      // AQE's 64m coalesce target is tuned for byte-proportional work;
+      // pair-expansion stages (dedup banding) multiply row counts after
+      // the shuffle, so a finer target keeps their parallelism
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      // dev aid: SPARK_GRAFT_UI=true exposes the web UI / REST API for
+      // plan-level debugging of scaled runs
+      .config("spark.ui.enabled", sys.env.getOrElse("SPARK_GRAFT_UI", "false"))
       // see Verify.scala: the codegen class cache (static conf, default
       // 100) must hold the whole query pack or evicted stages recompile
       // per task through janino — a 30-90x tax on later queries.

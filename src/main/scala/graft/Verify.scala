@@ -14,6 +14,12 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // fat-row shuffles need finer initial grain; AQE coalesces the
+      // rest — see Bench.scala for the measured failure this prevents
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
+      // see Bench.scala: decode work ≫ compressed bytes
+      .config("spark.sql.files.maxPartitionBytes", "32m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // static conf, default 100: the ML queries embed fitted weights as

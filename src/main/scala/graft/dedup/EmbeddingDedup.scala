@@ -74,6 +74,10 @@ object EmbeddingDedup {
     val v = df.select(col(idCol).as("id"),
                       VectorOps.toDoubleArray(col(vecCol)).as("vec"))
       .withColumn("nrm", VectorOps.norm(col("vec")))
+      // see MinHashDedup: scan partitioning reflects file bytes, not
+      // per-row hash work — spread the corpus before the heavy pipeline
+      .repartition(
+        df.sparkSession.sparkContext.defaultParallelism * 2, col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val planes =
       if (planesPerTable > 0) planesPerTable
@@ -83,9 +87,12 @@ object EmbeddingDedup {
       .select(col("id"), posexplode(array(
         tables.map(t => graft.sim.LshAnn.bucketKey(col("vec"), t)): _*)))
       .select(col("id"), col("pos").as("band_idx"), col("col").as("band_key"))
+    // merge hint: corpus-sized vector side must never broadcast — see
+    // MinHashDedup.candidatePairsByHashed for the measured failure mode
+    // (array-column size under-estimate → driver-built giant hash map)
     val pairs = MinHashDedup.pairsFromBands(banded, maxBucketSize)
-      .join(v.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a")), Seq("id_a"))
-      .join(v.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b")), Seq("id_b"))
+      .join(v.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a")).hint("merge"), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b")).hint("merge"), Seq("id_b"))
       .withColumn("cos",
         graft.functions.GraftFunctions.dot_product(col("vec_a"), col("vec_b")) /
           (col("nrm_a") * col("nrm_b")))

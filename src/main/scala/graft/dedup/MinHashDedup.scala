@@ -121,14 +121,31 @@ object MinHashDedup {
   def candidatePairsByHashed(hashed: DataFrame, bands: Int = Bands,
                              rowsPerBand: Int = RowsPerBand,
                              maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    // persist: banding + the two verification joins each consume this
-    val cached = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+    // persist: banding + the two verification joins each consume this.
+    // Repartition FIRST: the upstream is typically a compressed parquet
+    // scan whose partition count reflects FILE bytes, not the 100×
+    // decode+shingle+hash work this pipeline does per row — measured on
+    // a 500k-doc corpus, a ~150MB scan arrived as 2 partitions and the
+    // whole hash/band/verify pipeline ran 2-wide. Hash-partitioning on
+    // id also pre-aligns the cache with the verification joins' keys.
+    val np = hashed.sparkSession.sparkContext.defaultParallelism * 2
+    val cached = hashed.repartition(np, col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = cached
       .select(col("id"), posexplode(bandKeys(col("sh"), bands, rowsPerBand)))
       .select(col("id"), col("pos").as("band_idx"), col("col").as("band_key"))
+    // merge hint: the sets side is CORPUS-sized and must never broadcast.
+    // Catalyst's size estimate for array columns is a small constant, so
+    // on a big corpus it under-estimates this side below the broadcast
+    // threshold and plans a BroadcastHashJoin — measured on 500k docs:
+    // the driver built a ~600MB LongToUnsafeRowMap single-threaded, GC
+    // stormed past the heartbeat timeout, and the context died. The hint
+    // pins both verification joins to shuffle-merge at any scale.
     pairsFromBands(banded, maxBucketSize)
-      .join(cached.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(cached.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(cached.select(col("id").as("id_a"), col("sh").as("sh_a")).hint("merge"),
+        Seq("id_a"))
+      .join(cached.select(col("id").as("id_b"), col("sh").as("sh_b")).hint("merge"),
+        Seq("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b")
   }
 

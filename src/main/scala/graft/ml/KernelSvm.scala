@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   * psvm weighted C) for imbalanced data: the +1/−1 class's errors are
   * weighted `posWeight`/`negWeight` in the primal fit, and the dual box
   * constraint becomes 0 ≤ αᵢ ≤ C·w_{yᵢ} in the IPM path. */
+/** `maxFitRows` bounds the rows the ITERATIVE solver consumes (the
+  * model is still scored/evaluated on everything): a `numLandmarks`-
+  * dimensional linear model saturates statistically long before 10⁵
+  * examples, but OWLQN's evaluation count GROWS on bigger/harder data —
+  * measured 61× fit cost at 10× corpus with identical params. Above the
+  * bound the fit set is a content-addressed hash sample (retry- and
+  * partitioning-stable, the p16/p20 discipline), which is the
+  * production shape at 100 TB: sample-fit, full-score. */
 final case class KernelSvmParams(
     kernel: Kernel = Kernel.Rbf(0.1),
     numLandmarks: Int = 64,
@@ -28,7 +36,8 @@ final case class KernelSvmParams(
     maxIter: Int = 50,
     tol: Double = 1e-6,
     posWeight: Double = 1.0,
-    negWeight: Double = 1.0)
+    negWeight: Double = 1.0,
+    maxFitRows: Long = 50000L)
 
 final case class KernelSvmModel(
     featureMap: NystromMap,
@@ -186,6 +195,19 @@ object KernelSvmTrainer {
     math.max(1, math.min(cap, (n / 2500L).toInt + 1))
   }
 
+  /** Bound the solver's input per [[KernelSvmParams.maxFitRows]]:
+    * content-addressed keep-gate on the id column (identical discipline
+    * to p16/p20 — stable under retries and repartitioning, no
+    * sample()'s partition-dependent RNG). Returns (fitDf, fitN). */
+  private[ml] def boundFitRows(df: DataFrame, idCol: String, n: Long,
+                               maxFitRows: Long): (DataFrame, Long) =
+    if (n <= maxFitRows) (df, n)
+    else {
+      val keepPM = math.max(1L, maxFitRows * 1000000L / n)
+      (df.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) < lit(keepPM)),
+        maxFitRows)
+    }
+
   /** M8: fit a binary kernel SVM; labels in `labelCol` must be ±1. */
   def fit(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
           params: KernelSvmParams = KernelSvmParams()): KernelSvmModel = {
@@ -193,9 +215,9 @@ object KernelSvmTrainer {
     // Compact the partitioning for the iterative OWLQN fit (scheduler
     // overhead per micro-task dominates when partitions are tiny) and
     // cache so the feature map runs once, not once per pass.
-    val n = df.count()
+    val (fitDf, n) = boundFitRows(df, idCol, df.count(), params.maxFitRows)
     val parts = fitPartitions(df, n)
-    val feats = Nystrom.transform(df, vecCol, map, "__phi")
+    val feats = Nystrom.transform(fitDf, vecCol, map, "__phi")
       .withColumn("__features", array_to_vector(col("__phi")))
       .withColumn("__label01", when(col(labelCol) > 0, 1.0).otherwise(0.0))
       .withColumn("__weight",
@@ -271,15 +293,18 @@ object KernelSvmTrainer {
                          params: KernelSvmParams = KernelSvmParams(),
                          parallelism: Int = 8): MulticlassKernelSvmModel = {
     val map = Nystrom.fit(df, idCol, vecCol, params.kernel, params.numLandmarks)
-    val n = df.count()
+    val (fitDf, n) = boundFitRows(df, idCol, df.count(), params.maxFitRows)
     val parts = fitPartitions(df, n)
-    val feats = Nystrom.transform(df, vecCol, map, "__phi")
+    val feats = Nystrom.transform(fitDf, vecCol, map, "__phi")
       .withColumn("__features", array_to_vector(col("__phi")))
       .withColumn("__cls", col(labelCol).cast("double"))
       .repartition(parts)
       .persist()
-    val classes = feats.select(col("__cls")).distinct()
-      .collect().map(_.getDouble(0)).sorted   // bounded: one value per class
+    // class list from the FULL input, not the fit sample — a class must
+    // appear in the model's argmax surface even if the hash gate thinned
+    // it (bounded collect: one value per class)
+    val classes = df.select(col(labelCol).cast("double").as("__cls")).distinct()
+      .collect().map(_.getDouble(0)).sorted
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(parallelism, classes.length))
     implicit val ec: scala.concurrent.ExecutionContext =

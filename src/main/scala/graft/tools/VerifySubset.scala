@@ -14,6 +14,8 @@ object VerifySubset {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      // see Bench.scala: finer initial grain for fat-row shuffles
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "64")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "1500") // see Verify.scala
