@@ -23,19 +23,32 @@ import graft.Tables
   */
 object DedupClusters {
 
+  // dev aid (like P22Probe): GRAFT_CC_VERBOSE=1 prints per-round timing
+  private val verbose = sys.env.get("GRAFT_CC_VERBOSE").contains("1")
+  private def logRound(label: String, t0: Long): Unit = if (verbose)
+    System.err.println(f"[cc] $label%-18s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+
   /** Connected components of an undirected edge list (src, dst).
     * Returns (id, cluster_id = min id in the component).
     *
-    * Diameter guard: min-label propagation needs one round per unit of
-    * component diameter — right for near-dup graphs (dups of dups,
-    * diameter ≲ 5), quadratic-total-work wrong for chains. If the graph
-    * hasn't converged after `starSwitchRounds`, the remaining work is
-    * handed to [[connectedComponentsStar]] instead of grinding out
-    * O(diameter) more rounds. */
+    * Min-label propagation with per-round pointer jumping converges in
+    * O(log diameter) rounds — near-dup graphs (diameter ≲ 5) finish in
+    * 2-3, and even a diameter-2^k chain fits in ~k. Diameter guard: if
+    * the graph still hasn't converged after `starSwitchRounds`, the
+    * remaining work is handed to [[connectedComponentsStar]] instead. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
                           starSwitchRounds: Int = 8): DataFrame = {
-    val und = edges.select(col("src").as("a"), col("dst").as("b"))
-      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+    // Materialize the edge list ONCE up front: `edges` is typically the
+    // expensive LSH-verify pipeline (p14/p25 pass the whole
+    // MinHash-candidate-verify plan), and without this the two union
+    // branches below plus the star fallback would each RECOMPUTE it —
+    // measured 483s for p14 on a 500k-doc corpus, ~75s once the pipeline
+    // runs exactly once. The edge list itself is small relative to the
+    // work that produced it (verified near-dup pairs), so checkpointing
+    // it is always cheaper than one recomputation.
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val und = e0.select(col("src").as("a"), col("dst").as("b"))
+      .union(e0.select(col("dst").as("a"), col("src").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // eager localCheckpoint each round: the loop would otherwise grow the
     // logical plan per iteration and Catalyst analysis blows up
@@ -46,6 +59,7 @@ object DedupClusters {
     var iter = 0
     var converged = false
     while (iter < math.min(maxIter, starSwitchRounds) && !converged) {
+      val tRound = System.nanoTime()
       // (convergence is REQUIRED below — silently returning mixed labels
       // would split one logical cluster into several)
       // ONE shuffle per round: union each vertex's own label with the labels
@@ -57,21 +71,36 @@ object DedupClusters {
       val own = labels.select(col("id"), col("comp"), lit(true).as("own"))
       val flow = und.join(labels.withColumnRenamed("id", "b"), Seq("b"))
         .select(col("a").as("id"), col("comp"), lit(false).as("own"))
-      val next = own.union(flow)
+      val relaxed = own.union(flow)
         .groupBy("id")
         .agg(min(col("comp")).as("comp"),
              min(when(col("own"), col("comp"))).as("old"))
+      // POINTER JUMP (path doubling): comp ← comp(comp). Labels are
+      // always vertex ids, and a vertex's label is monotonically
+      // non-increasing, so following one hop of the label chain is both
+      // well-defined and sound. Relax alone needs O(diameter) rounds;
+      // relax + jump needs O(log diameter) — the jump join runs over the
+      // LABEL table (|V| narrow rows), far cheaper than another edge
+      // shuffle, so deep chains stop being a reason to abandon the
+      // one-edge-shuffle-per-round plan.
+      val next = relaxed
+        .join(relaxed.select(col("id").as("comp"), col("comp").as("pcomp")),
+              Seq("comp"), "left")
+        .select(col("id"),
+                coalesce(col("pcomp"), col("comp")).as("comp"), col("old"))
         .localCheckpoint(true)
       converged =
         next.filter(col("comp") < col("old")).limit(1).count() == 0L
       labels = next.select(col("id"), col("comp"))
       iter += 1
+      logRound(s"prop round $iter", tRound)
     }
     und.unpersist(false)
     if (!converged) {
       // diameter guard tripped: some component is deeper than the
-      // propagation budget — finish with the O(log n) algorithm
-      return connectedComponentsStar(edges, maxIter)
+      // propagation budget — finish with the O(log n) algorithm (from
+      // the already-materialized edge list, not the original plan)
+      return connectedComponentsStar(e0, maxIter)
     }
     labels
   }
@@ -103,6 +132,7 @@ object DedupClusters {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      val tRound = System.nanoTime()
       // large-star over the full (symmetric) neighborhood
       val und = e.select(col("lo").as("a"), col("hi").as("b"))
         .union(e.select(col("hi").as("a"), col("lo").as("b")))
@@ -130,6 +160,7 @@ object DedupClusters {
         .limit(1).count() == 0L
       e = ss
       iter += 1
+      logRound(s"star round $iter", tRound)
     }
     if (!converged)
       throw new IllegalStateException(

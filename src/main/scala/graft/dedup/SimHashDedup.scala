@@ -11,10 +11,18 @@ import graft.functions.HashFunctions
   * 64-bit SimHash over token hashes: each token votes ±1 on every bit of
   * its hash; the signature takes the sign of each bit's vote sum, packed
   * into one long (fused codegen expression — round 1 computed this as 64
-  * interpreted higher-order ops per token). Near-dup candidates share at
-  * least one of 4 16-bit bands — pigeonhole: hamming ≤ 3 with 4 bands
-  * means some band is identical, so banding recall is EXACTLY 1.0, not
-  * probabilistic. Verified by exact hamming = popcount(xor).
+  * interpreted higher-order ops per token). Candidate keys apply the
+  * pigeonhole principle TWICE: hamming ≤ 3 means (a) one of the 4 16-bit
+  * bands is identical, and (b) all ≤ 3 differing bits then live in the
+  * other 48 bits, so one of THEIR four 12-bit chunks is also identical —
+  * a matching 28-bit (band ∥ sub-chunk) composite key is therefore
+  * guaranteed for every true pair. Recall is EXACTLY 1.0, not
+  * probabilistic, with 2¹² × more selective keys than 16-bit bands alone:
+  * simhash bands are biased by corpus-wide token statistics (same-language
+  * docs share stopword mass), and on a 500k-doc corpus plain 16-bit bands
+  * produced buckets of 6k+ docs → 4·10⁸ candidate pairs, vs 2.2·10⁷ with
+  * composite keys (and a 348-doc max bucket). Verified by exact
+  * hamming = popcount(xor).
   *
   * The token hash is md5-derived (first 64 bits of the digest) rather
   * than xxhash64 so a DuckDB oracle can replay the signature bit-for-bit
@@ -29,6 +37,9 @@ object SimHashDedup {
   val Bits = 64
   val Bands = 4
   val BitsPerBand = Bits / Bands
+  /** Second pigeonhole level: the 48 bits outside a band, in 4 chunks. */
+  val SubBands = 4
+  val SubBits = (Bits - BitsPerBand) / SubBands
 
   /** Packed 64-bit simhash of a token-array column. */
   def signature(toks: Column, useMd5: Boolean = true): Column =
@@ -38,17 +49,32 @@ object SimHashDedup {
   def bandKey(sig: Column, band: Int): Column =
     shiftrightunsigned(sig, band * BitsPerBand).bitwiseAND(lit(0xFFFFL))
 
+  /** The 16 composite 28-bit candidate keys of a signature: band b's 16
+    * bits ∥ chunk s of the 48 bits OUTSIDE band b. Any pair at hamming ≤
+    * min(Bands, SubBands) − 1 shares at least one composite key (double
+    * pigeonhole, see the object doc). */
+  def compositeKeys(sig: Column): Seq[Column] =
+    for (b <- 0 until Bands; s <- 0 until SubBands) yield {
+      val other48 = (0 until Bands).filter(_ != b).zipWithIndex
+        .map { case (j, r) => shiftleft(bandKey(sig, j), BitsPerBand * r) }
+        .reduce(_.bitwiseOR(_))
+      val sub = shiftrightunsigned(other48, SubBits * s)
+        .bitwiseAND(lit((1L << SubBits) - 1))
+      shiftleft(bandKey(sig, b), SubBits).bitwiseOR(sub)
+    }
+
   /** Hamming distance between packed signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Near-dup pairs with hamming distance ≤ maxHamming (must be <
-    * Bands for the pigeonhole recall guarantee).
+    * min(Bands, SubBands) for the double-pigeonhole recall guarantee).
     *
-    * UNCAPPED by default: simhash band chunks are biased by corpus-wide
-    * token statistics (same-language docs share stopword distributions),
-    * so heavy buckets are normal and capping them silently drops true
-    * pairs — at sf0.1 a cap of 200 lost 9 of 312 pairs. Pass a finite
-    * `maxBucketSize` only when trading recall for a hard skew bound. */
+    * UNCAPPED by default: capping buckets silently drops true pairs — at
+    * sf0.1 a cap of 200 on plain 16-bit bands lost 9 of 312 pairs. The
+    * composite 28-bit keys keep uncapped expansion affordable (≤ 348-doc
+    * buckets on a 500k-doc corpus where 16-bit bands hit 6k+). Pass a
+    * finite `maxBucketSize` only when trading recall for a hard skew
+    * bound. */
   /** `eager = true` materializes the (small) pair output via
     * localCheckpoint and releases the internal signature cache before
     * returning — without it, the cached blocks can only be freed by the
@@ -62,8 +88,10 @@ object SimHashDedup {
       .select(col(idCol).as("id"),
               signature(split(col(textCol), "\\s+"), useMd5).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    require(maxHamming < math.min(Bands, SubBands),
+      s"maxHamming $maxHamming breaks the double-pigeonhole guarantee")
     val banded = sigs
-      .select(col("id"), posexplode(array((0 until Bands).map(b => bandKey(col("sig"), b)): _*)))
+      .select(col("id"), posexplode(array(compositeKeys(col("sig")): _*)))
       .select(col("id"), col("pos").as("band_idx"), col("col").as("band_key"))
     val pairs = MinHashDedup.pairsFromBands(banded, maxBucketSize)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
