@@ -88,6 +88,7 @@ object SparkEntry {
     "p20_mixture"          -> (graft.pipeline.TrainingOps.mixtureQuery _),
     "src1_csv_roundtrip"   -> (graft.sources.SourceRoundtrips.csvRoundtrip _),
     "src2_json_roundtrip"  -> (graft.sources.SourceRoundtrips.jsonRoundtrip _),
+    "src3_orc_roundtrip"   -> (graft.sources.SourceRoundtrips.orcRoundtrip _),
     "u6_upsert"            -> (graft.operators.ScaleOps.u6UpsertQuery _),
     "u7_zorder_layout"     -> (graft.operators.ScaleOps.u7ZorderQuery _),
     "s4_stream_join"       -> (graft.streaming.EventStreams.s4StreamJoin _),
@@ -1197,6 +1198,9 @@ object SparkEntry {
     // parquet directly — any serialization loss mismatches.
     "src1_csv_roundtrip" -> ordersSummarySql,
     "src2_json_roundtrip" -> ordersSummarySql,
+    // src3: ORC roundtrip (own-schema columnar format + pushed filter);
+    // same parquet-side summary oracle as src1/src2
+    "src3_orc_roundtrip" -> ordersSummarySql,
     // s4: stream-stream attribution join through the real engine; the
     // oracle is the batch join with the identical time-range predicate.
     "s4_stream_join" ->

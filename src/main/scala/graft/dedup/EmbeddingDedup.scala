@@ -83,9 +83,11 @@ object EmbeddingDedup {
       if (planesPerTable > 0) planesPerTable
       else planesForSize(v.count())
     val tables = graft.sim.LshAnn.hyperplanes(numTables, planes, dim)
+    // fused keys: one compiled loop per row for ALL tables×planes — the
+    // per-plane Column form goes interpreted past ~200 expressions (see
+    // LshAnn.bucketKeys)
     val banded = v
-      .select(col("id"), posexplode(array(
-        tables.map(t => graft.sim.LshAnn.bucketKey(col("vec"), t)): _*)))
+      .select(col("id"), posexplode(graft.sim.LshAnn.bucketKeys(col("vec"), tables)))
       .select(col("id"), col("pos").as("band_idx"), col("col").as("band_key"))
     // merge hint: corpus-sized vector side must never broadcast — see
     // MinHashDedup.candidatePairsByHashed for the measured failure mode

@@ -52,4 +52,18 @@ object SourceRoundtrips {
     val back = spark.read.schema(o.schema).json(tmp)
     materializeAndClean(spark, summarize(back), tmp)
   }
+
+  /** src3: ORC (the second columnar format Spark ships a native
+    * vectorized reader for). Unlike the text formats above, ORC carries
+    * its own schema and min/max stripe statistics, so this roundtrip
+    * also exercises the columnar read path's filter pushdown: the
+    * read-back is summarized through a pushed `o_totalprice > 0`
+    * predicate (a tautology on TPC-H money — row counts must survive). */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val o = ordersSlice(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    o.write.mode("overwrite").orc(tmp)
+    val back = spark.read.orc(tmp).filter(col("o_totalprice") > 0)
+    materializeAndClean(spark, summarize(back), tmp)
+  }
 }

@@ -58,6 +58,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)), "unrelated docs not paired")
   }
 
+  test("composite simhash keys: every hamming<=3 pair shares a key (double pigeonhole)") {
+    // deterministic pseudo-random sigs + up-to-3 bit flips; the claim is
+    // recall = 1.0 BY CONSTRUCTION, so one shared key must exist for
+    // every such pair regardless of which bits flip
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      val a = rnd.nextLong()
+      val flips = rnd.nextInt(4) // 0..3 bits
+      val b = (0 until flips).foldLeft(a)((s, _) => s ^ (1L << rnd.nextInt(64)))
+      (i.toLong, a, b)
+    }
+    val df = rows.toDF("i", "a", "b")
+    val shared = df.select($"i",
+        arrays_overlap(array(SimHashDedup.compositeKeys($"a"): _*),
+                       array(SimHashDedup.compositeKeys($"b"): _*)).as("hit"))
+      .filter(!$"hit").count()
+    assert(shared === 0L, "a hamming<=3 pair failed to share a composite key")
+  }
+
   test("fused minhash signature is bit-identical to the round-1 HOF form") {
     val sets = Seq(
       (1L, Seq(12L, -9812L, 55L, 0L, 7738291L)),
