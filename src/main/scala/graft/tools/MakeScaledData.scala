@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * pair subgraph; ~10× pairs at 10× docs): byte-identical replicas
   * would instead put every doc in a 10-clique and grow every pair graph
   * quadratically — a pathological corpus, not a bigger one.
-  *   - documents: a replica-marker token is spliced in every 8 tokens,
-  *     pushing cross-replica shingle Jaccard below the 0.8 near-dup
-  *     threshold and flipping ≥4 simhash band chunks, while within-
+  *   - documents: a position-varying replica-marker token is spliced in
+  *     every 8 tokens, pushing cross-replica token-shingle Jaccard below
+  *     the 0.8 near-dup threshold, char-3-gram Jaccard below the 0.9
+  *     threshold, and flipping ≥4 simhash band chunks, while within-
   *     replica near-dups keep their sf0.1 similarity exactly;
   *   - embeddings: each replica circularly shifts the vector by i
   *     positions — norms and value distributions preserved, cross-
@@ -65,6 +66,17 @@ object MakeScaledData {
     write(replicate(spark.read.parquet(s"$src/events.parquet"),
       Seq("event_id", "user_id")), "events")
 
+    // POSITION-VARYING marker token (not one repeated marker): a single
+    // repeated 'zrep$i' adds only ~5 distinct char-trigrams per replica,
+    // so cross-replica char-3-gram Jaccard stayed ≈ 0.99 and the p4 pair
+    // graph grew QUADRATICALLY in the factor (~25M true pairs at 100×) —
+    // a generator artifact, not corpus realism. Varying the marker by
+    // splice position adds ~6 distinct grams × ~16 splices per replica,
+    // pushing cross-replica char-gram J to ≈ 0.8 (< the 0.9 threshold)
+    // while leaving within-replica pairs untouched (both members of a
+    // pair get the SAME insertions at the same positions). Token-level
+    // and simhash divergence are at least as strong as with the fixed
+    // marker (every splice still corrupts the same shingle windows).
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docReplicas = (0 until factor).map { i =>
       val d = docs.withColumn("doc_id", col("doc_id") + lit(i * OFF))
@@ -72,7 +84,9 @@ object MakeScaledData {
       else d.withColumn("text", expr(
         s"""array_join(
               flatten(transform(split(text, '\\\\s+'),
-                (t, j) -> CASE WHEN j % 8 = 7 THEN array(t, 'zrep$i')
+                (t, j) -> CASE WHEN j % 8 = 7
+                               THEN array(t, concat('w$i', 'q', j,
+                                          'x', (j * 3 + $i * 7) % 97))
                                ELSE array(t) END)),
               ' ')"""))
         .withColumn("n_chars", length(col("text")).cast("long"))

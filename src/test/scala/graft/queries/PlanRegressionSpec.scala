@@ -100,6 +100,29 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("p5b/p7 LSH bucketing stays on the fused hyperplane expression") {
+    // the per-plane Column form expands to tables x planes separate
+    // dot_products; past ~200 expressions the generated projection
+    // exceeds JIT/codegen method limits and the stage silently runs
+    // interpreted (measured 150s vs 3s on a 200k-vector corpus) — pin
+    // the fused expression into the plan so a refactor can't reintroduce
+    // the expanded form
+    for (name <- Seq("p5b_embedding_dedup_lsh", "p7_ann_lsh")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val analyzed = df.queryExecution.analyzed.toString
+      assert(analyzed.contains("hyperplane_bucket_keys") ||
+             // p5b materializes eagerly; its plan is the checkpointed
+             // result — assert on the operator's own builder instead
+             name == "p5b_embedding_dedup_lsh", s"$name: fused LSH keys missing")
+    }
+    val lshPlan = graft.dedup.EmbeddingDedup
+      .nearDupPairsLsh(graft.Tables.embeddings(spark, dir), "vec_id",
+        "embedding", 0.4)
+      .queryExecution.analyzed.toString
+    assert(lshPlan.contains("hyperplane_bucket_keys"),
+      "p5b builder: fused LSH keys missing from the bucketing plan")
+  }
+
   test("p1 exact dedup: single hash aggregation over a pruned scan") {
     // the correct p1 answer is EMPTY at test SFs (the synthetic docs have
     // near-dups but no byte-exact copies), so AQE rightly collapses the
