@@ -77,6 +77,7 @@ object SparkEntry {
     "p5b_embedding_dedup_lsh" -> (EmbeddingDedup.queryLsh _),
     "p14_dedup_clusters"   -> (graft.dedup.DedupClusters.query _),
     "p25_keep_best"        -> (graft.dedup.DedupClusters.keepBestQuery _),
+    "p26_sim_join"         -> (graft.dedup.SimilarityJoin.query _),
     "p6_knn_bruteforce"    -> (Knn.query _),
     "p7_ann_lsh"           -> (LshAnn.query _),
     "p7b_ann_ivf"          -> (graft.sim.IvfAnn.query _),
@@ -341,6 +342,7 @@ object SparkEntry {
     "p2_minhash_pairs" -> graft.dedup.MinHashDedup.oracleSql,
     "p14_dedup_clusters" -> graft.dedup.DedupClusters.oracleSql,
     "p25_keep_best" -> graft.dedup.DedupClusters.keepBestOracleSql,
+    "p26_sim_join" -> graft.dedup.SimilarityJoin.oracleSql,
     "p3_simhash_pairs" -> graft.dedup.SimHashDedup.oracleSql,
     "p4_ngram_jaccard" -> graft.dedup.NgramJaccard.oracleSql,
     "p5_embedding_dedup" ->

@@ -58,6 +58,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)), "unrelated docs not paired")
   }
 
+  test("similarity join matches across sides only, and self-matches at J=1") {
+    val left = Seq((10L, base), (30L, distinct1)).toDF("doc_id", "text")
+    val right = Seq((21L, nearDup), (41L, distinct2), (51L, base)).toDF("doc_id", "text")
+    val out = SimilarityJoin.similarPairs(left, right, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.contains((10L, 21L)), "near-dup pair found across sides")
+    assert(out((10L, 51L)) === 1.0, "identical doc on both sides matches at J=1")
+    assert(!out.keySet.exists(p => p._1 == 30L || p._2 == 41L),
+      "unrelated docs not joined")
+    // same-side near-dups (10 vs 51 both on one side) must NOT pair:
+    val sameSide = SimilarityJoin.similarPairs(
+      left.union(right.filter($"doc_id" === 51L)), right.filter($"doc_id" === 41L),
+      "doc_id", "text", 0.5).collect()
+    assert(sameSide.isEmpty, "left-left pairs leaked into the bipartite join")
+  }
+
   test("composite simhash keys: every hamming<=3 pair shares a key (double pigeonhole)") {
     // deterministic pseudo-random sigs + up-to-3 bit flips; the claim is
     // recall = 1.0 BY CONSTRUCTION, so one shared key must exist for
