@@ -82,6 +82,7 @@ object SparkEntry {
     "p7_ann_lsh"           -> (LshAnn.query _),
     "p7b_ann_ivf"          -> (graft.sim.IvfAnn.query _),
     "p7c_ann_pq"           -> (graft.sim.PqAnn.query _),
+    "p7d_ann_ivfpq"        -> (graft.sim.IvfPqAnn.query _),
     "p16_split"            -> ((s, d) => graft.pipeline.TrainingOps.splitQuery(s, d)),
     "p17_pack"             -> ((s, d) => graft.pipeline.TrainingOps.packQuery(s, d)),
     "p18_contamination"    -> ((s, d) => graft.pipeline.TrainingOps.contaminationQuery(s, d)),

@@ -147,7 +147,7 @@ object PqAnn {
 
   /** Per-query ADC table: flat array of m·k squared distances from each
     * query subvector to each codeword. */
-  private def adcTable(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+  private[sim] def adcTable(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
     val sub = codebooks(0)(0).length
     array(codebooks.zipWithIndex.flatMap { case (cws, s) =>
       cws.map(cw =>
@@ -157,7 +157,7 @@ object PqAnn {
 
   /** Unrolled ADC distance: Σ_s table[s·k + code[s]] — m element_at
     * lookups, all codegen. */
-  private def adcDist(tab: Column, codes: Column, m: Int, k: Int): Column =
+  private[sim] def adcDist(tab: Column, codes: Column, m: Int, k: Int): Column =
     (0 until m).map(s =>
       element_at(tab, element_at(codes, s + 1) + lit(s * k) + 1)).reduce(_ + _)
 

@@ -67,6 +67,29 @@ class SimSearchSpec extends SparkSpec {
     }
   }
 
+  test("ivfpq ann: high recall on clustered data via residual codes") {
+    // same clustered regime as the IVF test: cells capture the clusters,
+    // and residual-PQ codes must rank within-cell neighbors well enough
+    // that the exact re-rank recovers the true top-k
+    val rng = new scala.util.Random(29)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rng.nextGaussian() * 5.0))
+    val pts = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.3).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 16)
+    val exact = Knn.bruteForce(df, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpq = IvfPqAnn.annTopK(df, q, "vec_id", "embedding", 10,
+        nlist = 8, nprobe = 2, m = 4, kCode = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivfpq).size.toDouble / exact.size
+    info(f"IVFADC recall@10 = $recall%.3f on clustered fixture")
+    assert(recall >= 0.9, f"residual PQ over cells must probe well, recall=$recall%.3f")
+  }
+
   test("lsh ann achieves reasonable recall vs brute force") {
     val e = graft.Tables.embeddings(spark, dir)
     val q = e.filter($"vec_id" < 20)
