@@ -57,6 +57,7 @@ object SparkEntry {
     "p24_stratified_sample" -> ((s, d) => graft.pipeline.CleaningOps.stratifiedSampleQuery(s, d)),
     "u8_partition_prune"   -> (graft.operators.ScaleOps.u8PartitionPruneQuery _),
     "u9_runtime_filter"    -> (graft.operators.ScaleOps.u9RuntimeFilterQuery _),
+    "u10_ivf_layout"       -> (graft.operators.ScaleOps.u10IvfLayoutQuery _),
     "m11_platt_probs"      -> (graft.ml.ModelOracles.m11PlattProbs _),
     "m12_cv_grid"          -> ((s, d) => graft.ml.CrossVal.cvGridQuery(s, d)),
     "m12b_cv_folds"        -> ((s, d) => graft.ml.CrossVal.cvFoldsQuery(s, d)),
@@ -1023,6 +1024,20 @@ object SparkEntry {
            WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 0) o
            ON l_orderkey = o_orderkey
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // u10: the partition-pruned probe read must return exactly the probed
+    // cells' postings — replay the per-query candidate aggregates from
+    // the SAME persisted postings + probes files (read unpruned here: a
+    // layout optimization may only skip bytes, never change results).
+    "u10_ivf_layout" ->
+      """SELECT q.query_id,
+           CAST(count(DISTINCT p.cell) AS BIGINT) AS n_cells,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(p.vec_id) AS BIGINT) AS id_checksum,
+           CAST(sum(list_aggregate(p.codes, 'sum')) AS BIGINT) AS code_checksum
+         FROM read_parquet('/tmp/graft_models/sf0.01/u10_postings/*/*.parquet', hive_partitioning=1) p
+         JOIN read_parquet('/tmp/graft_models/sf0.01/u10_probes/*.parquet') q
+           ON CAST(p.cell AS BIGINT) = CAST(q.cell AS BIGINT)
+         GROUP BY q.query_id ORDER BY q.query_id""",
     // m12b: replay the content-addressed fold assignment.
     "m12b_cv_folds" ->
       """SELECT fold, y, CAST(count(*) AS BIGINT) AS n

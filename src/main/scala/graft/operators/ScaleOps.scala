@@ -326,6 +326,72 @@ object ScaleOps {
       materializeThen(agg) { () }
     }
 
+  /** u10: the ANN index AS A DISK LAYOUT — writes the [[graft.sim.IvfPqAnn]]
+    * index (PQ codes of cell residuals) as a hive-partitioned inverted
+    * file (`.partitionBy("cell")`), then serves probes through a
+    * partition-PRUNED read: the probe filter is a literal cell list, so
+    * the scan touches only `nprobe` of the `nlist` partition directories
+    * — at 100 TB each cell is a directory of posting files, and a query
+    * reads `nprobe/nlist` of the corpus bytes, which is precisely how
+    * disk-resident IVF indexes (FAISS on-disk, SCaNN, Vespa) lay out
+    * postings. ScaleOpsSpec asserts the pruning on the physical plan.
+    *
+    * Both the postings and the probe assignments persist under the fixed
+    * model root, and the DuckDB oracle recomputes the per-query candidate
+    * aggregates from those SAME files (the ModelOracles replay pattern) —
+    * so a green row certifies the partitioned write, the pruned read, and
+    * the code roundtrip end-to-end. */
+  def u10IvfLayoutQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sim.{IvfAnn, PqAnn}
+    import graft.functions.VectorOps
+    val root = graft.ml.ModelOracles.modelRoot(dir)
+    val nlist = 16; val nprobe = 3; val m = 4; val kCode = 16
+    val e = graft.Tables.embeddings(spark, dir)
+    val centroids = IvfAnn.fitCentroids(e, "embedding", nlist)
+    val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    // materialize (cell, resid) before the m·k codeword expressions
+    // reference them — same CollapseProject explosion guard as IvfPqAnn
+    val base = e.select(col("vec_id"),
+        VectorOps.toDoubleArray(col("embedding")).as("v"))
+      .withColumn("cell", IvfAnn.cellOf(col("v"), centroids))
+      .withColumn("resid",
+        zip_with(col("v"), element_at(centLit, col("cell") + 1), (a, b) => a - b))
+      .localCheckpoint()
+    val codebooks = PqAnn.fitCodebooks(base.select(col("resid")), "resid", m, kCode)
+    base.select(col("vec_id"),
+        PqAnn.encode(col("resid"), codebooks).as("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/u10_postings")
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+              VectorOps.toDoubleArray(col("embedding")).as("qv"))
+      .withColumn("cell", explode(IvfAnn.probeCellsCol(
+        IvfAnn.distances(col("qv"), centroids), nlist, nprobe)))
+      .select(col("query_id"), col("cell"))
+    probes.coalesce(1).write.mode("overwrite").parquet(s"$root/u10_probes")
+    val probesR = spark.read.parquet(s"$root/u10_probes")
+    // literal cell list (≤ nlist values, one tiny driver action) → STATIC
+    // partition pruning on the postings scan, not a runtime filter
+    val probedCells = probesR.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val res = prunedPostingsScan(spark, s"$root/u10_postings", probedCells)
+      .join(probesR, Seq("cell"))
+      .groupBy(col("query_id"))
+      .agg(countDistinct(col("cell")).as("n_cells"),
+           count(lit(1)).as("n_candidates"),
+           sum(col("vec_id")).as("id_checksum"),
+           sum(aggregate(col("codes"), lit(0L),
+             (acc, x) => acc + x.cast("long"))).as("code_checksum"))
+      .orderBy(col("query_id"))
+    materializeThen(res) { () }   // files stay: the oracle replays them
+  }
+
+  /** The pruned read by itself, shared with ScaleOpsSpec's plan assert. */
+  private[graft] def prunedPostingsScan(spark: SparkSession, path: String,
+                                        cells: Array[Int]): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+
   def u3RangeLayoutQuery(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_range").toString
     writeRangeLayout(graft.Tables.events(spark, dir), "ts", 8, tmp)

@@ -41,7 +41,7 @@ object IvfAnn {
   private def centroidLit(c: Array[Double]): Column = array(c.map(lit): _*)
 
   /** Array of squared distances to every centroid (fused exprs). */
-  private[sim] def distances(vec: Column, centroids: Array[Array[Double]]): Column =
+  private[graft] def distances(vec: Column, centroids: Array[Array[Double]]): Column =
     array(centroids.map(c => GraftFunctions.sq_distance(vec, centroidLit(c))): _*)
 
   /** Index of the nearest centroid (0-based). */
@@ -51,7 +51,7 @@ object IvfAnn {
   }
 
   /** The `nprobe` nearest cell ids, from the distance array. */
-  private[sim] def probeCellsCol(dCol: Column, nlist: Int, nprobe: Int): Column = {
+  private[graft] def probeCellsCol(dCol: Column, nlist: Int, nprobe: Int): Column = {
     // sort (distance, idx) pairs, take nprobe, project idx
     val zipped = arrays_zip(dCol.as("d"), sequence(lit(0), lit(nlist - 1)).as("i"))
     transform(slice(array_sort(zipped), 1, nprobe), p => p.getField("i"))

@@ -101,4 +101,29 @@ class ScaleOpsSpec extends SparkSpec {
       s"pruned scan must read a strict subset of files ($scanned vs $all)")
     ScaleOps.deleteRecursively(dir)
   }
+
+  test("ivf postings layout serves probes through a partition-pruned scan") {
+    // run the whole u10 query once (writes postings + probes under the
+    // model root), then re-open the pruned scan it uses and assert the
+    // probe filter bound to the partition column and skipped directories
+    val dataDir = "/root/testdata/sf0.001"
+    val res = ScaleOps.u10IvfLayoutQuery(spark, dataDir).collect()
+    assert(res.length == 5, "one row per probe query")
+    assert(res.forall(_.getLong(1) == 3L), "each query probes nprobe=3 cells")
+    val root = graft.ml.ModelOracles.modelRoot(dataDir)
+    val probed = spark.read.parquet(s"$root/u10_probes")
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+    assert(probed.length < 16, "probes must not touch every cell")
+    val pruned = ScaleOps.prunedPostingsScan(spark, s"$root/u10_postings", probed)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    assert(scan.partitionFilters.nonEmpty,
+      "probe cell list must bind as a partition filter, not a data filter")
+    pruned.count()
+    val scanned = scan.metrics("numFiles").value
+    val all = spark.read.parquet(s"$root/u10_postings").inputFiles.length
+    assert(scanned < all,
+      s"probe must read a strict subset of posting files ($scanned vs $all)")
+  }
 }
