@@ -58,6 +58,7 @@ object SparkEntry {
     "u8_partition_prune"   -> (graft.operators.ScaleOps.u8PartitionPruneQuery _),
     "u9_runtime_filter"    -> (graft.operators.ScaleOps.u9RuntimeFilterQuery _),
     "u10_ivf_layout"       -> (graft.operators.ScaleOps.u10IvfLayoutQuery _),
+    "p27_weighted_sample"  -> ((s, d) => graft.operators.WeightedSample.query(s, d)),
     "m11_platt_probs"      -> (graft.ml.ModelOracles.m11PlattProbs _),
     "m12_cv_grid"          -> ((s, d) => graft.ml.CrossVal.cvGridQuery(s, d)),
     "m12b_cv_folds"        -> ((s, d) => graft.ml.CrossVal.cvFoldsQuery(s, d)),
@@ -1024,6 +1025,22 @@ object SparkEntry {
            WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 0) o
            ON l_orderkey = o_orderkey
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // p27: deterministic A-ES weighted sampling — with content-addressed
+    // u the aggregate is exactly "top-k by a computable key", so the
+    // oracle replays key = u^(1/w) through a window. (The Spark side
+    // computes it with a one-pass bounded custom aggregate, not a sort.)
+    "p27_weighted_sample" ->
+      """SELECT source, CAST(rank_ AS BIGINT) AS sample_rank, doc_id,
+           CAST(length(text) + 1 AS BIGINT) AS weight
+         FROM (
+           SELECT source, doc_id, text,
+             row_number() OVER (PARTITION BY source ORDER BY
+               pow((CAST(('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                     / 4294967296.0,
+                   1.0 / (length(text) + 1)) DESC, doc_id) AS rank_
+           FROM documents) t
+         WHERE rank_ <= 5
+         ORDER BY source, sample_rank""",
     // u10: the partition-pruned probe read must return exactly the probed
     // cells' postings — replay the per-query candidate aggregates from
     // the SAME persisted postings + probes files (read unpruned here: a
