@@ -135,6 +135,30 @@ class PlanRegressionSpec extends SparkSpec {
     assertNoCartesian("p1", p)
   }
 
+  test("top-k never sorts what it doesn't keep") {
+    // global top-k must plan as TakeOrderedAndProject (per-partition
+    // heaps + driver merge of k rows), NOT a global sort; per-key rank
+    // filters must trigger WindowGroupLimit (per-partition group limits
+    // before the window sort) — at 100 TB these are the difference
+    // between shuffling k rows and shuffling/sorting the whole corpus.
+    val q2 = planOf("q2_topk_orders")
+    assert(q2.contains("TakeOrderedAndProject"),
+      "q2: global top-k lost its TakeOrderedAndProject plan (full sort?)")
+    for (name <- Seq("q8_rank_parts", "p24_stratified_sample")) {
+      val p = planOf(name)
+      assert(p.contains("WindowGroupLimit"),
+        s"$name: rank filter no longer pushes WindowGroupLimit below the window")
+    }
+  }
+
+  test("p27 weighted sample aggregates map-side, no window in the plan") {
+    val p = planOf("p27_weighted_sample")
+    assert(p.contains("ObjectHashAggregate"),
+      "p27: custom Aggregator must plan as ObjectHashAggregate")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("RunningWindowFunction"),
+      "p27: the sample must come from the bounded aggregate, not a window")
+  }
+
   test("declared compressed-domain scans are the ONLY nested-loop joins") {
     // p5/p6 (exact oracle twins) and p7c's ADC scan are cross joins BY
     // DESIGN; every other audited query must stay nested-loop-free.

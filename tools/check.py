@@ -9,7 +9,7 @@ sorts columns by name and rows by all values, and reports exact-match /
 approx-match / mismatch per query.  (Dev aid only — NOT part of the
 shipped library; the real gate is driver-side.)
 """
-import json, sys, glob, math
+import json, os, sys, glob, math
 import duckdb
 import pandas as pd
 
@@ -48,7 +48,12 @@ def approx_equal(a, b, tol=1e-6):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata ships single-file tables; scaled corpora are
+        # Spark-written directories of part files — register either
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_exact = n_approx = n_fail = 0
     for name, sql in sorted(oracle.items()):
