@@ -59,6 +59,7 @@ object SparkEntry {
     "u9_runtime_filter"    -> (graft.operators.ScaleOps.u9RuntimeFilterQuery _),
     "u10_ivf_layout"       -> (graft.operators.ScaleOps.u10IvfLayoutQuery _),
     "p27_weighted_sample"  -> ((s, d) => graft.operators.WeightedSample.query(s, d)),
+    "s7_stream_ann_serve"  -> (graft.streaming.EventStreams.s7StreamAnnServe _),
     "m11_platt_probs"      -> (graft.ml.ModelOracles.m11PlattProbs _),
     "m12_cv_grid"          -> ((s, d) => graft.ml.CrossVal.cvGridQuery(s, d)),
     "m12b_cv_folds"        -> ((s, d) => graft.ml.CrossVal.cvFoldsQuery(s, d)),
@@ -1025,6 +1026,28 @@ object SparkEntry {
            WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 0) o
            ON l_orderkey = o_orderkey
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // s7: streaming ANN serving — replay the persisted probes ⋈ postings
+    // ⋈ vectors (the exact index the stream served from) with the p6
+    // bit-exact cosine; certifies stream-side cell assignment, the
+    // stream-static join, and the streaming nearest-neighbor aggregate.
+    "s7_stream_ann_serve" ->
+      """SELECT query_id, n_candidates, nn_id, round(nn_cos, 6) AS nn_cos FROM (
+           SELECT query_id,
+             CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_candidates,
+             neighbor_id AS nn_id, cs AS nn_cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+           FROM (
+             SELECT q.query_id, p.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(qv.embedding, nv.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(qv.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(nv.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cs
+             FROM read_parquet('/tmp/graft_models/sf0.01/s7_probes/*.parquet') q
+             JOIN read_parquet('/tmp/graft_models/sf0.01/s7_postings/*.parquet') p ON p.cell = q.cell
+             JOIN embeddings qv ON qv.vec_id = q.query_id
+             JOIN embeddings nv ON nv.vec_id = p.vec_id
+             WHERE p.vec_id <> q.query_id) t1) t2
+         WHERE rn = 1
+         ORDER BY query_id""",
     // p27: deterministic A-ES weighted sampling — with content-addressed
     // u the aggregate is exactly "top-k by a computable key", so the
     // oracle replays key = u^(1/w) through a window. (The Spark side

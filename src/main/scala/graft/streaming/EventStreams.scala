@@ -53,18 +53,17 @@ object EventStreams {
   // batch-equivalent SQL. At cluster scale the same code tails a
   // directory/Kafka topic instead of finishing.
 
-  private def eventStream(spark: org.apache.spark.sql.SparkSession,
-                          dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
-    // the file stream source lists a DIRECTORY (that's its contract —
-    // new files arrive over time). A directory-shaped table (the
-    // production layout, and any multi-file write) streams as-is; the
-    // driver's single-FILE test table is staged behind a symlink in a
-    // temp dir. (The source does NOT recurse into subdirectories, so
-    // pointing it at the parent with a file-named child dir silently
-    // streams zero files — found when the 10× scaled corpus produced
-    // empty streaming results.)
+  /** File-source stream over any table of the dataset. The source lists
+    * a DIRECTORY (that's its contract — new files arrive over time). A
+    * directory-shaped table (the production layout, and any multi-file
+    * write) streams as-is; the driver's single-FILE test tables are
+    * staged behind a symlink in a temp dir. (The source does NOT recurse
+    * into subdirectories, so pointing it at the parent with a file-named
+    * child dir silently streams zero files — found when the 10× scaled
+    * corpus produced empty streaming results.) */
+  private def tableStream(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, table: String): DataFrame = {
+    val src = java.nio.file.Paths.get(dir, s"$table.parquet")
     val streamDir =
       if (java.nio.file.Files.isDirectory(src)) src.toString
       else {
@@ -72,7 +71,7 @@ object EventStreams {
         // staged dirs hold one symlink each; clean them up on JVM exit so
         // repeated bench/verify sessions don't accumulate temp entries
         staged.toFile.deleteOnExit()
-        val link = staged.resolve("events.parquet")
+        val link = staged.resolve(s"$table.parquet")
         link.toFile.deleteOnExit()
         try java.nio.file.Files.createSymbolicLink(link, src)
         catch { case _: Throwable => java.nio.file.Files.copy(src, link) }
@@ -80,6 +79,12 @@ object EventStreams {
       }
     val schema = spark.read.parquet(src.toString).schema
     spark.readStream.schema(schema).parquet(streamDir)
+  }
+
+  private def eventStream(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tableStream(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -222,6 +227,79 @@ object EventStreams {
     runToMemory(dedupedEvents(eventStream(spark, dir)), "append")
       .agg(count(lit(1)).as("n_events"),
            countDistinct(col("user_id")).as("n_users"))
+
+  // ---- S7: streaming ANN serving over the static IVF index ----
+
+  /** One postings/probes build per (JVM, dir): the static side of the
+    * serving join, persisted so the DuckDB oracle replays the exact
+    * index this run served from. */
+  private val s7Index =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  /** S7: online similarity serving — query VECTORS arrive as a stream;
+    * each probes its `nprobe` nearest cells of the STATIC corpus index
+    * (the u10/p7d layout) through a stream-static equi-join on cell, and
+    * a streaming aggregate emits per query its exact-cosine nearest
+    * neighbor and candidate count. This is the serving half of the ANN
+    * story: the batch side builds and persists the index; the stream
+    * side never scans the corpus — each arriving query touches only its
+    * probed cells' postings (at 100 TB: a pruned read of a bucketed
+    * static table, with the centroid matrix a broadcast literal).
+    *
+    * The stream computes probe cells with the SAME centroid expressions
+    * the batch probes table persists, so the oracle — which replays the
+    * persisted probes ⋈ postings ⋈ vectors in DuckDB — also certifies
+    * stream-side cell assignment agrees with the batch index. */
+  def s7StreamAnnServe(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.sim.IvfAnn
+    import graft.functions.{GraftFunctions, VectorOps}
+    val root = graft.ml.ModelOracles.modelRoot(dir)
+    val nlist = 16; val nprobe = 3
+    val centroids = s7Index.computeIfAbsent(dir, _ => {
+      val e = graft.Tables.embeddings(spark, dir)
+      val cs = IvfAnn.fitCentroids(e, "embedding", nlist)
+      e.select(col("vec_id"),
+          VectorOps.toDoubleArray(col("embedding")).as("nvec"))
+        .withColumn("cell", IvfAnn.cellOf(col("nvec"), cs))
+        .select(col("vec_id"), col("cell"))
+        .write.mode("overwrite").parquet(s"$root/s7_postings")
+      e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"),
+                VectorOps.toDoubleArray(col("embedding")).as("qvec"))
+        .withColumn("cell", explode(IvfAnn.probeCellsCol(
+          IvfAnn.distances(col("qvec"), cs), nlist, nprobe)))
+        .select(col("query_id"), col("cell"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/s7_probes")
+      cs
+    })
+    // static side: postings re-joined to their vectors (reading the
+    // persisted assignment, not recomputing it — serving must use the
+    // index as written)
+    val corpus = spark.read.parquet(s"$root/s7_postings")
+      .join(graft.Tables.embeddings(spark, dir)
+              .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("nvec")),
+            Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("nvec"))
+    val qStream = tableStream(spark, dir, "embeddings")
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"),
+              VectorOps.toDoubleArray(col("embedding")).as("qvec"))
+      .withColumn("cell", explode(IvfAnn.probeCellsCol(
+        IvfAnn.distances(col("qvec"), centroids), nlist, nprobe)))
+    val served = qStream.join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", GraftFunctions.cosine_sim(col("qvec"), col("nvec")))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+           // lexicographic struct max = (highest cos, then lowest id)
+           max(struct(col("cos").as("c"),
+                      (-col("neighbor_id")).as("negid"))).as("__nn"))
+    runToMemory(served, "complete")
+      .select(col("query_id"), col("n_candidates"),
+              (-col("__nn.negid")).as("nn_id"),
+              round(col("__nn.c"), 6).as("nn_cos"))
+      .orderBy(col("query_id"))
+  }
 
   // ---- S2: gap-based sessionization via flatMapGroupsWithState ----
 
