@@ -355,7 +355,9 @@ object SparkEntry {
              list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
              / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
               * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cs
-           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) t
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id < b.vec_id
+             AND a.vec_id < 20000 AND b.vec_id < 20000) t
          WHERE cs >= 0.4
          ORDER BY id_a, id_b""",
     "p6_knn_bruteforce" ->

@@ -77,6 +77,67 @@ object StreamBench {
     run("s2_sessions",
       graft.streaming.EventStreams.sessionize(
         events().as[graft.streaming.EventStreams.Event]).toDF(), "append")
+
+    // S7-shaped ANN serving throughput: synthetic query vectors at the
+    // rate source's pace probe a STATIC in-memory IVF index (corpus from
+    // args(3), default sf0.1 = 20k×64 vectors, nlist=16/nprobe=3); each
+    // micro-batch resolves its queries' exact-cosine top-1 with
+    // batch-local semantics in foreachBatch (serving emits per-batch
+    // results — no engine state, nothing to bound). Reported rps =
+    // query vectors served per second end-to-end.
+    {
+      import graft.sim.IvfAnn
+      import graft.functions.{GraftFunctions, VectorOps}
+      val dir = args.lift(3).getOrElse("/root/testdata/sf0.1")
+      val nlist = 16; val nprobe = 3
+      val corpus = graft.Tables.embeddings(spark, dir)
+      val centroids = IvfAnn.fitCentroids(corpus, "embedding", nlist)
+      val posted = corpus
+        .select(col("vec_id").as("neighbor_id"),
+                VectorOps.toDoubleArray(col("embedding")).as("nvec"))
+        .withColumn("cell", IvfAnn.cellOf(col("nvec"), centroids))
+        .localCheckpoint()  // the static index, materialized once
+      val dim = 64
+      val qvec = array((0 until dim).map(i =>
+        pmod(xxhash64(col("value"), lit(i)), lit(1000)).cast("double") / 500.0 - 1.0): _*)
+      val queries = spark.readStream.format("rate")
+        .option("rowsPerSecond", math.max(rowsPerSec / 100, 100))
+        .option("numPartitions", cpus.toInt).load()
+        .select(col("value").as("query_id"), qvec.as("qvec"))
+        .withColumn("cell", explode(IvfAnn.probeCellsCol(
+          IvfAnn.distances(col("qvec"), centroids), nlist, nprobe)))
+      val served = new java.util.concurrent.atomic.AtomicLong()
+      val t0 = System.nanoTime()
+      val q = queries.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // per-batch exact top-1 as a map-side-combined aggregate (the
+          // s7 lexicographic-struct-max), NOT a window: the candidate
+          // fan-out (queries × nprobe/nlist of the corpus) collapses to
+          // one row per query per partition before it shuffles
+          val n = batch.join(posted, Seq("cell"))
+            .withColumn("cos", GraftFunctions.cosine_sim(col("qvec"), col("nvec")))
+            .groupBy(col("query_id"))
+            .agg(max(struct(col("cos").as("c"),
+                            (-col("neighbor_id")).as("negid"))).as("nn"))
+            .count()
+          served.addAndGet(n); ()
+        }
+        .trigger(Trigger.ProcessingTime("2 seconds")).start()
+      Thread.sleep(seconds * 1000L)
+      val progress = q.recentProgress.toSeq
+      q.stop(); q.awaitTermination()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val measured = progress.drop(2).filter(_.numInputRows > 0)
+      val rps = measured.map(_.processedRowsPerSecond).sorted
+      // steady-state median when enough batches finished; otherwise the
+      // honest end-to-end rate (total served / wall-clock incl. ramp-up)
+      val qps = if (rps.size >= 3) rps(rps.size / 2) else served.get() / elapsed
+      println(s"""{"stream":"s7_ann_serving","corpus_rows":${corpus.count()},""" +
+        s""""queries_per_sec_in":${math.max(rowsPerSec / 100, 100)},""" +
+        s""""served_qps":${qps.round},""" +
+        s""""batches":${measured.size},"served_total":${served.get()}}""")
+      require(served.get() > 0, "serving pipeline emitted no results")
+    }
     spark.stop()
   }
 }
