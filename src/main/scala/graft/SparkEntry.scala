@@ -116,6 +116,7 @@ object SparkEntry {
     "q24_pivot"            -> (Relational.q24Pivot _),
     "q25_setops"           -> (Relational.q25SetOps _),
     "q26_asof_join"        -> (Relational.q26AsofJoin _),
+    "q40_range_join"       -> (graft.operators.RangeJoin.query _),
     "p13_curation_pipeline" -> (graft.queries.CurationPipeline.query _),
     "mm1_media_features"   -> (MultimodalOps.mediaFeatures _),
     "mm2_frame_sample"     -> (MultimodalOps.frameSample _),
@@ -750,6 +751,18 @@ object SparkEntry {
                        WHERE c.event_type = 'click' AND c.user_id = p.user_id
                          AND c.ts <= p.ts)
          ORDER BY user_id, purchase_id""",
+    // DuckDB plans this as its IEJoin — an independent interval-join
+    // algorithm deriving the same pairs as the Spark side's binned
+    // equi-join decomposition (RangeJoin.pointsInIntervals).
+    "q40_range_join" ->
+      """SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+           epoch_us(c.ts) - epoch_us(e.ts) AS delta_us
+         FROM events e JOIN events c
+           ON e.user_id = c.user_id
+          AND epoch_us(c.ts) >= epoch_us(e.ts)
+          AND epoch_us(c.ts) < epoch_us(e.ts) + 21600000000
+         WHERE e.event_type = 'error' AND c.event_type = 'click'
+         ORDER BY e.user_id, error_id, click_id""",
     // u1 goes through bucketed catalog tables; the oracle reads raw
     // parquet — equality proves the bucketed write/read path is lossless.
     "u1_bucketed_join" ->

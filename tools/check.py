@@ -53,7 +53,16 @@ def main(sf_dir, out_dir):
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        sel = "*"
+        if t == "events":
+            # driver testdata ships ts as TIMESTAMP(NANOS); Spark-written
+            # scaled corpora keep raw int64 nanos — normalize to the same
+            # micros-truncated timestamp Tables.events exposes
+            ts_type = con.execute(
+                f"SELECT column_type FROM (DESCRIBE SELECT ts FROM read_parquet('{path}'))").fetchone()[0]
+            if ts_type == "BIGINT":
+                sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
+        con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_exact = n_approx = n_fail = 0
     for name, sql in sorted(oracle.items()):
