@@ -117,6 +117,7 @@ object SparkEntry {
     "q25_setops"           -> (Relational.q25SetOps _),
     "q26_asof_join"        -> (Relational.q26AsofJoin _),
     "q40_range_join"       -> (graft.operators.RangeJoin.query _),
+    "q41_overlap_join"     -> (graft.operators.RangeJoin.overlapQuery _),
     "p13_curation_pipeline" -> (graft.queries.CurationPipeline.query _),
     "mm1_media_features"   -> (MultimodalOps.mediaFeatures _),
     "mm2_frame_sample"     -> (MultimodalOps.frameSample _),
@@ -763,6 +764,16 @@ object SparkEntry {
           AND epoch_us(c.ts) < epoch_us(e.ts) + 21600000000
          WHERE e.event_type = 'error' AND c.event_type = 'click'
          ORDER BY e.user_id, error_id, click_id""",
+    "q41_overlap_join" ->
+      """SELECT e.user_id, e.event_id AS error_id, p.event_id AS purchase_id,
+           least(epoch_us(e.ts), epoch_us(p.ts)) + 21600000000
+             - greatest(epoch_us(e.ts), epoch_us(p.ts)) AS overlap_us
+         FROM events e JOIN events p
+           ON e.user_id = p.user_id
+          AND epoch_us(e.ts) < epoch_us(p.ts) + 21600000000
+          AND epoch_us(p.ts) < epoch_us(e.ts) + 21600000000
+         WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+         ORDER BY e.user_id, error_id, purchase_id""",
     // u1 goes through bucketed catalog tables; the oracle reads raw
     // parquet — equality proves the bucketed write/read path is lossless.
     "u1_bucketed_join" ->

@@ -73,6 +73,38 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Interval-overlap join: pairs with `[ls,le) ∩ [rs,re) ≠ ∅` on equal
+    * keys, via the same binning. Both sides explode to their overlapped
+    * bins, so a joined pair would surface once per SHARED bin — instead
+    * of a dedup pass, keep only the copy where the join bin equals the
+    * bin of the overlap's START (`greatest(ls, rs)`): that instant lies
+    * inside both intervals, so both sides exploded its bin exactly once
+    * and every qualifying pair survives exactly once — dedup for free,
+    * decided row-locally inside the joined filter (no extra shuffle).
+    * Column names must be disjoint apart from `keys`.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val w = lit(binWidth)
+    def binOf(c: Column): Column = floor(c.cast("double") / w).cast("long")
+    def binned(df: DataFrame, s: String, e: String) = df
+      .filter(col(s) < col(e))
+      .withColumn("__bin",
+        explode(sequence(binOf(col(s)), binOf(col(e) - lit(1)))))
+    binned(left, leftStart, leftEnd)
+      .join(binned(right, rightStart, rightEnd), keys :+ "__bin")
+      .filter(col(leftStart) < col(rightEnd) &&
+              col(rightStart) < col(leftEnd) &&
+              col("__bin") === binOf(greatest(col(leftStart), col(rightStart))))
+      .drop("__bin")
+  }
+
   /** 6h post-error click attribution window for the driver query. */
   private[graft] val WindowUs: Long = 21600L * 1000000L
 
@@ -98,5 +130,29 @@ object RangeJoin {
       .select($"user_id", $"error_id", $"click_id",
               ($"ts_us" - $"start_us").as("delta_us"))
       .orderBy($"user_id", $"error_id", $"click_id")
+  }
+
+  /** q41: error windows overlapping purchase windows (6h each, same
+    * user) with the exact overlap length — the intervals×intervals
+    * variant, again big×big with nothing broadcastable. Emitted as
+    * exact integers for the hash gate; DuckDB replays with a plain
+    * double-inequality join.
+    */
+  def overlapQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros($"ts"))
+    def windows(tpe: String, idCol: String, s: String, e: String) =
+      ev.filter($"event_type" === tpe)
+        .select($"user_id", $"event_id".as(idCol), $"ts_us".as(s))
+        .withColumn(e, col(s) + lit(WindowUs))
+    val errors    = windows("error", "error_id", "e_start", "e_end")
+    val purchases = windows("purchase", "purchase_id", "p_start", "p_end")
+    intervalOverlapJoin(errors, purchases, Seq("user_id"),
+        "e_start", "e_end", "p_start", "p_end", WindowUs)
+      .select($"user_id", $"error_id", $"purchase_id",
+        (least($"e_end", $"p_end") - greatest($"e_start", $"p_start"))
+          .as("overlap_us"))
+      .orderBy($"user_id", $"error_id", $"purchase_id")
   }
 }

@@ -55,6 +55,31 @@ class RangeJoinSpec extends SparkSpec {
       s"boundary pairs wrong: $got")
   }
 
+  test("overlap join == naive double-inequality join across bin widths") {
+    // reuse the fixture's intervals on both sides (relabeled), so the
+    // overlap set includes identical, nested, disjoint and edge-touching
+    // interval pairs
+    val left = intervals.toDF("k", "lid", "ls", "le")
+    val right = intervals.toDF("k", "rid", "rs", "re")
+      .withColumn("rs", col("rs") + 17).withColumn("re", col("re") + 17)
+    // inverted/empty intervals must match nothing: the bare overlap
+    // inequality alone would "overlap" them, so the naive reference
+    // carries the same non-empty guard the operator applies
+    val want = left.join(right, Seq("k"))
+      .filter(col("ls") < col("le") && col("rs") < col("re") &&
+              col("ls") < col("re") && col("rs") < col("le"))
+      .select("k", "lid", "rid").as[(Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty, "overlap fixture produced no pairs — broaden it")
+    for (w <- Seq(64L, 300L, 1000L, 100000L)) {
+      val got = RangeJoin.intervalOverlapJoin(left, right, Seq("k"),
+          "ls", "le", "rs", "re", w)
+        .select("k", "lid", "rid").as[(Long, Long, Long)].collect()
+      assert(got.length == got.toSet.size,
+        s"w=$w: duplicate overlap pairs — bin-of-overlap-start dedup broke")
+      assert(got.toSet == want, s"w=$w: overlap pair set differs from naive")
+    }
+  }
+
   test("q40 plans as a shuffled equi-join — no nested loop, no cartesian") {
     val df = graft.SparkEntry.queries("q40_range_join")(
       spark, "/root/testdata/sf0.001")
