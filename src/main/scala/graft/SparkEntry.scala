@@ -118,6 +118,7 @@ object SparkEntry {
     "q26_asof_join"        -> (Relational.q26AsofJoin _),
     "q40_range_join"       -> (graft.operators.RangeJoin.query _),
     "q41_overlap_join"     -> (graft.operators.RangeJoin.overlapQuery _),
+    "q42_asof_tolerance"   -> (graft.operators.AsOfJoin.toleranceQuery _),
     "p13_curation_pipeline" -> (graft.queries.CurationPipeline.query _),
     "mm1_media_features"   -> (MultimodalOps.mediaFeatures _),
     "mm2_frame_sample"     -> (MultimodalOps.frameSample _),
@@ -774,6 +775,18 @@ object SparkEntry {
           AND epoch_us(p.ts) < epoch_us(e.ts) + 21600000000
          WHERE e.event_type = 'error' AND p.event_type = 'purchase'
          ORDER BY e.user_id, error_id, purchase_id""",
+    // tolerance as-of: latest click in the 6h before each purchase,
+    // NULL (row kept) when none — replayed as a bounded correlated max
+    "q42_asof_tolerance" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) AS purchase_us,
+           (SELECT max(epoch_us(c.ts)) FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND epoch_us(c.ts) <= epoch_us(p.ts)
+              AND epoch_us(c.ts) >= epoch_us(p.ts) - 21600000000) AS click_us
+         FROM events p
+         WHERE p.event_type = 'purchase'
+         ORDER BY p.user_id, purchase_id""",
     // u1 goes through bucketed catalog tables; the oracle reads raw
     // parquet — equality proves the bucketed write/read path is lossless.
     "u1_bucketed_join" ->

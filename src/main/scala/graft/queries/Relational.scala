@@ -330,18 +330,18 @@ object Relational {
     * click ts forward with last(..., ignoreNulls). */
   def q26AsofJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // routed through the GENERIC operator (operators.AsOfJoin.asOf, the
+    // union-tag + running-last shape this query originally inlined) so
+    // the reusable library path is what the oracle gates
     val ev = Tables.events(spark, dir)
-      .filter($"event_type".isin("click", "purchase"))
-      .select($"user_id", $"event_id", $"ts", $"event_type")
-      .withColumn("tag", when($"event_type" === "click", 0).otherwise(1))
-    val w = Window.partitionBy($"user_id")
-      .orderBy($"ts", $"tag", $"event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.withColumn("last_click_ts",
-        last(when($"event_type" === "click", $"ts"), ignoreNulls = true).over(w))
-      .filter($"event_type" === "purchase" && $"last_click_ts".isNotNull)
-      .select($"user_id", $"event_id".as("purchase_id"),
-              $"ts".as("purchase_ts"), $"last_click_ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("last_click_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("purchase_ts"))
+    graft.operators.AsOfJoin.asOf(purchases, clicks, Seq("user_id"),
+        "purchase_ts", "last_click_ts")
+      .filter($"last_click_ts".isNotNull)
+      .select($"user_id", $"purchase_id", $"purchase_ts", $"last_click_ts")
       .orderBy($"user_id", $"purchase_id")
   }
 
