@@ -59,6 +59,7 @@ object SparkEntry {
     "u9_runtime_filter"    -> (graft.operators.ScaleOps.u9RuntimeFilterQuery _),
     "u10_ivf_layout"       -> (graft.operators.ScaleOps.u10IvfLayoutQuery _),
     "p27_weighted_sample"  -> ((s, d) => graft.operators.WeightedSample.query(s, d)),
+    "p28_doc_clusters"     -> (graft.pipeline.DocClusters.query _),
     "s7_stream_ann_serve"  -> (graft.streaming.EventStreams.s7StreamAnnServe _),
     "m11_platt_probs"      -> (graft.ml.ModelOracles.m11PlattProbs _),
     "m12_cv_grid"          -> ((s, d) => graft.ml.CrossVal.cvGridQuery(s, d)),
@@ -1091,6 +1092,7 @@ object SparkEntry {
     // u the aggregate is exactly "top-k by a computable key", so the
     // oracle replays key = u^(1/w) through a window. (The Spark side
     // computes it with a one-pass bounded custom aggregate, not a sort.)
+    "p28_doc_clusters" -> graft.pipeline.DocClusters.oracleSql,
     "p27_weighted_sample" ->
       """SELECT source, CAST(rank_ AS BIGINT) AS sample_rank, doc_id,
            CAST(length(text) + 1 AS BIGINT) AS weight
