@@ -60,6 +60,7 @@ object SparkEntry {
     "u10_ivf_layout"       -> (graft.operators.ScaleOps.u10IvfLayoutQuery _),
     "p27_weighted_sample"  -> ((s, d) => graft.operators.WeightedSample.query(s, d)),
     "p28_doc_clusters"     -> (graft.pipeline.DocClusters.query _),
+    "p29_lm_quality"       -> (graft.text.LmQuality.query _),
     "s7_stream_ann_serve"  -> (graft.streaming.EventStreams.s7StreamAnnServe _),
     "m11_platt_probs"      -> (graft.ml.ModelOracles.m11PlattProbs _),
     "m12_cv_grid"          -> ((s, d) => graft.ml.CrossVal.cvGridQuery(s, d)),
@@ -1093,6 +1094,7 @@ object SparkEntry {
     // oracle replays key = u^(1/w) through a window. (The Spark side
     // computes it with a one-pass bounded custom aggregate, not a sort.)
     "p28_doc_clusters" -> graft.pipeline.DocClusters.oracleSql,
+    "p29_lm_quality" -> graft.text.LmQuality.oracleSql,
     "p27_weighted_sample" ->
       """SELECT source, CAST(rank_ AS BIGINT) AS sample_rank, doc_id,
            CAST(length(text) + 1 AS BIGINT) AS weight

@@ -93,7 +93,8 @@ class PlanRegressionSpec extends SparkSpec {
   test("dedup/pipeline plans: banded joins stay equi-joins (no cartesian)") {
     for (name <- Seq("p2_minhash_pairs", "p3_simhash_pairs", "p4_ngram_jaccard",
                      "p15_tfidf_topterms", "p17_pack", "p18_contamination",
-                     "p13_curation_pipeline")) {
+                     "p13_curation_pipeline", "p29_lm_quality",
+                     "q40_range_join", "q41_overlap_join")) {
       val p = planOf(name)
       assertNoCartesian(name, p)
       assertCodegen(name, p)
