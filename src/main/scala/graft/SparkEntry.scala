@@ -61,6 +61,7 @@ object SparkEntry {
     "p27_weighted_sample"  -> ((s, d) => graft.operators.WeightedSample.query(s, d)),
     "p28_doc_clusters"     -> (graft.pipeline.DocClusters.query _),
     "p29_lm_quality"       -> (graft.text.LmQuality.query _),
+    "p32_sequences"        -> ((s, d) => graft.pipeline.TrainingOps.sequenceQuery(s, d)),
     "s7_stream_ann_serve"  -> (graft.streaming.EventStreams.s7StreamAnnServe _),
     "m11_platt_probs"      -> (graft.ml.ModelOracles.m11PlattProbs _),
     "m12_cv_grid"          -> ((s, d) => graft.ml.CrossVal.cvGridQuery(s, d)),
@@ -1095,6 +1096,7 @@ object SparkEntry {
     // computes it with a one-pass bounded custom aggregate, not a sort.)
     "p28_doc_clusters" -> graft.pipeline.DocClusters.oracleSql,
     "p29_lm_quality" -> graft.text.LmQuality.oracleSql,
+    "p32_sequences" -> graft.pipeline.TrainingOps.sequenceOracleSql,
     "p27_weighted_sample" ->
       """SELECT source, CAST(rank_ AS BIGINT) AS sample_rank, doc_id,
            CAST(length(text) + 1 AS BIGINT) AS weight

@@ -156,6 +156,44 @@ case class L1Distance(left: Expression, right: Expression) extends FusedVectorBi
     copy(left = l, right = r)
 }
 
+/** Unicode canonical/compatibility normalization (NFC/NFD/NFKC/NFKD) as
+  * a native codegen expression — the curation-pipeline primitive Spark
+  * lacks as a builtin (the same text byte-shifted into composed vs
+  * decomposed form defeats exact dedup, md5 fingerprints, and token
+  * matching unless everything is normalized first). Per-row map, zero
+  * shuffle, stays inside whole-stage codegen. The `form` argument is a
+  * compile-time literal so the plan carries no per-row dispatch.
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+    s"unicode_normalize form must be NFC/NFD/NFKC/NFKD, got $form")
+  override def prettyName: String = "unicode_normalize"
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${other.simpleString}")
+    }
+
+  @transient private lazy val nf = java.text.Normalizer.Form.valueOf(form)
+
+  override def nullSafeEval(s: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(
+        s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString, nf))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($c.toString(),
+         |    java.text.Normalizer.Form.$form));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column + SQL exposure for the native expressions. */
 object GraftFunctions {
 
@@ -184,7 +222,17 @@ object GraftFunctions {
     "minhash_signature" -> (es => MinHashSignature(es.head, litInt(es(1)))),
     "minhash_band_keys" -> (es => MinHashBandKeys(es.head, litInt(es(1)), litInt(es(2)))),
     "simhash64" -> (es => SimHash64(es.head,
-      if (es.length > 1) litBool(es(1)) else true)))
+      if (es.length > 1) litBool(es(1)) else true)),
+    "unicode_normalize" -> (es => UnicodeNormalize(es.head, litString(es(1)))))
+
+  private def litString(e: Expression): String = {
+    require(e.foldable, s"argument must be a literal string, got $e")
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"argument must be a literal string, got $other")
+    }
+  }
 
   /** Register `dot_product` / `cosine_sim` for SQL use in a session. */
   def register(spark: SparkSession): Unit =
@@ -209,6 +257,9 @@ object GraftFunctions {
     org.apache.spark.sql.graft.GraftShim.column(
       L1Distance(org.apache.spark.sql.graft.GraftShim.expression(a),
                  org.apache.spark.sql.graft.GraftShim.expression(b)))
+  def unicode_normalize(s: Column, form: String): Column =
+    org.apache.spark.sql.graft.GraftShim.column(
+      UnicodeNormalize(org.apache.spark.sql.graft.GraftShim.expression(s), form))
 }
 
 /** `SparkSessionExtensions` hook: wire the graft functions into any
@@ -246,5 +297,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       (es: Seq[Expression]) => SortedIntersectSize(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (es: Seq[Expression]) => UnicodeNormalize(es.head,
+        es(1).eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)))
   }
 }

@@ -144,4 +144,53 @@ object TrainingOps {
         md5(col("chunk")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
+
+  /** p32: per-user ordered event-sequence assembly — the "build a
+    * training example from a user's interaction history" shape
+    * (conversation threading, clickstream LMs, session transformers).
+    *
+    * Scale design: the per-user cap is enforced BEFORE the collect with
+    * a partitioned row_number window (ordered by (ts, event_id) so the
+    * rank is total and replayable), which bounds both the window state
+    * and the downstream `collect_list` buffer to `cap` rows per user —
+    * a power user with 10M events costs the same as one with 256. The
+    * whole operator is ONE shuffle on user_id (the window's partition
+    * key is reused by the groupBy). Ordering inside the aggregate never
+    * relies on collect_list's arrival order: the rank is carried into
+    * the struct and `array_sort` re-establishes it exactly, so the
+    * rendered sequence is partition/merge-order independent and the
+    * DuckDB oracle (`string_agg ... ORDER BY rn`) replays it
+    * hash-exact. */
+  def sequenceQuery(spark: SparkSession, dir: String, cap: Int = 256): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    ev.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= cap)
+      .withColumn("tok", concat_ws("@", $"event_type", $"ts_us"))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"ts_us").as("first_ts_us"),
+        max($"ts_us").as("last_ts_us"),
+        array_sort(collect_list(struct($"rn", $"tok"))).as("arr"))
+      .select($"user_id", $"n_events", $"first_ts_us", $"last_ts_us",
+        md5(concat_ws("|", expr("transform(arr, x -> x.tok)"))).as("seq_md5"))
+      .orderBy($"user_id")
+  }
+
+  val sequenceOracleSql: String =
+    """WITH capped AS (
+         SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS rn
+         FROM events
+       )
+       SELECT user_id, count(*) AS n_events,
+              min(ts_us) AS first_ts_us, max(ts_us) AS last_ts_us,
+              md5(string_agg(event_type || '@' || ts_us, '|' ORDER BY rn))
+                AS seq_md5
+       FROM capped WHERE rn <= 256
+       GROUP BY user_id ORDER BY user_id"""
 }
