@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses a bounded tail of raw stdout. Two sbt
+// behaviors break that: the logger prefixes forked-process output with
+// "[info] ", and a "[success] Total time: ..." line lands AFTER the
+// bench's final JSON line. Route forked output straight to stdout and
+// drop the success banner so the bench summary is the last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

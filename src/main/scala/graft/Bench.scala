@@ -35,14 +35,22 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "1500"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Data-contract gate FIRST, and loudly: a changed on-disk encoding
+    // must kill the run with one clear message, not let 25 queries fail
+    // individually while the summary still reports a timing (the r05
+    // regression). Emit a parseable error line before dying.
+    try Tables.contractCheck(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(e.getMessage)
+      println("""{"metric":"total","value":-1,"unit":"sec","contract_error":""" +
+        "\"" + String.valueOf(e.getMessage).replaceAll("[\"\\n]", " ").take(500) + "\"}")
+      spark.stop(); sys.exit(2)
+    }
     // warmup: touch each table + force codegen/JIT of the common
     // expression paths once, so the first timed query doesn't absorb
     // JVM startup (standard bench hygiene; adds ~5s wall-clock, removes
     // ~10s of warmup noise from the first query's figure)
-    Tables.all.foreach { t =>
-      try { Tables.load(spark, sfDir, t).limit(64).count() }
-      catch { case _: Throwable => () }
-    }
+    Tables.all.foreach { t => Tables.load(spark, sfDir, t).limit(64).count() }
     try { SparkEntry.queries("m2_kernel_values")(spark, sfDir).count() }
     catch { case _: Throwable => () }
     // warm the ML fit path too: breeze's eigendecomposition, MLlib's
@@ -132,8 +140,11 @@ object Bench {
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
     println("GRAFT_BENCH_JSON " + full)
+    // stop the session BEFORE the final line so no shutdown logging can
+    // land after it — the bounded summary must be the LAST stdout line
+    spark.stop()
     val out = Seq(2, 1, 0).map(line).find(_.length <= 1900).getOrElse(truncatedLine())
     println(out)
-    spark.stop()
+    System.out.flush()
   }
 }

@@ -30,6 +30,10 @@ object Verify {
       .config("spark.sql.codegen.cache.maxEntries", "1500")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // loud startup contract check (see Tables.contractCheck): a changed
+    // on-disk encoding should be ONE clear failure, not 25 query errors
+    try Tables.contractCheck(spark, sfDir)
+    catch { case e: Throwable => System.err.println(e.getMessage) }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -84,8 +84,10 @@ object EventStreams {
   private def eventStream(spark: org.apache.spark.sql.SparkSession,
                           dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tableStream(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // schema-adaptive: the batch schema applied by tableStream reflects
+    // whatever ts encoding is on disk; normalize it the same way the
+    // batch loader does (graft.Tables.normalizeTs)
+    graft.Tables.normalizeTs(tableStream(spark, dir, "events"))
   }
 
   private def runToMemory(out: DataFrame, mode: String): DataFrame = {
