@@ -253,4 +253,36 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("duplicated-span removal drops exactly the cross-doc shared span") {
+    // a 8-word span planted in docs 10 and 11 amid otherwise-unique
+    // words; doc 12 shares nothing; doc 13 is SHORTER than k and a full
+    // copy of doc 14's text (the truncated-gram branch)
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val docsDf = Seq(
+      (10L, s"u1 u2 u3 $span u4 u5 u6"),
+      (11L, s"v1 v2 $span v3 v4 v5 v6 v7"),
+      (12L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (13L, "short shared tiny doc"),
+      (14L, "short shared tiny doc"),
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.duplicatedSpans(docsDf, 8)
+      .select("doc_id", "n_words", "n_dup_words", "kept_md5")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // the planted span is the ONLY gram shared by 2+ docs among 10/11;
+    // coverage is the span's 8 words (a single k-window each)
+    assert(out(10L)._1 === 14 && out(10L)._2 === 8, s"doc10: ${out(10L)}")
+    assert(out(11L)._1 === 15 && out(11L)._2 === 8, s"doc11: ${out(11L)}")
+    assert(out(12L)._2 === 0, "unique doc loses nothing")
+    // rebuilt text drops the span, preserves order
+    val md5u = java.security.MessageDigest.getInstance("MD5")
+      .digest("u1 u2 u3 u4 u5 u6".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(10L)._3 === md5u, "doc10 re-render = its unique words in order")
+    // short-doc full duplication: every word removed, md5 of empty string
+    val md5empty = "d41d8cd98f00b204e9800998ecf8427e"
+    assert(out(13L)._2 === out(13L)._1 && out(13L)._3 === md5empty)
+    assert(out(14L)._2 === out(14L)._1 && out(14L)._3 === md5empty)
+  }
 }
