@@ -64,6 +64,7 @@ object SparkEntry {
     "p32_sequences"        -> ((s, d) => graft.pipeline.TrainingOps.sequenceQuery(s, d)),
     "p33_dup_spans"        -> ((s, d) => graft.dedup.SpanDedup.duplicatedSpansQuery(s, d)),
     "p34_quality_clf"      -> (graft.text.QualityClassifier.query _),
+    "p35_incr_dedup"       -> (graft.dedup.IncrementalDedup.query _),
     "s7_stream_ann_serve"  -> (graft.streaming.EventStreams.s7StreamAnnServe _),
     "m11_platt_probs"      -> (graft.ml.ModelOracles.m11PlattProbs _),
     "m12_cv_grid"          -> ((s, d) => graft.ml.CrossVal.cvGridQuery(s, d)),
@@ -1101,6 +1102,7 @@ object SparkEntry {
     "p32_sequences" -> graft.pipeline.TrainingOps.sequenceOracleSql,
     "p33_dup_spans" -> graft.dedup.SpanDedup.oracleSql,
     "p34_quality_clf" -> graft.text.QualityClassifier.oracleSql,
+    "p35_incr_dedup" -> graft.dedup.IncrementalDedup.oracleSql,
     "p27_weighted_sample" ->
       """SELECT source, CAST(rank_ AS BIGINT) AS sample_rank, doc_id,
            CAST(length(text) + 1 AS BIGINT) AS weight

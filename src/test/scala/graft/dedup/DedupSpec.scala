@@ -254,6 +254,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("incremental dedup decisions agree with the live bipartite verify") {
+    val dir = "/root/testdata/sf0.001"
+    val out = IncrementalDedup.query(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+         r.getBoolean(4))).toMap
+    // independent ground truth via the LIVE two-table join (different
+    // plan: side-tagged bucket aggregation vs persisted-index probe)
+    val docs = graft.Tables.documents(spark, dir)
+    val truth = SimilarityJoin
+      .similarPairs(docs.filter($"doc_id" % 2 === 0),
+                    docs.filter($"doc_id" % 2 === 1), "doc_id", "text", 0.8)
+      .groupBy($"rid").agg(min($"lid").as("nd"))
+      .as[(Long, Long)].collect().toMap
+    val exacts = docs.filter($"doc_id" % 2 === 1).select($"doc_id", md5($"text").as("m"))
+      .join(docs.filter($"doc_id" % 2 === 0).select(md5($"text").as("m")).distinct(), Seq("m"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.nonEmpty)
+    out.foreach { case (id, (ex, nd, keep)) =>
+      assert(ex === exacts.contains(id), s"exact flag for $id")
+      assert(nd === truth.get(id), s"near_dup_of for $id")
+      assert(keep === (!ex && nd.isEmpty), s"keep bit for $id")
+    }
+    assert(out.values.exists(_._2.nonEmpty),
+      "sf0.001 plants at least one cross-parity near-dup")
+  }
+
   test("duplicated-span removal drops exactly the cross-doc shared span") {
     // a 8-word span planted in docs 10 and 11 amid otherwise-unique
     // words; doc 12 shares nothing; doc 13 is SHORTER than k and a full
