@@ -303,6 +303,60 @@ object EventStreams {
       .orderBy(col("query_id"))
   }
 
+  // ---- S8: streaming incremental dedup over the static p35 index ----
+
+  /** S8: incoming documents arrive as a STREAM and are deduped online
+    * against the persisted p35 corpus index — the streaming half of the
+    * continual-ingestion story (p35 is the batch half; s7's serve-over-
+    * static-artifact pattern applied to dedup). Each arriving doc's
+    * band keys probe the static band table (stream-static equi-join —
+    * at 100 TB a pruned read of a band-key-bucketed table), candidates
+    * verify exact Jaccard against the static shingle sets, and ONE
+    * streaming aggregation folds the near-dup layer AND the exact-md5
+    * layer per doc: an exact duplicate shares its full signature, so
+    * its index twin is always among the band candidates — md5 equality
+    * rides the same candidate rows, no second stream branch needed.
+    * Docs with zero candidates (the keep case) can't appear in the
+    * sink, so the final batch projection left-joins the incoming id
+    * list to fill their decision rows. Output ≡ p35's batch decisions,
+    * so the same DuckDB oracle gates both. */
+  def s8StreamIncrDedup(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.dedup.{IncrementalDedup, MinHashDedup}
+    import graft.functions.HashFunctions
+    IncrementalDedup.ensureIndexed(spark, dir)
+    val root = graft.ml.ModelOracles.modelRoot(dir)
+    val idx = spark.read.parquet(s"$root/p35_index")
+      .select(col("doc_id").as("rid"), col("sh").as("sh_r"), col("md5").as("md5_r"))
+    val idxBands = spark.read.parquet(s"$root/p35_bands")
+    val incStream = tableStream(spark, dir, "documents")
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), md5(col("text")).as("md5"),
+        HashFunctions.token_shingle_hashes(col("text"), IncrementalDedup.ShingleK).as("sh"))
+    // band multiplicity is harmless: every aggregate below is min/max
+    val decided = incStream
+      .select(col("doc_id"), col("md5"), col("sh"),
+        posexplode(MinHashDedup.bandKeys(col("sh"))))
+      .select(col("doc_id"), col("md5"), col("sh"),
+        col("pos").as("band_idx"), col("col").as("band_key"))
+      .join(idxBands, Seq("band_idx", "band_key"))
+      .join(idx, Seq("rid"))
+      .withColumn("j", round(MinHashDedup.jaccardSorted(col("sh"), col("sh_r")), 6))
+      .groupBy(col("doc_id"), col("md5"))
+      .agg(max(when(col("md5_r") === col("md5"), lit(1)).otherwise(lit(0))).as("exn"),
+           min(when(col("j") >= IncrementalDedup.Threshold, col("rid"))).as("near_dup_of"),
+           max(when(col("j") >= IncrementalDedup.Threshold, col("j"))).as("best_jaccard"))
+    val sink = runToMemory(decided, "complete")
+    graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"))
+      .join(sink, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("exn"), lit(0)) === 1).as("exact_dup"),
+        col("near_dup_of"), col("best_jaccard"),
+        (coalesce(col("exn"), lit(0)) === 0 && col("near_dup_of").isNull).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- S2: gap-based sessionization via flatMapGroupsWithState ----
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

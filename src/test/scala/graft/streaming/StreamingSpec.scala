@@ -47,6 +47,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup reproduces the batch p35 decisions exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = graft.streaming.EventStreams.s8StreamIncrDedup(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.dedup.IncrementalDedup.query(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(stream === batch,
+      "stream-static probe of the persisted index must equal the batch decisions")
+    assert(stream.nonEmpty)
+  }
+
   test("streaming sessionization emits gap-separated sessions, matches batch twin") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[Event]
