@@ -39,7 +39,8 @@ object QualityClassifier {
 
   val D = 64            // hash buckets (synthetic vocab is 31 tokens)
   val Thresh = 0.645    // p9 quality threshold — splits sf0.01 ~50/50
-  val Iters = 8       // Newton/IRLS steps — quadratic convergence
+  val Iters = 5       // Newton/IRLS steps — loss is flat by step 5
+                      // (sf0.1 trajectory: .693 .552 .536 .5335 .5328)
   val Ridge = 1e-8    // Hessian regularizer (relative to n)
 
   /** (doc_id, bucket, cnt): hashed token features, tf-normalized
@@ -145,7 +146,6 @@ object QualityClassifier {
             (lit(1.0) / (lit(1.0) + exp(-$"m"))).as("p"))
           .select($"doc_id", $"m", $"y",
             ($"p" - $"y").as("r"), ($"p" * (lit(1.0) - $"p")).as("s"))
-          .persist()
         val fr = f.join(resid, Seq("doc_id"))
         // one collect: gradient cells (i, −3), Hessian upper triangle
         // (i ≤ j), and the loss cell (−2, −2) ride the same aggregation
@@ -165,7 +165,6 @@ object QualityClassifier {
               .otherwise(log1p(exp(-$"m")) + $"m")) * lit(1e6)).cast("long").as("g")))
           .groupBy($"i", $"j").agg(sum($"g").as("g"))
           .as[(Int, Int, Long)].collect()
-        resid.unpersist(false)
         val grad = Array.fill(S)(0.0)
         val hess = Array.ofDim[Double](S, S)
         var loss = 0.0

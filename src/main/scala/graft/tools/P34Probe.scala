@@ -14,13 +14,23 @@ object P34Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.text.QualityClassifier
-    val feat = QualityClassifier.featureTable(graft.Tables.documents(spark, dir))
-    val lbl = QualityClassifier.labelTable(spark, dir)
-    for (it <- Seq(1, 5, 5, 20)) {
-      val t0 = System.nanoTime()
-      QualityClassifier.fit(feat, lbl, iters = it)
-      println(f"iters=$it%3d  total=${(System.nanoTime() - t0) / 1e9}%6.2fs")
+    var t = System.nanoTime()
+    def lap(tag: String): Unit = {
+      println(f"$tag%-12s ${(System.nanoTime() - t) / 1e9}%6.2fs"); t = System.nanoTime()
     }
+    val feat = QualityClassifier.featureTable(graft.Tables.documents(spark, dir)).persist()
+    feat.count(); lap("features")
+    val lbl = QualityClassifier.labelTable(spark, dir).persist()
+    lbl.count(); lap("labels")
+    for (it <- Seq(1, 1, 5)) {
+      val t0 = System.nanoTime()
+      val (_, _, losses) = QualityClassifier.fit(feat, lbl, iters = it)
+      println(f"iters=$it%3d  total=${(System.nanoTime() - t0) / 1e9}%6.2fs")
+      println("losses: " + losses.map(l => f"$l%.6f").mkString(", "))
+    }
+    t = System.nanoTime()
+    graft.text.QualityClassifier.ensureFitted(spark, dir); lap("ensureFit")
+    graft.text.QualityClassifier.query(spark, dir).count(); lap("score")
     spark.stop()
   }
 }
