@@ -101,6 +101,7 @@ object SparkEntry {
     "src1_csv_roundtrip"   -> (graft.sources.SourceRoundtrips.csvRoundtrip _),
     "src2_json_roundtrip"  -> (graft.sources.SourceRoundtrips.jsonRoundtrip _),
     "src3_orc_roundtrip"   -> (graft.sources.SourceRoundtrips.orcRoundtrip _),
+    "src4_text_roundtrip"  -> (graft.sources.SourceRoundtrips.textRoundtrip _),
     "u6_upsert"            -> (graft.operators.ScaleOps.u6UpsertQuery _),
     "u7_zorder_layout"     -> (graft.operators.ScaleOps.u7ZorderQuery _),
     "s4_stream_join"       -> (graft.streaming.EventStreams.s4StreamJoin _),
@@ -1314,6 +1315,12 @@ object SparkEntry {
     // src3: ORC roundtrip (own-schema columnar format + pushed filter);
     // same parquet-side summary oracle as src1/src2
     "src3_orc_roundtrip" -> ordersSummarySql,
+    "src4_text_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, count(DISTINCT m) AS n_md5,
+           min(m) AS min_md5, max(m) AS max_md5,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM (SELECT doc_id, lang, md5(text) AS m FROM documents)
+         GROUP BY lang ORDER BY lang""",
     // s4: stream-stream attribution join through the real engine; the
     // oracle is the batch join with the identical time-range predicate.
     "s4_stream_join" ->

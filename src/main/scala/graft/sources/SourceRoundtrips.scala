@@ -66,4 +66,31 @@ object SourceRoundtrips {
     val back = spark.read.orc(tmp).filter(col("o_totalprice") > 0)
     materializeAndClean(spark, summarize(back), tmp)
   }
+
+  /** src4: raw TEXT lines — the format raw corpora actually arrive in.
+    * Documents are rendered as tab-separated lines through the `text`
+    * sink, read back with the line source, and re-parsed by column
+    * split; the per-lang summary (counts + md5 extremes over the
+    * CONTENT hash) mismatches on any line-splitting, encoding, or
+    * field-order defect. The content rides as md5(text) because the
+    * line format would not round-trip text containing the separator —
+    * exactly the property this query documents. */
+  def textRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("m"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_text").toString
+    d.select(concat_ws("\t", col("doc_id"), col("lang"), col("m")).as("value"))
+      .write.mode("overwrite").text(tmp)
+    val parts = split(col("value"), "\t")
+    val back = spark.read.text(tmp)
+      .select(parts.getItem(0).cast("long").as("doc_id"),
+              parts.getItem(1).as("lang"), parts.getItem(2).as("m"))
+    val out = back.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("m")).as("n_md5"),
+           min(col("m")).as("min_md5"), max(col("m")).as("max_md5"),
+           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+    materializeAndClean(spark, out, tmp)
+  }
 }
