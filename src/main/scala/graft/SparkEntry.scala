@@ -67,6 +67,7 @@ object SparkEntry {
     "p35_incr_dedup"       -> (graft.dedup.IncrementalDedup.query _),
     "p37_semdedup"         -> (graft.dedup.SemDedup.query _),
     "p36_bm25_search"      -> (graft.text.Bm25.query _),
+    "q43_pagerank"         -> (graft.operators.PageRank.query _),
     "s8_stream_incr_dedup" -> (graft.streaming.EventStreams.s8StreamIncrDedup _),
     "s7_stream_ann_serve"  -> (graft.streaming.EventStreams.s7StreamAnnServe _),
     "m11_platt_probs"      -> (graft.ml.ModelOracles.m11PlattProbs _),
@@ -1109,6 +1110,7 @@ object SparkEntry {
     "p35_incr_dedup" -> graft.dedup.IncrementalDedup.oracleSql,
     "p37_semdedup" -> graft.dedup.SemDedup.oracleSql,
     "p36_bm25_search" -> graft.text.Bm25.oracleSql,
+    "q43_pagerank" -> graft.operators.PageRank.oracleSql,
     // the stream computes the SAME decision record as the batch p35, so
     // the same replay SQL gates both halves of the continual-ingestion story
     "s8_stream_incr_dedup" -> graft.dedup.IncrementalDedup.oracleSql,

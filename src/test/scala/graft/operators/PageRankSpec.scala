@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class PageRankSpec extends SparkSpec {
+
+  // star: hub h connected to spokes a,b,c (symmetrized)
+  private def starEdges = {
+    import spark.implicits._
+    val one = Seq(("h", "a"), ("h", "b"), ("h", "c")).toDF("src", "dst")
+    one.union(one.select($"dst".as("src"), $"src".as("dst")))
+  }
+
+  test("pagerank: hub outranks spokes, symmetric spokes tie exactly") {
+    val out = PageRank.ranks(starEdges).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(out("h") > out("a"))
+    assert(out("a") == out("b") && out("b") == out("c"))
+  }
+
+  test("pagerank: total mass stays ~1 (quantization loses < 1e-9 per edge)") {
+    val total = PageRank.ranks(starEdges).collect().map(_.getDouble(1)).sum
+    assert(math.abs(total - 1.0) < 1e-6)
+  }
+
+  test("pagerank: floor-quantized contributions make the result bit-identical under any partitioning") {
+    import spark.implicits._
+    // ring of 64 nodes with a chord fan to node 0 — nontrivial structure
+    val base = (0 until 64).map(i => (s"n$i", s"n${(i + 1) % 64}")) ++
+      (1 until 16).map(i => (s"n${i * 4}", "n0"))
+    val df = base.toDF("src", "dst")
+    val sym = df.union(df.select($"dst".as("src"), $"src".as("dst")))
+    val a = PageRank.ranks(sym.repartition(1)).orderBy("node").collect()
+    val b = PageRank.ranks(sym.repartition(7)).orderBy("node").collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getString(0) == y.getString(0))
+      assert(x.getDouble(1) == y.getDouble(1)) // bit equality, not tolerance
+    }
+  }
+}
