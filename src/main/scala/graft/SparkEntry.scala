@@ -133,6 +133,7 @@ object SparkEntry {
     "p13_curation_pipeline" -> (graft.queries.CurationPipeline.query _),
     "mm1_media_features"   -> (MultimodalOps.mediaFeatures _),
     "mm2_frame_sample"     -> (MultimodalOps.frameSample _),
+    "mm3_phash_dedup"      -> (graft.multimodal.PHashDedup.query _),
     "q22_sessions"         -> (Sessionization.sessionsBatch _),
     "u1_bucketed_join"     -> (graft.operators.ScaleOps.u1BucketedJoinQuery _),
     "u2_salted_join"       -> (graft.operators.ScaleOps.u2SaltedJoinQuery _),
@@ -1111,6 +1112,7 @@ object SparkEntry {
     "p37_semdedup" -> graft.dedup.SemDedup.oracleSql,
     "p36_bm25_search" -> graft.text.Bm25.oracleSql,
     "q43_pagerank" -> graft.operators.PageRank.oracleSql,
+    "mm3_phash_dedup" -> graft.multimodal.PHashDedup.oracleSql,
     // the stream computes the SAME decision record as the batch p35, so
     // the same replay SQL gates both halves of the continual-ingestion story
     "s8_stream_incr_dedup" -> graft.dedup.IncrementalDedup.oracleSql,
