@@ -69,6 +69,7 @@ object SparkEntry {
     "p36_bm25_search"      -> (graft.text.Bm25.query _),
     "q43_pagerank"         -> (graft.operators.PageRank.query _),
     "s8_stream_incr_dedup" -> (graft.streaming.EventStreams.s8StreamIncrDedup _),
+    "s9_stream_score"      -> (graft.streaming.EventStreams.s9StreamQualityScore _),
     "s7_stream_ann_serve"  -> (graft.streaming.EventStreams.s7StreamAnnServe _),
     "m11_platt_probs"      -> (graft.ml.ModelOracles.m11PlattProbs _),
     "m12_cv_grid"          -> ((s, d) => graft.ml.CrossVal.cvGridQuery(s, d)),
@@ -1108,6 +1109,8 @@ object SparkEntry {
     "p32_sequences" -> graft.pipeline.TrainingOps.sequenceOracleSql,
     "p33_dup_spans" -> graft.dedup.SpanDedup.oracleSql,
     "p34_quality_clf" -> graft.text.QualityClassifier.oracleSql,
+    // s9 emits p34's exact decision record — one replay SQL gates both
+    "s9_stream_score" -> graft.text.QualityClassifier.oracleSql,
     "p35_incr_dedup" -> graft.dedup.IncrementalDedup.oracleSql,
     "p37_semdedup" -> graft.dedup.SemDedup.oracleSql,
     "p36_bm25_search" -> graft.text.Bm25.oracleSql,

@@ -357,6 +357,30 @@ object EventStreams {
       .orderBy(col("doc_id"))
   }
 
+  /** s9: streaming model scoring (online inference over the persisted
+    * p34 quality classifier) — documents arrive as a file-source stream
+    * and are scored per-row with `marginMicrosNarrow`: the entire
+    * hashed-feature margin folds inside array higher-order functions, so
+    * the query is STATELESS (append mode, no aggregation state, no
+    * watermark) — the unbounded-throughput inference shape. The decision
+    * record is identical to batch p34's, so the SAME DuckDB replay SQL
+    * gates both, certifying that stream-side scoring agrees bit-exactly
+    * with the batch margins computed from the persisted feature table. */
+  def s9StreamQualityScore(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame = {
+    import graft.text.QualityClassifier
+    QualityClassifier.ensureFitted(spark, dir)
+    val (w, bias) = QualityClassifier.loadWeights(spark, dir)
+    val scored = QualityClassifier.marginMicrosNarrow(
+      tableStream(spark, dir, "documents"), w, bias)
+    val sink = runToMemory(scored, "append")
+    sink.join(QualityClassifier.labelTable(spark, dir), Seq("doc_id"))
+      .select(col("doc_id"), col("margin_micros"),
+        (col("margin_micros") >= 0).as("pred"), col("y"),
+        (col("doc_id") % 4 =!= 0).as("is_train"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- S2: gap-based sessionization via flatMapGroupsWithState ----
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

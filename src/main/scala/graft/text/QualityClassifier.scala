@@ -87,6 +87,38 @@ object QualityClassifier {
       .agg((sum($"c") + lit(math.floor(bias * 1e6).toLong)).as("margin_micros"))
   }
 
+  /** Stateless per-row margin — the streaming-inference shape: the whole
+    * hashed-feature margin folds inside array higher-order functions
+    * (tokenize → bucket → per-distinct-bucket tf → quantized dot), so
+    * scoring needs NO aggregation state at all — a narrow map over the
+    * stream, append mode, unbounded throughput. Bit-identical to
+    * [[marginMicros]]: same xxhash64 bucketing, same c/t double
+    * division, same floor-micro quantization per bucket, same integer
+    * sum (order fixed by array_distinct's first-occurrence order —
+    * irrelevant anyway, integer addition commutes). */
+  def marginMicrosNarrow(docs: DataFrame, w: Array[Double], bias: Double): DataFrame = {
+    val warr = array(w.map(lit(_)): _*)
+    val toks = split(col("text"), "\\s+")
+    val buckets = transform(toks, t => pmod(xxhash64(t), lit(D.toLong)).cast("int"))
+    val t = size(toks)
+    val tokenPart = aggregate(
+      array_distinct(buckets), lit(0L),
+      (acc, b) => acc + floor(element_at(warr, b + 1) *
+        (size(filter(buckets, x => x === b)) / t) * lit(1e6)).cast("long"))
+    val lenPart = floor(element_at(warr, lit(NumFeatures)) *
+      (t / lit(100.0)) * lit(1e6)).cast("long")
+    docs.select(col("doc_id"),
+      (tokenPart + lenPart + lit(math.floor(bias * 1e6).toLong)).as("margin_micros"))
+  }
+
+  /** Load the persisted weight vector + bias (bucket −1). */
+  def loadWeights(spark: SparkSession, dir: String): (Array[Double], Double) = {
+    import spark.implicits._
+    val wMap = spark.read.parquet(s"${root(dir)}/p34_weights")
+      .as[(Int, Double)].collect().toMap
+    (Array.tabulate(NumFeatures)(wMap(_)), wMap(-1))
+  }
+
   /** Newton/IRLS fit on (doc_id, bucket, cnt) ⋈ (doc_id, y). Returns
     * (weights, bias, perIterLoss). D+1 is small, so the full Hessian
     * H = Σ_d σ_d(1−σ_d)·x_d x_dᵀ is one distributed aggregation per
