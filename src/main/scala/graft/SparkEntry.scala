@@ -67,6 +67,7 @@ object SparkEntry {
     "p35_incr_dedup"       -> (graft.dedup.IncrementalDedup.query _),
     "p37_semdedup"         -> (graft.dedup.SemDedup.query _),
     "p36_bm25_search"      -> (graft.text.Bm25.query _),
+    "p39_bpe_vocab"        -> (graft.text.BpeVocab.query _),
     "q43_pagerank"         -> (graft.operators.PageRank.query _),
     "s8_stream_incr_dedup" -> (graft.streaming.EventStreams.s8StreamIncrDedup _),
     "s9_stream_score"      -> (graft.streaming.EventStreams.s9StreamQualityScore _),
@@ -1115,6 +1116,7 @@ object SparkEntry {
     "p37_semdedup" -> graft.dedup.SemDedup.oracleSql,
     "p36_bm25_search" -> graft.text.Bm25.oracleSql,
     "q43_pagerank" -> graft.operators.PageRank.oracleSql,
+    "p39_bpe_vocab" -> graft.text.BpeVocab.oracleSql,
     "mm3_phash_dedup" -> graft.multimodal.PHashDedup.oracleSql,
     // the stream computes the SAME decision record as the batch p35, so
     // the same replay SQL gates both halves of the continual-ingestion story

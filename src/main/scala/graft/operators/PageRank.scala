@@ -32,23 +32,33 @@ object PageRank {
   /** Fixed-`iters` PageRank on a directed edge list (src, dst) — run on
     * the symmetrized bipartite graph here. Returns (node, pr). */
   def ranks(edges: DataFrame, iters: Int = Iters): DataFrame = {
+    // materialize the degree-annotated edge list ONCE: without this every
+    // iteration (and the vertex count) re-executes the upstream edge
+    // derivation — measured 8.4s → ~2s at sf0.1. outdeg rides on the
+    // edge row so each iteration is a single join on src + one agg on dst.
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
-    val n = deg.count()
-    var pr = deg.select(col("node"), (lit(1.0) / lit(n)).as("pr"))
-    for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"),
-          floor((col("pr") / col("outdeg")) * lit(1e12)).cast("long").as("c"))
-      pr = contrib.groupBy("node")
-        .agg(sum("c").as("s"))
-        .select(col("node"),
-          (lit(0.15) / lit(n) +
-            lit(Damping) * (col("s").cast("double") / lit(1e12))).as("pr"))
-    }
-    pr
+    val edgesW = edges
+      .join(deg.withColumnRenamed("node", "src"), Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = edgesW.select(countDistinct(col("src"))).head().getLong(0)
+    var pr = edgesW.select(col("src").as("node")).distinct()
+      .select(col("node"), (lit(1.0) / lit(n)).as("pr"))
+    try {
+      for (_ <- 1 to iters) {
+        val contrib = edgesW
+          .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"),
+            floor((col("pr") / col("outdeg")) * lit(1e12)).cast("long").as("c"))
+        pr = contrib.groupBy("node")
+          .agg(sum("c").as("s"))
+          .select(col("node"),
+            (lit(0.15) / lit(n) +
+              lit(Damping) * (col("s").cast("double") / lit(1e12))).as("pr"))
+      }
+      // materialize the (vertex-sized) result before releasing the edges
+      pr.localCheckpoint(true)
+    } finally edgesW.unpersist(false)
   }
 
   /** q43: 3-iteration PageRank over the symmetrized customer–supplier
