@@ -58,6 +58,7 @@ object SparkEntry {
     "u8_partition_prune"   -> (graft.operators.ScaleOps.u8PartitionPruneQuery _),
     "u9_runtime_filter"    -> (graft.operators.ScaleOps.u9RuntimeFilterQuery _),
     "u10_ivf_layout"       -> (graft.operators.ScaleOps.u10IvfLayoutQuery _),
+    "u11_time_travel"      -> (graft.operators.VersionedTable.query _),
     "p27_weighted_sample"  -> ((s, d) => graft.operators.WeightedSample.query(s, d)),
     "p28_doc_clusters"     -> (graft.pipeline.DocClusters.query _),
     "p29_lm_quality"       -> (graft.text.LmQuality.query _),
@@ -1117,6 +1118,7 @@ object SparkEntry {
     "p36_bm25_search" -> graft.text.Bm25.oracleSql,
     "q43_pagerank" -> graft.operators.PageRank.oracleSql,
     "p39_bpe_vocab" -> graft.text.BpeVocab.oracleSql,
+    "u11_time_travel" -> graft.operators.VersionedTable.oracleSql,
     "mm3_phash_dedup" -> graft.multimodal.PHashDedup.oracleSql,
     // the stream computes the SAME decision record as the batch p35, so
     // the same replay SQL gates both halves of the continual-ingestion story
