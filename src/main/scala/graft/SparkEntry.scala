@@ -70,6 +70,7 @@ object SparkEntry {
     "p36_bm25_search"      -> (graft.text.Bm25.query _),
     "p39_bpe_vocab"        -> (graft.text.BpeVocab.query _),
     "q43_pagerank"         -> (graft.operators.PageRank.query _),
+    "q44_reachability"     -> (graft.operators.Reachability.query _),
     "s8_stream_incr_dedup" -> (graft.streaming.EventStreams.s8StreamIncrDedup _),
     "s9_stream_score"      -> (graft.streaming.EventStreams.s9StreamQualityScore _),
     "s7_stream_ann_serve"  -> (graft.streaming.EventStreams.s7StreamAnnServe _),
@@ -1117,6 +1118,7 @@ object SparkEntry {
     "p37_semdedup" -> graft.dedup.SemDedup.oracleSql,
     "p36_bm25_search" -> graft.text.Bm25.oracleSql,
     "q43_pagerank" -> graft.operators.PageRank.oracleSql,
+    "q44_reachability" -> graft.operators.Reachability.oracleSql,
     "p39_bpe_vocab" -> graft.text.BpeVocab.oracleSql,
     "u11_time_travel" -> graft.operators.VersionedTable.oracleSql,
     "mm3_phash_dedup" -> graft.multimodal.PHashDedup.oracleSql,

@@ -61,10 +61,10 @@ object PageRank {
     } finally edgesW.unpersist(false)
   }
 
-  /** q43: 3-iteration PageRank over the symmetrized customer–supplier
-    * graph; every node has degree ≥ 1 by construction (nodes are defined
-    * by edges), so there is no dangling-mass term. */
-  def query(spark: SparkSession, dir: String): DataFrame = {
+  /** Symmetrized customer–supplier interaction edge list (who-trades-
+    * with-whom, from orders ⋈ lineitem) — shared by q43 (PageRank) and
+    * q44 (reachability). */
+  def csEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val orders = Tables.orders(spark, dir)
     val lineitem = Tables.lineitem(spark, dir)
@@ -72,8 +72,15 @@ object PageRank {
       .select(concat(lit("c:"), $"o_custkey").as("src"),
               concat(lit("s:"), $"l_suppkey").as("dst"))
       .distinct()
-    val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
-    ranks(edges)
+    cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+  }
+
+  /** q43: 3-iteration PageRank over the symmetrized customer–supplier
+    * graph; every node has degree ≥ 1 by construction (nodes are defined
+    * by edges), so there is no dangling-mass term. */
+  def query(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ranks(csEdges(spark, dir))
       .select($"node", round($"pr", 9).as("pr"))
       .orderBy($"node")
   }
