@@ -111,6 +111,7 @@ object SparkEntry {
     "src4_text_roundtrip"  -> (graft.sources.SourceRoundtrips.textRoundtrip _),
     "u6_upsert"            -> (graft.operators.ScaleOps.u6UpsertQuery _),
     "u7_zorder_layout"     -> (graft.operators.ScaleOps.u7ZorderQuery _),
+    "u12_stats_skipping"   -> (graft.operators.StatsSkipping.u12StatsSkippingQuery _),
     "s4_stream_join"       -> (graft.streaming.EventStreams.s4StreamJoin _),
     "s5_stream_upsert"     -> (graft.streaming.EventStreams.s5StreamUpsert _),
     "m1_svm_binary_eval"   -> (MlQueries.svmBinaryEval _),
@@ -1121,6 +1122,7 @@ object SparkEntry {
     "q44_reachability" -> graft.operators.Reachability.oracleSql,
     "p39_bpe_vocab" -> graft.text.BpeVocab.oracleSql,
     "u11_time_travel" -> graft.operators.VersionedTable.oracleSql,
+    "u12_stats_skipping" -> graft.operators.StatsSkipping.oracleSql,
     "mm3_phash_dedup" -> graft.multimodal.PHashDedup.oracleSql,
     // the stream computes the SAME decision record as the batch p35, so
     // the same replay SQL gates both halves of the continual-ingestion story
