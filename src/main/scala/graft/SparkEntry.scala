@@ -139,6 +139,7 @@ object SparkEntry {
     "mm1_media_features"   -> (MultimodalOps.mediaFeatures _),
     "mm2_frame_sample"     -> (MultimodalOps.frameSample _),
     "mm3_phash_dedup"      -> (graft.multimodal.PHashDedup.query _),
+    "mm4_audio_features"   -> (graft.multimodal.AudioOps.audioFeatures _),
     "q22_sessions"         -> (Sessionization.sessionsBatch _),
     "u1_bucketed_join"     -> (graft.operators.ScaleOps.u1BucketedJoinQuery _),
     "u2_salted_join"       -> (graft.operators.ScaleOps.u2SaltedJoinQuery _),
@@ -1124,6 +1125,7 @@ object SparkEntry {
     "u11_time_travel" -> graft.operators.VersionedTable.oracleSql,
     "u12_stats_skipping" -> graft.operators.StatsSkipping.oracleSql,
     "mm3_phash_dedup" -> graft.multimodal.PHashDedup.oracleSql,
+    "mm4_audio_features" -> graft.multimodal.AudioOps.oracleSql,
     // the stream computes the SAME decision record as the batch p35, so
     // the same replay SQL gates both halves of the continual-ingestion story
     "s8_stream_incr_dedup" -> graft.dedup.IncrementalDedup.oracleSql,
