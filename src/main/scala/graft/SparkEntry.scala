@@ -69,6 +69,7 @@ object SparkEntry {
     "p37_semdedup"         -> (graft.dedup.SemDedup.query _),
     "p36_bm25_search"      -> (graft.text.Bm25.query _),
     "p39_bpe_vocab"        -> (graft.text.BpeVocab.query _),
+    "p40_dsir_resample"    -> (graft.pipeline.ImportanceResample.query _),
     "q43_pagerank"         -> (graft.operators.PageRank.query _),
     "q44_reachability"     -> (graft.operators.Reachability.query _),
     "s8_stream_incr_dedup" -> (graft.streaming.EventStreams.s8StreamIncrDedup _),
@@ -1122,6 +1123,7 @@ object SparkEntry {
     "q43_pagerank" -> graft.operators.PageRank.oracleSql,
     "q44_reachability" -> graft.operators.Reachability.oracleSql,
     "p39_bpe_vocab" -> graft.text.BpeVocab.oracleSql,
+    "p40_dsir_resample" -> graft.pipeline.ImportanceResample.oracleSql,
     "u11_time_travel" -> graft.operators.VersionedTable.oracleSql,
     "u12_stats_skipping" -> graft.operators.StatsSkipping.oracleSql,
     "mm3_phash_dedup" -> graft.multimodal.PHashDedup.oracleSql,
