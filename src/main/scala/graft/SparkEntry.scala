@@ -114,6 +114,7 @@ object SparkEntry {
     "u7_zorder_layout"     -> (graft.operators.ScaleOps.u7ZorderQuery _),
     "u12_stats_skipping"   -> (graft.operators.StatsSkipping.u12StatsSkippingQuery _),
     "s4_stream_join"       -> (graft.streaming.EventStreams.s4StreamJoin _),
+    "s10_stream_outer_join" -> (graft.streaming.EventStreams.s10StreamOuterJoin _),
     "s5_stream_upsert"     -> (graft.streaming.EventStreams.s5StreamUpsert _),
     "m1_svm_binary_eval"   -> (MlQueries.svmBinaryEval _),
     "m2_kernel_values"     -> (MlQueries.kernelValues _),
@@ -1126,6 +1127,7 @@ object SparkEntry {
     "p40_dsir_resample" -> graft.pipeline.ImportanceResample.oracleSql,
     "u11_time_travel" -> graft.operators.VersionedTable.oracleSql,
     "u12_stats_skipping" -> graft.operators.StatsSkipping.oracleSql,
+    "s10_stream_outer_join" -> graft.streaming.EventStreams.s10OracleSql,
     "mm3_phash_dedup" -> graft.multimodal.PHashDedup.oracleSql,
     "mm4_audio_features" -> graft.multimodal.AudioOps.oracleSql,
     // the stream computes the SAME decision record as the batch p35, so

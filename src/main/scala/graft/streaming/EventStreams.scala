@@ -172,6 +172,79 @@ object EventStreams {
            round(sum(col("value")), 2).as("sum_purchase_value"))
   }
 
+  /** S10: stream-stream LEFT OUTER join — s4's attribution join, but
+    * clicks that find NO purchase within the 10-minute window must ALSO
+    * be emitted (with a null purchase side). Outer emission is the hard
+    * streaming semantic: a null row may only be produced once the
+    * watermark proves no matching purchase can still arrive, so the
+    * engine evicts left state (and emits the null) when the watermark
+    * passes click_ts + 10 min — the no-data trailing batches of
+    * AvailableNow drive the final watermark to (max ts − 1 h) and flush
+    * exactly the decidable clicks.
+    *
+    * Determinism: emissions for clicks NEAR the stream's end depend on
+    * watermark boundary arithmetic, so the query aggregates only the
+    * SAFE region (click_ts ≤ max ts − 2 h), where every click is
+    * provably decided — the s2 final-flush pattern. The oracle is the
+    * batch left join restricted identically. */
+  def s10StreamOuterJoin(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    val emitted = runToMemory(joined, "append")
+    // safe-region bound: the engine's global watermark is the MIN of the
+    // two per-stream watermarks (multipleWatermarkPolicy=min), so a click
+    // is provably decided only once MIN(max click ts, max purchase ts)
+    // − 1 h passes click_ts + 10 min; bound 2 h under that min (one
+    // bounded driver scalar)
+    val r = graft.Tables.events(spark, dir)
+      .agg(max(when(col("event_type") === "click", col("ts"))).as("mc"),
+           max(when(col("event_type") === "purchase", col("ts"))).as("mp"))
+      .head()
+    val minMax =
+      if (r.getTimestamp(0).before(r.getTimestamp(1))) r.getTimestamp(0)
+      else r.getTimestamp(1)
+    emitted
+      .filter(col("click_ts") <= lit(minMax) - expr("INTERVAL 2 HOURS"))
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("purchase_ts")).as("n_matched"),
+           sum(when(col("purchase_ts").isNull, 1L).otherwise(0L)).as("n_unmatched_clicks"),
+           round(sum(col("value")), 2).as("sum_matched_value"))
+  }
+
+  val s10OracleSql: String =
+    """WITH mx AS (SELECT least(
+             (SELECT max(ts) FROM events WHERE event_type = 'click'),
+             (SELECT max(ts) FROM events WHERE event_type = 'purchase')) AS maxts),
+       c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+             FROM events WHERE event_type = 'click'),
+       p AS (SELECT user_id AS p_user, ts AS purchase_ts, value
+             FROM events WHERE event_type = 'purchase'),
+       j AS (SELECT c.click_ts, p.purchase_ts, p.value
+             FROM c LEFT JOIN p
+               ON c.user_id = p.p_user
+              AND p.purchase_ts >= c.click_ts
+              AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE)
+       SELECT count(*) AS n_rows,
+              count(purchase_ts) AS n_matched,
+              CAST(sum(CASE WHEN purchase_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_unmatched_clicks,
+              round(sum(value), 2) AS sum_matched_value
+       FROM j, mx
+       WHERE click_ts <= maxts - INTERVAL 2 HOUR"""
+
   /** S5: streaming CDC-apply — a `foreachBatch` sink that MERGES each
     * micro-batch into a persisted table version (the lakehouse
     * streaming-merge pattern): events become keyed price updates,
