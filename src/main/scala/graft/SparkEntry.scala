@@ -70,6 +70,7 @@ object SparkEntry {
     "p36_bm25_search"      -> (graft.text.Bm25.query _),
     "p39_bpe_vocab"        -> (graft.text.BpeVocab.query _),
     "p40_dsir_resample"    -> (graft.pipeline.ImportanceResample.query _),
+    "p41_gopher_rules"     -> (graft.text.GopherRules.query _),
     "q43_pagerank"         -> (graft.operators.PageRank.query _),
     "q44_reachability"     -> (graft.operators.Reachability.query _),
     "s8_stream_incr_dedup" -> (graft.streaming.EventStreams.s8StreamIncrDedup _),
@@ -1125,6 +1126,7 @@ object SparkEntry {
     "q44_reachability" -> graft.operators.Reachability.oracleSql,
     "p39_bpe_vocab" -> graft.text.BpeVocab.oracleSql,
     "p40_dsir_resample" -> graft.pipeline.ImportanceResample.oracleSql,
+    "p41_gopher_rules" -> graft.text.GopherRules.oracleSql,
     "u11_time_travel" -> graft.operators.VersionedTable.oracleSql,
     "u12_stats_skipping" -> graft.operators.StatsSkipping.oracleSql,
     "s10_stream_outer_join" -> graft.streaming.EventStreams.s10OracleSql,
