@@ -165,9 +165,10 @@ object MinHashDedup {
     * is a driver match), and verification makes precision 1.0. */
   def query(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    nearDuplicatePairs(Tables.documents(spark, dir), "doc_id", "text", 0.8,
-        maxBucketSize = DefaultMaxBucketSize)
-      .orderBy($"id_a", $"id_b")
+    // read the run's shared verified-pairs artifact (computed once per
+    // process — p2 orders it, p14 clusters it, p25 joins it); before the
+    // artifact, p2 and p14 each re-ran the whole LSH-verify pipeline
+    DedupClusters.pairsTable(spark, dir).orderBy($"id_a", $"id_b")
   }
 
   /** DuckDB oracle: exact brute-force all-pairs token-shingle Jaccard.

@@ -79,6 +79,11 @@ object AudioOps {
     var samples: Array[Int] = null
     while (pos + 8 <= payload.length) {
       val id = tag(pos); val sz = bb.getInt(pos + 4)
+      // reject corrupt sizes BEFORE dispatching: a negative sz would make
+      // the position update a no-op (infinite loop), an oversized one
+      // would read past the buffer — a tolerant reader must fail cleanly
+      require(sz >= 0 && pos + 8 + sz <= payload.length,
+        s"corrupt chunk '$id': size $sz at offset $pos exceeds payload")
       id match {
         case "fmt " =>
           channels = bb.getShort(pos + 10)

@@ -72,24 +72,10 @@ object PageRank {
     * derivation is an orders ⋈ lineitem distinct — the most expensive
     * part of both graph queries — and at 100 TB a graph edge table is
     * exactly the kind of intermediate you materialize once and share. */
-  def csEdges(spark: SparkSession, dir: String): DataFrame = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val path = edgeRoot.resolve(s"cs_edges_$key").toString
-    edgeDone.synchronized {
-      if (!edgeDone.contains(dir)) {
-        deriveCsEdges(spark, dir).write.mode("overwrite").parquet(path)
-        edgeDone.add(dir)
-      }
+  def csEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.ProcessArtifacts.table(spark, "cs_edges", dir) {
+      deriveCsEdges(spark, dir)
     }
-    spark.read.parquet(path)
-  }
-
-  private lazy val edgeRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_cs_edges")
-    p.toFile.deleteOnExit(); p
-  }
-  private val edgeDone =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private[operators] def deriveCsEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -213,6 +213,15 @@ object EventStreams {
       .agg(max(when(col("event_type") === "click", col("ts"))).as("mc"),
            max(when(col("event_type") === "purchase", col("ts"))).as("mp"))
       .head()
+    // either stream side absent → max is null → nothing is provably
+    // decided; return the empty aggregate instead of dereferencing null
+    // (the batch oracle's least(...) degrades to null the same way)
+    if (r.isNullAt(0) || r.isNullAt(1))
+      return emitted.filter(lit(false))
+        .agg(count(lit(1)).as("n_rows"),
+             count(col("purchase_ts")).as("n_matched"),
+             sum(when(col("purchase_ts").isNull, 1L).otherwise(0L)).as("n_unmatched_clicks"),
+             round(sum(col("value")), 2).as("sum_matched_value"))
     val minMax =
       if (r.getTimestamp(0).before(r.getTimestamp(1))) r.getTimestamp(0)
       else r.getTimestamp(1)
