@@ -69,6 +69,7 @@ object SparkEntry {
     "p37_semdedup"         -> (graft.dedup.SemDedup.query _),
     "p36_bm25_search"      -> (graft.text.Bm25.query _),
     "p39_bpe_vocab"        -> (graft.text.BpeVocab.query _),
+    "p39b_bpe_encode"      -> (graft.text.BpeVocab.encodeQuery _),
     "p40_dsir_resample"    -> (graft.pipeline.ImportanceResample.query _),
     "p41_gopher_rules"     -> (graft.text.GopherRules.query _),
     "q43_pagerank"         -> (graft.operators.PageRank.query _),
@@ -1125,6 +1126,7 @@ object SparkEntry {
     "q43_pagerank" -> graft.operators.PageRank.oracleSql,
     "q44_reachability" -> graft.operators.Reachability.oracleSql,
     "p39_bpe_vocab" -> graft.text.BpeVocab.oracleSql,
+    "p39b_bpe_encode" -> graft.text.BpeVocab.encodeOracleSql,
     "p40_dsir_resample" -> graft.pipeline.ImportanceResample.oracleSql,
     "p41_gopher_rules" -> graft.text.GopherRules.oracleSql,
     "u11_time_travel" -> graft.operators.VersionedTable.oracleSql,

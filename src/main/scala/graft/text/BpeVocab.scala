@@ -78,13 +78,64 @@ object BpeVocab {
     out.toSeq.toDF("step", "left", "right", "merged", "pair_count")
   }
 
+  /** Learned merge table for the documents corpus, materialized once per
+    * (process, dir): p39 orders it and p39b applies it — training the
+    * tokenizer twice in one run would be pure waste (the artifact is M
+    * rows; the learning pass it saves is the corpus word-count collapse
+    * plus M iterative steps). */
+  def mergeTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.ProcessArtifacts.table(spark, "p39_merges", dir) {
+      val wc = Tables.documents(spark, dir)
+        .select(explode(split($"text", "\\s+")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      learn(wc)
+    }
+  }
+
   /** p39: 8 BPE merges learned from the documents corpus. */
   def query(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wc = Tables.documents(spark, dir)
-      .select(explode(split($"text", "\\s+")).as("word"))
-      .groupBy($"word").agg(count(lit(1)).as("cnt"))
-    learn(wc).orderBy($"step")
+    mergeTable(spark, dir).orderBy($"step")
+  }
+
+  /** p39b: BPE ENCODE — apply the learned merges to the corpus, the
+    * production step that always follows tokenizer training.
+    *
+    * Scale shape (100 TB): encoding is done per DISTINCT WORD (the
+    * classical word-cache trick — the merge fold runs on the
+    * vocabulary-sized table, corpus-size-independent), then the encoded
+    * vocabulary joins back to the corpus word stream on `word` — one
+    * shuffled equi-join (broadcast when the vocab fits, AQE decides;
+    * stopword skew is AQE skew-join fodder) and one doc_id-keyed
+    * aggregation. The merge list itself is M driver rows (bounded by
+    * construction), applied as M chained narrow array folds.
+    *
+    * Output is the per-doc decision record: word count, token count
+    * under the learned vocab, and the md5 of the full rendered token
+    * sequence in document order (collect_list(struct(pos, …)) +
+    * array_sort → partition-order independent, the p32/p33 pattern) —
+    * so the hash gate certifies every token of every document. */
+  def encodeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = mergeTable(spark, dir).orderBy($"step")
+      .select($"left", $"right").as[(String, String)].collect()
+    val docWords = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split($"text", "\\s+")).as(Seq("pos", "word")))
+    val enc0 = docWords.select($"word").distinct()
+      .withColumn("sym", concat(filter(split($"word", ""), x => x =!= lit("")),
+                                array(lit("</w>"))))
+    val encoded = merges.foldLeft(enc0) { case (df, (a, b)) =>
+      df.withColumn("sym", applyMerge(col("sym"), a, b))
+    }.select($"word", $"sym", concat_ws(" ", $"sym").as("ts"))
+    docWords.join(encoded, Seq("word"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+           sum(size($"sym")).cast("long").as("n_tokens"),
+           md5(concat_ws(" ",
+             transform(array_sort(collect_list(struct($"pos", $"ts"))),
+               s => s.getField("ts")))).as("tokens_md5"))
+      .orderBy($"doc_id")
   }
 
   /** DuckDB replay: 8 chained (words_i → pairs_i → argmax m_i →
@@ -117,5 +168,59 @@ object BpeVocab {
        $rounds
        $selects
        ORDER BY step"""
+  }
+
+  /** DuckDB replay for p39b: the p39 merge-learning CTEs (each m_i is
+    * needed to encode), a parallel v-chain that applies the same merges
+    * to every DISTINCT corpus word keeping the word string, then the
+    * per-doc re-render in position order. */
+  val encodeOracleSql: String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      s"""p$i AS (
+           SELECT pr[1] AS l, pr[2] AS r, sum(cnt) AS c FROM (
+             SELECT unnest(list_zip(sym[:-2], sym[2:])) AS pr, cnt FROM $prev) t
+           GROUP BY 1, 2),
+         m$i AS (
+           SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         w$i AS (
+           SELECT list_reduce(list_transform(sym, x -> [x]),
+             (acc, x) -> CASE WHEN acc[-1] = m$i.l AND x[1] = m$i.r
+                              THEN acc[:-2] || [acc[-1] || x[1]]
+                              ELSE acc || x END) AS sym, cnt
+           FROM $prev, m$i)"""
+    }
+    def vround(i: Int): String = {
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      s"""v$i AS (
+           SELECT word, list_reduce(list_transform(sym, x -> [x]),
+             (acc, x) -> CASE WHEN acc[-1] = m$i.l AND x[1] = m$i.r
+                              THEN acc[:-2] || [acc[-1] || x[1]]
+                              ELSE acc || x END) AS sym
+           FROM $prev, m$i)"""
+    }
+    val rounds = (1 to Merges).map(round).mkString(",\n       ")
+    val vrounds = (1 to Merges).map(vround).mkString(",\n       ")
+    s"""WITH w0 AS (
+         SELECT regexp_split_to_array(word, '') || ['</w>'] AS sym, cnt FROM (
+           SELECT word, count(*) AS cnt FROM (
+             SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+             FROM documents) t GROUP BY 1)),
+       $rounds,
+       v0 AS (
+         SELECT word, regexp_split_to_array(word, '') || ['</w>'] AS sym FROM (
+           SELECT DISTINCT unnest(regexp_split_to_array(text, '\\s+')) AS word
+           FROM documents) t),
+       $vrounds,
+       dw0 AS (
+         SELECT doc_id, [{'pos': i, 'word': w[i]} for i in range(1, len(w) + 1)] AS ws
+         FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents)),
+       dw AS (SELECT doc_id, unnest(ws, recursive := true) FROM dw0)
+       SELECT dw.doc_id, count(*) AS n_words,
+         CAST(sum(len(v$Merges.sym)) AS BIGINT) AS n_tokens,
+         md5(string_agg(array_to_string(v$Merges.sym, ' '), ' ' ORDER BY dw.pos)) AS tokens_md5
+       FROM dw JOIN v$Merges ON dw.word = v$Merges.word
+       GROUP BY dw.doc_id
+       ORDER BY doc_id"""
   }
 }
