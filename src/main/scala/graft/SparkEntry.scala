@@ -73,6 +73,7 @@ object SparkEntry {
     "p40_dsir_resample"    -> (graft.pipeline.ImportanceResample.query _),
     "p41_gopher_rules"     -> (graft.text.GopherRules.query _),
     "p42_text_normalize"   -> (graft.text.TextNormalize.query _),
+    "p43_html_extract"     -> (graft.pipeline.HtmlExtract.query _),
     "q43_pagerank"         -> (graft.operators.PageRank.query _),
     "q44_reachability"     -> (graft.operators.Reachability.query _),
     "s8_stream_incr_dedup" -> (graft.streaming.EventStreams.s8StreamIncrDedup _),
@@ -1131,6 +1132,7 @@ object SparkEntry {
     "p40_dsir_resample" -> graft.pipeline.ImportanceResample.oracleSql,
     "p41_gopher_rules" -> graft.text.GopherRules.oracleSql,
     "p42_text_normalize" -> graft.text.TextNormalize.oracleSql,
+    "p43_html_extract" -> graft.pipeline.HtmlExtract.oracleSql,
     "u11_time_travel" -> graft.operators.VersionedTable.oracleSql,
     "u12_stats_skipping" -> graft.operators.StatsSkipping.oracleSql,
     "s10_stream_outer_join" -> graft.streaming.EventStreams.s10OracleSql,
