@@ -52,15 +52,23 @@ object QualityClassifier {
   def featureTable(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val counts = docs
+    // single pass: the old counts⋈totals + union formulation referenced
+    // the bucket aggregation THREE times (join left, totals, union
+    // branch) and re-executed it each time — fold the tf normalization
+    // and the length feature into one per-doc aggregation instead (the
+    // per-doc buffer is ≤ D+1 structs, bounded)
+    docs
       .select($"doc_id", explode(split($"text", "\\s+")).as("tok"))
       .select($"doc_id", pmod(xxhash64($"tok"), lit(D.toLong)).cast("int").as("bucket"))
       .groupBy($"doc_id", $"bucket")
       .agg(count(lit(1)).as("c"))
-    val totals = counts.groupBy($"doc_id").agg(sum($"c").as("t"))
-    counts.join(totals, Seq("doc_id"))
-      .select($"doc_id", $"bucket", ($"c" / $"t").as("cnt"))
-      .union(totals.select($"doc_id", lit(D).as("bucket"), ($"t" / 100.0).as("cnt")))
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"bucket", $"c")).as("fs"), sum($"c").as("t"))
+      .select($"doc_id", explode(concat(
+        transform($"fs", f => struct(f.getField("bucket").as("bucket"),
+          (f.getField("c") / $"t").as("cnt"))),
+        array(struct(lit(D).as("bucket"), ($"t" / 100.0).as("cnt"))))).as("f"))
+      .select($"doc_id", $"f.bucket", $"f.cnt")
   }
 
   /** Feature dimension including the engineered length slot. */
@@ -121,107 +129,121 @@ object QualityClassifier {
 
   /** Newton/IRLS fit on (doc_id, bucket, cnt) ⋈ (doc_id, y). Returns
     * (weights, bias, perIterLoss). D+1 is small, so the full Hessian
-    * H = Σ_d σ_d(1−σ_d)·x_d x_dᵀ is one distributed aggregation per
-    * step (the m3/m11 "one aggregate per Newton step" layout) and the
-    * driver solves a (D+1)² system — quadratic convergence makes ~8
-    * passes enough where fixed-lr GD needed 60+ (measured 29.5s → ~4s
-    * at sf0.1).
+    * H = Σ_d σ_d(1−σ_d)·x_d x_dᵀ is one distributed pass per step and
+    * the driver solves a (D+1)² system — quadratic convergence makes ~5
+    * passes enough where fixed-lr GD needed 60+.
     *
-    * Determinism and plan reuse: every per-doc contribution (gradient,
-    * Hessian cell, loss) is quantized ONCE with floor(1e6·x) and summed
-    * as integers — order-independent under any partitioning. Weights
-    * AND bias enter as a broadcast 66-row DataFrame (bias = constant
-    * feature at bucket −1), never as literals: literal weights would
-    * change the generated code each step and forced a fresh janino
-    * compile per stage per iteration. Features are hash-partitioned by
-    * doc_id once; the Hessian's per-doc pair expansion is a self-join
-    * on that same partitioning (zero extra exchanges); each step is ONE
-    * collect of ~(D+1)²/2 cells. The driver never holds anything
-    * corpus-sized. */
+    * Layout (the m5/m11 treeAggregate-per-step shape): the corpus is
+    * pre-grouped ONCE into per-doc sparse feature rows (bucket-sorted
+    * arrays + label, bias as constant feature −1) and cached as an RDD;
+    * each Newton step is then ONE treeAggregate over it carrying a
+    * single long[] accumulator (gradient | Hessian upper triangle |
+    * loss), with the weights riding a broadcast variable. Nothing
+    * corpus-sized touches the driver, no shuffle happens inside the
+    * loop, and — the r6 lesson — no per-step Catalyst analysis either:
+    * the previous DataFrame formulation (3-branch union + self-join,
+    * re-analyzed every step) paid ~1.1s/step of data-independent
+    * driver work that this removes outright.
+    *
+    * Determinism: every per-doc contribution is quantized ONCE with
+    * floor(1e6·x) (identical association order to the r6 SQL
+    * expressions, so the fitted weights are bit-identical to that
+    * formulation) and summed as longs — order-independent under any
+    * partitioning. */
   def fit(feat: DataFrame, labels: DataFrame,
           iters: Int = Iters): (Array[Double], Double, Seq[Double]) = {
     val spark = feat.sparkSession
     import spark.implicits._
-    val lbl = labels.persist()
-    // bias as a constant feature (bucket −1, cnt 1.0)
-    val f = feat
-      .union(lbl.select($"doc_id", lit(-1).as("bucket"), lit(1.0).as("cnt")))
-      .repartition(8, $"doc_id").persist()
-    val n = lbl.count().toDouble
     // slot mapping: token buckets 0..D−1, length feature D, bias at
     // slot NumFeatures (bucket −1 on the wire)
     val S = NumFeatures + 1
-    def idx(b: Int): Int = if (b == -1) NumFeatures else b
+    val nTri = S * (S + 1) / 2
+    // pre-group once: the only job whose plan Catalyst analyzes
+    val grouped = feat
+      .union(labels.select($"doc_id", lit(-1).as("bucket"), lit(1.0).as("cnt")))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"bucket", $"cnt"))).as("fs"))
+      .join(labels, Seq("doc_id"))
+      .select($"fs.bucket".as("bs"), $"fs.cnt".as("cs"), $"y")
+      .as[(Array[Int], Array[Double], Int)]
+      .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = grouped.count().toDouble
     val w = Array.fill(S)(0.0)
     val losses = scala.collection.mutable.ArrayBuffer[Double]()
-    // bounded iterative state: narrow static shuffle layout for the loop
-    // (on a real cluster this knob is sized to executor count)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      for (_ <- 1 to iters) {
-        val wDf = broadcast(
-          w.toSeq.zipWithIndex
-            .map { case (v, i) => (if (i == NumFeatures) -1 else i, v) }
-            .toDF("bucket", "wv"))
-        // per-doc residual r = σ(margin) − y and curvature s = σ(1−σ);
-        // margin is an exact integer, so both are bit-deterministic
-        val resid = f.join(wDf, Seq("bucket"))
-          .select($"doc_id", floor($"wv" * $"cnt" * lit(1e6)).cast("long").as("c"))
-          .groupBy($"doc_id")
-          .agg(sum($"c").as("mm"))
-          .join(lbl, Seq("doc_id"))
-          .select($"doc_id", ($"mm" / lit(1e6)).as("m"), $"y")
-          .select($"doc_id", $"m", $"y",
-            (lit(1.0) / (lit(1.0) + exp(-$"m"))).as("p"))
-          .select($"doc_id", $"m", $"y",
-            ($"p" - $"y").as("r"), ($"p" * (lit(1.0) - $"p")).as("s"))
-        val fr = f.join(resid, Seq("doc_id"))
-        // one collect: gradient cells (i, −3), Hessian upper triangle
-        // (i ≤ j), and the loss cell (−2, −2) ride the same aggregation
-        val stats = fr
-          .select($"bucket".as("i"), lit(-3).as("j"),
-            floor($"r" * $"cnt" * lit(1e6)).cast("long").as("g"))
-          .union(
-            fr.select($"doc_id", $"bucket".as("i"), $"cnt".as("ca"), $"s")
-              .join(f.select($"doc_id", $"bucket".as("j"), $"cnt".as("cb")),
-                    Seq("doc_id"))
-              .filter($"i" <= $"j")
-              .select($"i", $"j",
-                floor($"s" * $"ca" * $"cb" * lit(1e6)).cast("long").as("g")))
-          // logistic loss via the stable log1p(exp(−m)) + [y=0]·m form
-          .union(resid.select(lit(-2).as("i"), lit(-2).as("j"),
-            floor((when($"y" === 1, log1p(exp(-$"m")))
-              .otherwise(log1p(exp(-$"m")) + $"m")) * lit(1e6)).cast("long").as("g")))
-          .groupBy($"i", $"j").agg(sum($"g").as("g"))
-          .as[(Int, Int, Long)].collect()
-        val grad = Array.fill(S)(0.0)
-        val hess = Array.ofDim[Double](S, S)
-        var loss = 0.0
-        stats.foreach {
-          case (-2, -2, g) => loss = g / 1e6 / n
-          case (i, -3, g)  => grad(idx(i)) = g / 1e6 / n
-          case (i, j, g)   =>
-            val (a, b) = (idx(i), idx(j))
-            hess(a)(b) = g / 1e6 / n
-            hess(b)(a) = hess(a)(b)
+    for (_ <- 1 to iters) {
+      val bw = spark.sparkContext.broadcast(w.clone())
+      // accumulator layout: [0,S) gradient · [S, S+nTri) Hessian upper
+      // triangle (slot-canonical row-major) · [S+nTri] loss — all
+      // floor-micro longs, so merge order is irrelevant
+      val agg = grouped.treeAggregate(new Array[Long](S + nTri + 1))(
+        seqOp = (acc, doc) => {
+          val (bs, cs, y) = doc
+          val wv = bw.value
+          val len = bs.length
+          def slot(b: Int): Int = if (b == -1) NumFeatures else b
+          var mm = 0L
+          var k = 0
+          while (k < len) {
+            mm += math.floor(wv(slot(bs(k))) * cs(k) * 1e6).toLong; k += 1
+          }
+          val m = mm / 1e6
+          val p = 1.0 / (1.0 + math.exp(-m))
+          val r = p - y
+          val s = p * (1.0 - p)
+          k = 0
+          while (k < len) {
+            acc(slot(bs(k))) += math.floor(r * cs(k) * 1e6).toLong; k += 1
+          }
+          // Hessian pairs in bucket order a ≤ b (bs is bucket-sorted, so
+          // the s·ca·cb association order matches the r6 SQL exactly)
+          var a = 0
+          while (a < len) {
+            var b = a
+            while (b < len) {
+              val g = math.floor(s * cs(a) * cs(b) * 1e6).toLong
+              val (p1, q1) = {
+                val sa = slot(bs(a)); val sb = slot(bs(b))
+                if (sa <= sb) (sa, sb) else (sb, sa)
+              }
+              acc(S + p1 * S - p1 * (p1 - 1) / 2 + (q1 - p1)) += g
+              b += 1
+            }
+            a += 1
+          }
+          val l = if (y == 1) math.log1p(math.exp(-m))
+                  else math.log1p(math.exp(-m)) + m
+          acc(S + nTri) += math.floor(l * 1e6).toLong
+          acc
+        },
+        combOp = (x, yv) => {
+          var k = 0
+          while (k < x.length) { x(k) += yv(k); k += 1 }
+          x
+        })
+      bw.destroy()
+      val grad = Array.tabulate(S)(i => agg(i) / 1e6 / n)
+      val hess = Array.ofDim[Double](S, S)
+      var p1 = 0
+      while (p1 < S) {
+        var q1 = p1
+        while (q1 < S) {
+          val v = agg(S + p1 * S - p1 * (p1 - 1) / 2 + (q1 - p1)) / 1e6 / n
+          hess(p1)(q1) = v; hess(q1)(p1) = v
+          q1 += 1
         }
-        losses += loss
-        var k = 0
-        while (k < S) { hess(k)(k) += Ridge * n; k += 1 }
-        val H = breeze.linalg.DenseMatrix.tabulate(S, S)((a, b) => hess(a)(b))
-        val g = breeze.linalg.DenseVector(grad)
-        val delta = H \ g
-        var k2 = 0
-        while (k2 < S) { w(k2) -= delta(k2); k2 += 1 }
+        p1 += 1
       }
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      losses += agg(S + nTri) / 1e6 / n
+      var k = 0
+      while (k < S) { hess(k)(k) += Ridge * n; k += 1 }
+      val H = breeze.linalg.DenseMatrix.tabulate(S, S)((a, b) => hess(a)(b))
+      val g = breeze.linalg.DenseVector(grad)
+      val delta = H \ g
+      var k2 = 0
+      while (k2 < S) { w(k2) -= delta(k2); k2 += 1 }
     }
-    f.unpersist(false); lbl.unpersist(false)
+    grouped.unpersist(false)
     (w.take(NumFeatures), w(NumFeatures), losses.toSeq)
   }
 
@@ -238,15 +260,20 @@ object QualityClassifier {
       if (!fittedDirs.contains(dir)) {
         import spark.implicits._
         val feat = featureTable(Tables.documents(spark, dir)).persist()
-        val lbl = labelTable(spark, dir)
-        val train = feat.join(lbl.filter($"doc_id" % 4 =!= 0), Seq("doc_id"))
+        // persist: the label table is a full quality recomputation and
+        // the train split is referenced by the join AND twice inside
+        // fit (bias-feature union + label join) — unpersisted it re-ran
+        // the p9 pipeline three times per fit
+        val trainLbl = labelTable(spark, dir)
+          .filter($"doc_id" % 4 =!= 0).persist()
+        val train = feat.join(trainLbl, Seq("doc_id"))
         val (w, bias, _) = fit(train.select($"doc_id", $"bucket", $"cnt"),
-                               lbl.filter($"doc_id" % 4 =!= 0))
+                               trainLbl)
         feat.write.mode("overwrite").parquet(s"${root(dir)}/p34_features")
         val wRows = w.toSeq.zipWithIndex.map { case (v, i) => (i, v) } :+ (-1, bias)
         wRows.toDF("bucket", "w").coalesce(1)
           .write.mode("overwrite").parquet(s"${root(dir)}/p34_weights")
-        feat.unpersist(false)
+        feat.unpersist(false); trainLbl.unpersist(false)
         fittedDirs.add(dir)
       }
     }
