@@ -74,6 +74,7 @@ object SparkEntry {
     "p41_gopher_rules"     -> (graft.text.GopherRules.query _),
     "p42_text_normalize"   -> (graft.text.TextNormalize.query _),
     "p43_html_extract"     -> (graft.pipeline.HtmlExtract.query _),
+    "p44_url_dedup"        -> (graft.pipeline.UrlDedup.query _),
     "q43_pagerank"         -> (graft.operators.PageRank.query _),
     "q44_reachability"     -> (graft.operators.Reachability.query _),
     "s8_stream_incr_dedup" -> (graft.streaming.EventStreams.s8StreamIncrDedup _),
@@ -1133,6 +1134,7 @@ object SparkEntry {
     "p41_gopher_rules" -> graft.text.GopherRules.oracleSql,
     "p42_text_normalize" -> graft.text.TextNormalize.oracleSql,
     "p43_html_extract" -> graft.pipeline.HtmlExtract.oracleSql,
+    "p44_url_dedup" -> graft.pipeline.UrlDedup.oracleSql,
     "u11_time_travel" -> graft.operators.VersionedTable.oracleSql,
     "u12_stats_skipping" -> graft.operators.StatsSkipping.oracleSql,
     "s10_stream_outer_join" -> graft.streaming.EventStreams.s10OracleSql,
