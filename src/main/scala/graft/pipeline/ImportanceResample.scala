@@ -53,6 +53,13 @@ object ImportanceResample {
         sum(when($"lang" === "en", 1L).otherwise(0L)).as("tt")).head()
       Array(r.getLong(0), r.getLong(1))
     }
+    // cross-engine caveat (advisor r6): floor over log() means a weight
+    // landing within an ulp of an integer boundary could floor
+    // differently across libm implementations — unlike the integer-sum
+    // partitioning determinism (sound), hash-exactness here is
+    // data-dependent; a rational form (integer counts compared via
+    // cross-multiplication) would remove the libm dependence if a
+    // boundary case ever surfaces
     val weights = raw.join(tgt, Seq("bucket"), "left")
       .na.fill(0L, Seq("tc"))
       .select($"bucket",

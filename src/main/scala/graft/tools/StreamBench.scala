@@ -138,6 +138,117 @@ object StreamBench {
         s""""batches":${measured.size},"served_total":${served.get()}}""")
       require(served.get() > 0, "serving pipeline emitted no results")
     }
+
+    // shared synthetic doc text for the s8/s9 rate shapes: ~40 words from
+    // a small vocabulary, deterministic in the rate value
+    val vocabArr = array(Seq("the", "a", "of", "and", "to", "in", "is",
+      "that", "it", "for", "data", "model", "train", "corpus", "quality",
+      "spark", "engine", "query", "stream", "dedup", "filter", "token",
+      "vector", "index").map(lit(_)): _*)
+    def synthText(nWords: Int) = concat_ws(" ",
+      transform(sequence(lit(0), lit(nWords - 1)),
+        i => element_at(vocabArr,
+          (pmod(xxhash64(col("value"), i), lit(24)) + 1).cast("int"))))
+
+    // S9-shaped stateless inference: docs at full rate through
+    // marginMicrosNarrow — append mode, NO state operator at all (the
+    // unbounded-throughput scoring shape); reported rps is the engine's
+    // processed rate
+    {
+      val dir = args.lift(3).getOrElse("/root/testdata/sf0.1")
+      graft.text.QualityClassifier.ensureFitted(spark, dir)
+      val (w, bias) = graft.text.QualityClassifier.loadWeights(spark, dir)
+      val docs = spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSec)
+        .option("numPartitions", cpus.toInt).load()
+        .select(col("value").as("doc_id"), synthText(40).as("text"))
+      run("s9_scoring", graft.text.QualityClassifier.marginMicrosNarrow(docs, w, bias),
+        "append")
+    }
+
+    // S8-shaped online dedup serving: incoming docs (rate/10 — shingling
+    // is the heavy step) probe the persisted p35 band index and
+    // exact-verify Jaccard per micro-batch (stream-static equi-joins +
+    // per-batch decisions in foreachBatch, the s7 serving pattern — no
+    // engine state to bound; batch work ∝ batch × bucket occupancy)
+    {
+      import graft.dedup.{IncrementalDedup, MinHashDedup}
+      import graft.functions.HashFunctions
+      val dir = args.lift(3).getOrElse("/root/testdata/sf0.1")
+      IncrementalDedup.ensureIndexed(spark, dir)
+      val root = graft.ml.ModelOracles.modelRoot(dir)
+      val idx = spark.read.parquet(s"$root/p35_index")
+        .select(col("doc_id").as("rid"), col("sh").as("sh_r"), col("md5").as("md5_r"))
+        .localCheckpoint()
+      val idxBands = spark.read.parquet(s"$root/p35_bands").localCheckpoint()
+      val docRate = math.max(rowsPerSec / 10, 1000)
+      val docs = spark.readStream.format("rate")
+        .option("rowsPerSecond", docRate)
+        .option("numPartitions", cpus.toInt).load()
+        .select(col("value").as("doc_id"), synthText(40).as("text"))
+        .select(col("doc_id"), md5(col("text")).as("md5"),
+          HashFunctions.token_shingle_hashes(col("text"),
+            IncrementalDedup.ShingleK).as("sh"))
+      val decidedN = new java.util.concurrent.atomic.AtomicLong()
+      val t0 = System.nanoTime()
+      val q = docs.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = batch
+            .select(col("doc_id"), col("md5"), col("sh"),
+              posexplode(MinHashDedup.bandKeys(col("sh"))))
+            .select(col("doc_id"), col("md5"), col("sh"),
+              col("pos").as("band_idx"), col("col").as("band_key"))
+            .join(idxBands, Seq("band_idx", "band_key"))
+            .join(idx, Seq("rid"))
+            .withColumn("j", round(MinHashDedup.jaccardSorted(col("sh"), col("sh_r")), 6))
+            .groupBy(col("doc_id"), col("md5"))
+            .agg(max(when(col("md5_r") === col("md5"), 1).otherwise(0)).as("exn"),
+                 min(when(col("j") >= IncrementalDedup.Threshold, col("rid"))).as("ndup"))
+            .count()
+          decidedN.addAndGet(n); ()
+        }
+        .trigger(Trigger.ProcessingTime("2 seconds")).start()
+      Thread.sleep(seconds * 1000L)
+      val progress = q.recentProgress.toSeq
+      q.stop(); q.awaitTermination()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val measured = progress.drop(2).filter(_.numInputRows > 0)
+      val rps = measured.map(_.processedRowsPerSecond).sorted
+      val dps = if (rps.size >= 3) rps(rps.size / 2) else
+        measured.map(_.numInputRows).sum / elapsed
+      println(s"""{"stream":"s8_incr_dedup_serving","docs_per_sec_in":$docRate,""" +
+        s""""probed_docs_per_sec":${dps.round},""" +
+        s""""batches":${measured.size},"candidates_decided":${decidedN.get()}}""")
+    }
+
+    // S10-shaped stream-stream LEFT OUTER join: two independent rate
+    // streams, watermark-evicted join state (5s watermark / 2s match
+    // interval; sparse key space so most clicks emit their null row) —
+    // run() asserts the join state stops growing once the watermark
+    // passes, the scale property that makes the operator viable on an
+    // unbounded source
+    {
+      val jr = math.max(rowsPerSec / 4, 1000)
+      val keys = users * 100
+      def side() = spark.readStream.format("rate")
+        .option("rowsPerSecond", jr)
+        .option("numPartitions", cpus.toInt).load()
+      val clicks = side()
+        .select(col("value").as("click_id"), (col("value") % keys).as("user_id"),
+                col("timestamp").as("click_ts"))
+        .withWatermark("click_ts", "5 seconds")
+      val purchases = side()
+        .filter(col("value") % 3 === 0)
+        .select((col("value") % keys).as("p_user"),
+                col("timestamp").as("purchase_ts"), (col("value") % 97).as("value"))
+        .withWatermark("purchase_ts", "5 seconds")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 2 SECONDS"),
+        "left_outer")
+      run("s10_outer_join", joined, "append")
+    }
     spark.stop()
   }
 }
