@@ -147,6 +147,7 @@ object SparkEntry {
     "mm2_frame_sample"     -> (MultimodalOps.frameSample _),
     "mm3_phash_dedup"      -> (graft.multimodal.PHashDedup.query _),
     "mm4_audio_features"   -> (graft.multimodal.AudioOps.audioFeatures _),
+    "mm5_video_frames"     -> (graft.multimodal.VideoOps.videoFrameFeatures _),
     "q22_sessions"         -> (Sessionization.sessionsBatch _),
     "u1_bucketed_join"     -> (graft.operators.ScaleOps.u1BucketedJoinQuery _),
     "u2_salted_join"       -> (graft.operators.ScaleOps.u2SaltedJoinQuery _),
@@ -1140,6 +1141,7 @@ object SparkEntry {
     "s10_stream_outer_join" -> graft.streaming.EventStreams.s10OracleSql,
     "mm3_phash_dedup" -> graft.multimodal.PHashDedup.oracleSql,
     "mm4_audio_features" -> graft.multimodal.AudioOps.oracleSql,
+    "mm5_video_frames" -> graft.multimodal.VideoOps.oracleSql,
     // the stream computes the SAME decision record as the batch p35, so
     // the same replay SQL gates both halves of the continual-ingestion story
     "s8_stream_incr_dedup" -> graft.dedup.IncrementalDedup.oracleSql,

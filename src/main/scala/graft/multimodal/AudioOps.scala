@@ -81,8 +81,10 @@ object AudioOps {
       val id = tag(pos); val sz = bb.getInt(pos + 4)
       // reject corrupt sizes BEFORE dispatching: a negative sz would make
       // the position update a no-op (infinite loop), an oversized one
-      // would read past the buffer — a tolerant reader must fail cleanly
-      require(sz >= 0 && pos + 8 + sz <= payload.length,
+      // would read past the buffer — a tolerant reader must fail cleanly.
+      // Long arithmetic: a 2^31-ish size would overflow the int sum and
+      // sneak past the bound
+      require(sz >= 0 && pos + 8 + sz.toLong <= payload.length,
         s"corrupt chunk '$id': size $sz at offset $pos exceeds payload")
       id match {
         case "fmt " =>

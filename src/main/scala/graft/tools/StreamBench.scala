@@ -150,18 +150,20 @@ object StreamBench {
         i => element_at(vocabArr,
           (pmod(xxhash64(col("value"), i), lit(24)) + 1).cast("int"))))
 
-    // S9-shaped stateless inference: docs at full rate through
-    // marginMicrosNarrow — append mode, NO state operator at all (the
-    // unbounded-throughput scoring shape); reported rps is the engine's
-    // processed rate
+    // S9-shaped stateless inference: docs through marginMicrosNarrow —
+    // append mode, NO state operator at all (the unbounded-throughput
+    // scoring shape); reported rps is the engine's processed DOC rate
+    // (each doc is ~20 tokens hashed/bucketed/folded per row; the rate
+    // is docs/s, not token-ops/s)
     {
       val dir = args.lift(3).getOrElse("/root/testdata/sf0.1")
       graft.text.QualityClassifier.ensureFitted(spark, dir)
       val (w, bias) = graft.text.QualityClassifier.loadWeights(spark, dir)
+      val docRate = math.max(rowsPerSec / 10, 1000)
       val docs = spark.readStream.format("rate")
-        .option("rowsPerSecond", rowsPerSec)
+        .option("rowsPerSecond", docRate)
         .option("numPartitions", cpus.toInt).load()
-        .select(col("value").as("doc_id"), synthText(40).as("text"))
+        .select(col("value").as("doc_id"), synthText(20).as("text"))
       run("s9_scoring", graft.text.QualityClassifier.marginMicrosNarrow(docs, w, bias),
         "append")
     }
@@ -181,11 +183,23 @@ object StreamBench {
         .select(col("doc_id").as("rid"), col("sh").as("sh_r"), col("md5").as("md5_r"))
         .localCheckpoint()
       val idxBands = spark.read.parquet(s"$root/p35_bands").localCheckpoint()
-      val docRate = math.max(rowsPerSec / 10, 1000)
+      // incoming docs REUSE real corpus texts (a 256-row static side
+      // joined on value%256, lightly suffixed so md5 differs) — synthetic
+      // vocab text shares no shingles with the index and would measure an
+      // always-empty probe; real texts exercise band hits + Jaccard
+      // verification at realistic occupancy
+      val sample = graft.Tables.documents(spark, dir)
+        .orderBy(col("doc_id")).limit(256)
+        .select((col("doc_id") % 256).as("k"), col("text").as("base"))
+        .localCheckpoint()
+      val docRate = math.max(rowsPerSec / 20, 1000)
       val docs = spark.readStream.format("rate")
         .option("rowsPerSecond", docRate)
         .option("numPartitions", cpus.toInt).load()
-        .select(col("value").as("doc_id"), synthText(40).as("text"))
+        .select(col("value").as("doc_id"), (col("value") % 256).as("k"))
+        .join(sample, Seq("k"))
+        .select(col("doc_id"),
+          concat(col("base"), lit(" tail"), (col("doc_id") % 7).cast("string")).as("text"))
         .select(col("doc_id"), md5(col("text")).as("md5"),
           HashFunctions.token_shingle_hashes(col("text"),
             IncrementalDedup.ShingleK).as("sh"))
@@ -228,7 +242,7 @@ object StreamBench {
     // passes, the scale property that makes the operator viable on an
     // unbounded source
     {
-      val jr = math.max(rowsPerSec / 4, 1000)
+      val jr = math.max(rowsPerSec / 20, 1000)
       val keys = users * 100
       def side() = spark.readStream.format("rate")
         .option("rowsPerSecond", jr)
