@@ -76,6 +76,7 @@ object SparkEntry {
     "p43_html_extract"     -> (graft.pipeline.HtmlExtract.query _),
     "p44_url_dedup"        -> (graft.pipeline.UrlDedup.query _),
     "q43_pagerank"         -> (graft.operators.PageRank.query _),
+    "q45_countmin"         -> (graft.operators.CountMin.query _),
     "q44_reachability"     -> (graft.operators.Reachability.query _),
     "s8_stream_incr_dedup" -> (graft.streaming.EventStreams.s8StreamIncrDedup _),
     "s9_stream_score"      -> (graft.streaming.EventStreams.s9StreamQualityScore _),
@@ -1128,6 +1129,7 @@ object SparkEntry {
     "p37_semdedup" -> graft.dedup.SemDedup.oracleSql,
     "p36_bm25_search" -> graft.text.Bm25.oracleSql,
     "q43_pagerank" -> graft.operators.PageRank.oracleSql,
+    "q45_countmin" -> graft.operators.CountMin.oracleSql,
     "q44_reachability" -> graft.operators.Reachability.oracleSql,
     "p39_bpe_vocab" -> graft.text.BpeVocab.oracleSql,
     "p39b_bpe_encode" -> graft.text.BpeVocab.encodeOracleSql,
