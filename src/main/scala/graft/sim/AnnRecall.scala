@@ -17,10 +17,20 @@ object AnnRecall {
 
   /** Join per-query recall vs the exact top-k onto `approx`
     * (query_id, neighbor_id, rank, cos_sim) and enforce `minRecall`.
-    * Adds columns: k, exact_overlap, recall. */
+    * Adds columns: k, exact_overlap, recall.
+    *
+    * `floorOnMean`: enforce the floor on the MEAN recall across the
+    * query panel instead of the per-query min. On a near-random corpus
+    * an IVF-pruned path's per-query recall is ~binomial(k, nprobe/nlist)
+    * — the min over even a handful of queries hits 1/k by pure chance as
+    * the corpus grows (observed: p7d min-recall 0.1 at the 100× decade
+    * with perfectly healthy cells), while the mean over a 20-query panel
+    * concentrates tightly; a mean floor is the structural-zero tripwire
+    * (broken cell assignment/codes → ~0), not a variance lottery. */
   def annotate(approx: DataFrame, corpus: DataFrame, queries: DataFrame,
                idCol: String, vecCol: String, k: Int,
-               minRecall: Double, label: String): DataFrame = {
+               minRecall: Double, label: String,
+               floorOnMean: Boolean = false): DataFrame = {
     val exact = Knn.bruteForce(corpus, queries, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
     val overlap = approx.select(col("query_id"), col("neighbor_id"))
@@ -33,10 +43,14 @@ object AnnRecall {
       .withColumn("k", lit(k.toLong))
       .withColumn("recall", round(col("exact_overlap").cast("double") / k, 6))
     // fail fast: a silent recall collapse must not pass as "rows > 0"
-    val worst = out.agg(min(col("recall"))).head()
-    val minSeen = if (worst.isNullAt(0)) 0.0 else worst.getDouble(0)
-    require(minSeen >= minRecall,
-      s"$label recall $minSeen below floor $minRecall — index/banding regressed")
+    val agged = out.select(col("query_id"), col("recall")).distinct()
+      .agg(min(col("recall")), avg(col("recall"))).head()
+    val seen =
+      if (agged.isNullAt(0)) 0.0
+      else if (floorOnMean) agged.getDouble(1) else agged.getDouble(0)
+    require(seen >= minRecall,
+      s"$label ${if (floorOnMean) "mean " else ""}recall $seen below floor " +
+      s"$minRecall — index/banding regressed")
     out
   }
 }
