@@ -76,6 +76,7 @@ object SparkEntry {
     "p43_html_extract"     -> (graft.pipeline.HtmlExtract.query _),
     "p44_url_dedup"        -> (graft.pipeline.UrlDedup.query _),
     "p45_embedding_quant"  -> (graft.sim.ScalarQuant.query _),
+    "p46_ppx_buckets"      -> (graft.text.CcnetSelect.query _),
     "q43_pagerank"         -> (graft.operators.PageRank.query _),
     "q45_countmin"         -> (graft.operators.CountMin.query _),
     "q44_reachability"     -> (graft.operators.Reachability.query _),
@@ -1140,6 +1141,7 @@ object SparkEntry {
     "p43_html_extract" -> graft.pipeline.HtmlExtract.oracleSql,
     "p44_url_dedup" -> graft.pipeline.UrlDedup.oracleSql,
     "p45_embedding_quant" -> graft.sim.ScalarQuant.oracleSql,
+    "p46_ppx_buckets" -> graft.text.CcnetSelect.oracleSql,
     "u11_time_travel" -> graft.operators.VersionedTable.oracleSql,
     "u12_stats_skipping" -> graft.operators.StatsSkipping.oracleSql,
     "s10_stream_outer_join" -> graft.streaming.EventStreams.s10OracleSql,

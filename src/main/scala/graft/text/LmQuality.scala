@@ -27,10 +27,24 @@ import org.apache.spark.sql.functions._
   */
 object LmQuality {
 
+  /** Per-doc bigram LM score table, materialized once per (process,
+    * dir): p29 orders it and p46's CCNet bucketing consumes it — the LM
+    * fit + scoring pipeline runs once per run (the p2/p39 artifact
+    * pattern). */
+  def scoreTable(spark: SparkSession, dir: String): DataFrame =
+    graft.ProcessArtifacts.table(spark, "p29_scores", dir) {
+      buildScores(spark, dir)
+    }
+
   /** Per-doc bigram LM score: (doc_id, n_bigrams, nll_micro). Docs with
     * fewer than 2 tokens carry no bigram evidence and are excluded on
     * both engines. */
   def query(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    scoreTable(spark, dir).orderBy($"doc_id")
+  }
+
+  private def buildScores(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = graft.Tables.documents(spark, dir)
       .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
@@ -50,7 +64,6 @@ object LmQuality {
     bigrams.join(model, Seq("w1", "w2"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"nll_micro_bg").as("nll_micro"))
-      .orderBy($"doc_id")
   }
 
   val oracleSql: String =
