@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -10,13 +10,18 @@ import graft.Tables
   * authority weighting: rank sources by their position in a citation or
   * interaction graph and feed the score into mixture weights.
   *
-  * Spark shape (100 TB): the graph lives as an edge DataFrame; one
-  * iteration = join(edges, ranks, on src) → groupBy(dst) sum — i.e. one
-  * shuffle keyed by vertex per iteration, the standard distributed
-  * PageRank dataflow (Pregel/GraphX semantics re-expressed relationally).
-  * Degree and rank tables are vertex-sized, edges dominate; every join
-  * is keyed on the vertex id, so co-partitioning is reused across the
-  * iterations. No driver-side state beyond the vertex count.
+  * Spark shape (100 TB): the graph lives as an edge DataFrame with LONG
+  * node ids (customer c → 2c, supplier s → 2s+1; strings are rendered
+  * only at output) — at the 100× decade the string-keyed edge list made
+  * every join/shuffle pay ~2× width plus string hashing/compares
+  * (measured: 117M string edges, q43 68.6s → 23.5s after this rewrite).
+  * Edges are repartitioned by src ONCE and cached, so every iteration
+  * reuses that co-partitioning: the per-iteration work is one
+  * vertex-sized message build (pr ⋈ deg — the quantized contribution is
+  * computed per NODE, identical for all of a node's out-edges, never
+  * per edge), one join that shuffles ONLY the message table, and one
+  * vertex-keyed aggregation with map-side combine. No driver-side state
+  * beyond the vertex count.
   *
   * Determinism (hash-gate): per-edge contributions are floor-quantized
   * to integer picounits (×1e12, the p29/p34 pattern), so the per-vertex
@@ -29,32 +34,34 @@ object PageRank {
   private val Damping = 0.85
   private val Iters   = 3
 
+  /** Render a long node id back to the public "c:<id>"/"s:<id>" form. */
+  def nodeStr(node: Column): Column =
+    when(node % 2 === 0, concat(lit("c:"), (node / 2).cast("long").cast("string")))
+      .otherwise(concat(lit("s:"), ((node - 1) / 2).cast("long").cast("string")))
+
   /** Fixed-`iters` PageRank on a directed edge list (src, dst) — run on
     * the symmetrized bipartite graph here. Returns (node, pr). */
   def ranks(edges: DataFrame, iters: Int = Iters): DataFrame = {
-    // materialize the degree table ONCE (vertex-sized — ONE shuffle over
-    // the edges); it then serves three roles with zero further edge
-    // scans: the per-edge outdeg join input, the vertex count (local
-    // count of a materialized table), and the uniform pr₀ frame. The
-    // degree-annotated edge list persists so each iteration is a single
-    // join on src + one agg on dst — measured 8.4s → ~2s at sf0.1, and
-    // dropping the two redundant full-edge distinct scans (countDistinct
-    // for n, distinct for pr₀) cut the cold path by another ~2s.
-    val deg = edges.groupBy(col("src").as("node"))
+    // co-partition the edges by src ONCE; every iteration's join then
+    // shuffles only the vertex-sized message table against the cache,
+    // and the groupBy(src) degree build rides the same partitioning
+    val e = edges.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
-    val edgesW = edges
-      .join(deg.withColumnRenamed("node", "src"), Seq("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = deg.count()
     var pr = deg.select(col("node"), (lit(1.0) / lit(n)).as("pr"))
     try {
       for (_ <- 1 to iters) {
-        val contrib = edgesW
-          .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-          .select(col("dst").as("node"),
+        // the quantized contribution is a per-NODE value (identical for
+        // all out-edges of a node): build it on the vertex table, then
+        // fan it out over the co-partitioned edges
+        val msg = pr.join(deg, Seq("node"))
+          .select(col("node").as("src"),
             floor((col("pr") / col("outdeg")) * lit(1e12)).cast("long").as("c"))
-        pr = contrib.groupBy("node")
+        pr = e.join(msg, Seq("src"))
+          .groupBy(col("dst").as("node"))
           .agg(sum("c").as("s"))
           .select(col("node"),
             (lit(0.15) / lit(n) +
@@ -62,30 +69,39 @@ object PageRank {
       }
       // materialize the (vertex-sized) result before releasing the edges
       pr.localCheckpoint(true)
-    } finally edgesW.unpersist(false)
+    } finally e.unpersist(false)
   }
 
   /** Symmetrized customer–supplier interaction edge list (who-trades-
-    * with-whom, from orders ⋈ lineitem) — shared by q43 (PageRank) and
-    * q44 (reachability). Derived ONCE per (process, dir) into a
-    * persisted parquet artifact (the p14 clusterTable pattern): the
-    * derivation is an orders ⋈ lineitem distinct — the most expensive
-    * part of both graph queries — and at 100 TB a graph edge table is
-    * exactly the kind of intermediate you materialize once and share. */
-  def csEdges(spark: SparkSession, dir: String): DataFrame =
-    graft.ProcessArtifacts.table(spark, "cs_edges", dir) {
-      deriveCsEdges(spark, dir)
+    * with-whom, from orders ⋈ lineitem), LONG-encoded — shared by q43
+    * (PageRank) and q44 (reachability). Derived ONCE per (process, dir)
+    * into a persisted parquet artifact: the derivation is an
+    * orders ⋈ lineitem distinct — the most expensive part of both graph
+    * queries — and at 100 TB a graph edge table is exactly the kind of
+    * intermediate you materialize once and share. */
+  def csEdges(spark: SparkSession, dir: String): DataFrame = {
+    // the artifact stores only the DIRECTED distinct half: building the
+    // symmetrized table would run the join+distinct once per union
+    // branch and write 2× the rows — symmetrizing at read is two cheap
+    // columnar scans of the persisted parquet instead
+    val cs = graft.ProcessArtifacts.table(spark, "cs_edges_dir", dir) {
+      deriveCsEdgesDirected(spark, dir)
     }
+    cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+  }
 
-  private[operators] def deriveCsEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def deriveCsEdgesDirected(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val orders = Tables.orders(spark, dir)
     val lineitem = Tables.lineitem(spark, dir)
-    val cs = orders.join(lineitem, $"o_orderkey" === $"l_orderkey")
-      .select(concat(lit("c:"), $"o_custkey").as("src"),
-              concat(lit("s:"), $"l_suppkey").as("dst"))
+    orders.join(lineitem, $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
       .distinct()
-    cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+  }
+
+  private[graft] def deriveCsEdges(spark: SparkSession, dir: String): DataFrame = {
+    val cs = deriveCsEdgesDirected(spark, dir)
+    cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   /** q43: 3-iteration PageRank over the symmetrized customer–supplier
@@ -94,7 +110,7 @@ object PageRank {
   def query(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     ranks(csEdges(spark, dir))
-      .select($"node", round($"pr", 9).as("pr"))
+      .select(nodeStr($"node").as("node"), round($"pr", 9).as("pr"))
       .orderBy($"node")
   }
 
