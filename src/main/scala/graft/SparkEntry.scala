@@ -77,8 +77,10 @@ object SparkEntry {
     "p44_url_dedup"        -> (graft.pipeline.UrlDedup.query _),
     "p45_embedding_quant"  -> (graft.sim.ScalarQuant.query _),
     "p46_ppx_buckets"      -> (graft.text.CcnetSelect.query _),
+    "p47_line_dedup"       -> (graft.dedup.LineDedup.query _),
     "q43_pagerank"         -> (graft.operators.PageRank.query _),
     "q45_countmin"         -> (graft.operators.CountMin.query _),
+    "q46_triangles"        -> (graft.operators.Triangles.query _),
     "q44_reachability"     -> (graft.operators.Reachability.query _),
     "s8_stream_incr_dedup" -> (graft.streaming.EventStreams.s8StreamIncrDedup _),
     "s9_stream_score"      -> (graft.streaming.EventStreams.s9StreamQualityScore _),
@@ -1132,6 +1134,7 @@ object SparkEntry {
     "p36_bm25_search" -> graft.text.Bm25.oracleSql,
     "q43_pagerank" -> graft.operators.PageRank.oracleSql,
     "q45_countmin" -> graft.operators.CountMin.oracleSql,
+    "q46_triangles" -> graft.operators.Triangles.oracleSql,
     "q44_reachability" -> graft.operators.Reachability.oracleSql,
     "p39_bpe_vocab" -> graft.text.BpeVocab.oracleSql,
     "p39b_bpe_encode" -> graft.text.BpeVocab.encodeOracleSql,
@@ -1142,6 +1145,7 @@ object SparkEntry {
     "p44_url_dedup" -> graft.pipeline.UrlDedup.oracleSql,
     "p45_embedding_quant" -> graft.sim.ScalarQuant.oracleSql,
     "p46_ppx_buckets" -> graft.text.CcnetSelect.oracleSql,
+    "p47_line_dedup" -> graft.dedup.LineDedup.oracleSql,
     "u11_time_travel" -> graft.operators.VersionedTable.oracleSql,
     "u12_stats_skipping" -> graft.operators.StatsSkipping.oracleSql,
     "s10_stream_outer_join" -> graft.streaming.EventStreams.s10OracleSql,
