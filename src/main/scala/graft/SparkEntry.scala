@@ -78,6 +78,7 @@ object SparkEntry {
     "p45_embedding_quant"  -> (graft.sim.ScalarQuant.query _),
     "p46_ppx_buckets"      -> (graft.text.CcnetSelect.query _),
     "p47_line_dedup"       -> (graft.dedup.LineDedup.query _),
+    "p48_hybrid_search"    -> (graft.sim.HybridSearch.query _),
     "q43_pagerank"         -> (graft.operators.PageRank.query _),
     "q45_countmin"         -> (graft.operators.CountMin.query _),
     "q46_triangles"        -> (graft.operators.Triangles.query _),
@@ -1146,6 +1147,7 @@ object SparkEntry {
     "p45_embedding_quant" -> graft.sim.ScalarQuant.oracleSql,
     "p46_ppx_buckets" -> graft.text.CcnetSelect.oracleSql,
     "p47_line_dedup" -> graft.dedup.LineDedup.oracleSql,
+    "p48_hybrid_search" -> graft.sim.HybridSearch.oracleSql,
     "u11_time_travel" -> graft.operators.VersionedTable.oracleSql,
     "u12_stats_skipping" -> graft.operators.StatsSkipping.oracleSql,
     "s10_stream_outer_join" -> graft.streaming.EventStreams.s10OracleSql,

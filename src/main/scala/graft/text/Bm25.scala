@@ -30,22 +30,33 @@ object Bm25 {
   /** Top-k docs per query by BM25(k1=1.2, b=0.75), Lucene idf
     * ln(1 + (N−df+0.5)/(df+0.5)). `queries` = (query_id, term) pairs. */
   def search(docs: DataFrame, idCol: String, textCol: String,
-             queries: DataFrame, k: Int): DataFrame = {
-    val tf = docs
-      .select(col(idCol).as("doc_id"),
-              explode(split(col(textCol), "\\s+")).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+             queries: DataFrame, k: Int): DataFrame =
+    searchFromTf(
+      docs.select(col(idCol).as("doc_id"),
+          explode(split(col(textCol), "\\s+")).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf")),
+      docs.count(), queries, k)
+
+  /** The postings-level core: BM25 over a prebuilt (doc_id, term, tf)
+    * table — lets callers that already materialized postings (p48's
+    * hybrid leg derives its query terms from the same table) score
+    * without a second corpus tokenize. `excludeSelf` drops the document
+    * whose id equals the query id BEFORE ranking (the more-like-this /
+    * related-document form, where queries are seed docs). */
+  def searchFromTf(tf: DataFrame, n: Long, queries: DataFrame, k: Int,
+                   excludeSelf: Boolean = false): DataFrame = {
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.count()
     // integer total / integer N on the driver: deterministic avgdl double
     val totTok = dl.agg(sum("dl")).head().getLong(0)
     val avgdl = totTok.toDouble / n
-    val perTerm = broadcast(queries)
+    val joined = broadcast(queries)
       .join(tf, Seq("term"))
       .join(dfreq, Seq("term"))
       .join(dl, Seq("doc_id"))
+    val perTerm = (if (excludeSelf) joined.filter(col("doc_id") =!= col("query_id"))
+                   else joined)
       .withColumn("sc",
         // literals written as the same decimal strings the oracle parses
         // (2.2 / 0.25 / 0.75 / 1.2) — NOT driver-computed K1+1.0 etc.,
