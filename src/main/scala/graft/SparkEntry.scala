@@ -124,6 +124,7 @@ object SparkEntry {
     "u6_upsert"            -> (graft.operators.ScaleOps.u6UpsertQuery _),
     "u7_zorder_layout"     -> (graft.operators.ScaleOps.u7ZorderQuery _),
     "u12_stats_skipping"   -> (graft.operators.StatsSkipping.u12StatsSkippingQuery _),
+    "u13_bloom_index"      -> (graft.operators.BloomIndex.u13BloomIndexQuery _),
     "s4_stream_join"       -> (graft.streaming.EventStreams.s4StreamJoin _),
     "s10_stream_outer_join" -> (graft.streaming.EventStreams.s10StreamOuterJoin _),
     "s5_stream_upsert"     -> (graft.streaming.EventStreams.s5StreamUpsert _),
@@ -1150,6 +1151,7 @@ object SparkEntry {
     "p48_hybrid_search" -> graft.sim.HybridSearch.oracleSql,
     "u11_time_travel" -> graft.operators.VersionedTable.oracleSql,
     "u12_stats_skipping" -> graft.operators.StatsSkipping.oracleSql,
+    "u13_bloom_index" -> graft.operators.BloomIndex.oracleSql,
     "s10_stream_outer_join" -> graft.streaming.EventStreams.s10OracleSql,
     "mm3_phash_dedup" -> graft.multimodal.PHashDedup.oracleSql,
     "mm4_audio_features" -> graft.multimodal.AudioOps.oracleSql,
