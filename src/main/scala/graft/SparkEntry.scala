@@ -85,6 +85,7 @@ object SparkEntry {
     "q44_reachability"     -> (graft.operators.Reachability.query _),
     "s8_stream_incr_dedup" -> (graft.streaming.EventStreams.s8StreamIncrDedup _),
     "s9_stream_score"      -> (graft.streaming.EventStreams.s9StreamQualityScore _),
+    "s11_stream_trending"  -> (graft.streaming.EventStreams.s11StreamTrending _),
     "s7_stream_ann_serve"  -> (graft.streaming.EventStreams.s7StreamAnnServe _),
     "m11_platt_probs"      -> (graft.ml.ModelOracles.m11PlattProbs _),
     "m12_cv_grid"          -> ((s, d) => graft.ml.CrossVal.cvGridQuery(s, d)),
@@ -1153,6 +1154,7 @@ object SparkEntry {
     "u12_stats_skipping" -> graft.operators.StatsSkipping.oracleSql,
     "u13_bloom_index" -> graft.operators.BloomIndex.oracleSql,
     "s10_stream_outer_join" -> graft.streaming.EventStreams.s10OracleSql,
+    "s11_stream_trending" -> graft.streaming.EventStreams.s11OracleSql,
     "mm3_phash_dedup" -> graft.multimodal.PHashDedup.oracleSql,
     "mm4_audio_features" -> graft.multimodal.AudioOps.oracleSql,
     "mm5_video_frames" -> graft.multimodal.VideoOps.oracleSql,

@@ -527,4 +527,94 @@ object EventStreams {
           }
       }
   }
+
+  // ---- S11: streaming trending — a foreachBatch-maintained
+  //      materialized AGGREGATE view + top-k serving query ----
+
+  /** S11: streaming TRENDING detection — windowed per-item counts in
+    * UPDATE mode merged into a persisted materialized view by a
+    * `foreachBatch` sink, then served as per-window top-3 items (the
+    * trending-dashboard shape: the stream maintains the view
+    * incrementally; dashboards rank the view, they never re-scan the
+    * event log).
+    *
+    * Update-mode emission means each batch carries the NEW total for
+    * every (window, item) whose count changed, so a last-writer-wins
+    * merge keyed on (window, item) leaves the view holding final
+    * counts however the engine splits batches (counts are monotone and
+    * every change is emitted — the merge, like s5's, is
+    * order-insensitive across keys and final-writer-correct within
+    * one). At scale the view is windows × items (bounded by item
+    * cardinality and retention, not event volume), the merge is one
+    * keyed anti-join + union per batch, and the watermark evicts
+    * closed windows' aggregation state.
+    *
+    * The item key is extracted from the event's JSON props (the q30
+    * path) — trending the `k` property, a 100-ary item space. */
+  def s11StreamTrending(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.expressions.Window
+    val counts = trendingCounts(eventStream(spark, dir))
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_trend").toString
+    var stateVer = 0
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("window_start",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("item",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_events",
+            org.apache.spark.sql.types.LongType))))
+      .write.mode("overwrite").parquet(s"$stateRoot/state_0")
+    val q = counts.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // last-writer-wins: this batch's rows replace same-key view rows
+        val merged = spark.read.parquet(s"$stateRoot/state_$stateVer")
+          .join(batch, Seq("window_start", "item"), "left_anti")
+          .unionByName(batch)
+        // next version, never in place (the s5 rule)
+        merged.write.mode("overwrite").parquet(s"$stateRoot/state_${stateVer + 1}")
+        stateVer += 1
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fin = spark.read.parquet(s"$stateRoot/state_$stateVer")
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("item"))
+    val out = fin.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("window_start"), col("rank"), col("item"), col("n_events"))
+      .orderBy(col("window_start"), col("rank"))
+    graft.operators.ScaleOps.materializeThen(out)(
+      graft.operators.ScaleOps.deleteRecursively(stateRoot))
+  }
+
+  /** The maintained aggregate: 1h tumbling windowed counts per JSON
+    * item key — exposed so the spec can drive it through multi-batch
+    * streams. */
+  private[streaming] def trendingCounts(events: DataFrame): DataFrame =
+    events
+      .select(col("ts"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("item"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("item"),
+        col("n_events"))
+
+  /** DuckDB oracle for s11: the batch replay — epoch-aligned hourly
+    * windows, JSON item extraction, per-window top-3. */
+  val s11OracleSql: String =
+    """SELECT window_start, rank, item, n_events FROM (
+         SELECT window_start, item, n_events,
+           CAST(row_number() OVER (PARTITION BY window_start
+             ORDER BY n_events DESC, item) AS BIGINT) AS rank
+         FROM (
+           SELECT date_trunc('hour', ts) AS window_start,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+             count(*) AS n_events
+           FROM events
+           GROUP BY 1, 2) c) r
+       WHERE rank <= 3
+       ORDER BY window_start, rank"""
 }
