@@ -156,6 +156,7 @@ object SparkEntry {
     "mm3_phash_dedup"      -> (graft.multimodal.PHashDedup.query _),
     "mm4_audio_features"   -> (graft.multimodal.AudioOps.audioFeatures _),
     "mm5_video_frames"     -> (graft.multimodal.VideoOps.videoFrameFeatures _),
+    "mm6_image_resize"     -> (graft.multimodal.MultimodalOps.resize _),
     "q22_sessions"         -> (Sessionization.sessionsBatch _),
     "u1_bucketed_join"     -> (graft.operators.ScaleOps.u1BucketedJoinQuery _),
     "u2_salted_join"       -> (graft.operators.ScaleOps.u2SaltedJoinQuery _),
@@ -1158,6 +1159,7 @@ object SparkEntry {
     "mm3_phash_dedup" -> graft.multimodal.PHashDedup.oracleSql,
     "mm4_audio_features" -> graft.multimodal.AudioOps.oracleSql,
     "mm5_video_frames" -> graft.multimodal.VideoOps.oracleSql,
+    "mm6_image_resize" -> graft.multimodal.MultimodalOps.resizeOracleSql,
     // the stream computes the SAME decision record as the batch p35, so
     // the same replay SQL gates both halves of the continual-ingestion story
     "s8_stream_incr_dedup" -> graft.dedup.IncrementalDedup.oracleSql,

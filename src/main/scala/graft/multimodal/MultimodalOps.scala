@@ -30,16 +30,21 @@ object MultimodalOps {
   val BmpHeight = 4
   val PixelBytes: Int = BmpWidth * BmpHeight * 3   // 96 (row stride 24 — no padding)
 
-  /** Standard BITMAPFILEHEADER + BITMAPINFOHEADER for an 8×4 24bpp
-    * bottom-up BMP — what any bitmap writer would emit. */
-  private[multimodal] lazy val bmpHeader: Array[Byte] = {
+  /** Standard BITMAPFILEHEADER + BITMAPINFOHEADER for a w×h 24bpp
+    * bottom-up BMP — what any bitmap writer would emit. (Callers keep
+    * row strides multiple-of-4 so no padding enters the raster.) */
+  private[multimodal] def bmpHeaderFor(w: Int, h: Int): Array[Byte] = {
+    val bytes = w * h * 3
     val bb = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put('B'.toByte).put('M'.toByte)
-      .putInt(54 + PixelBytes).putShort(0).putShort(0).putInt(54)
-    bb.putInt(40).putInt(BmpWidth).putInt(BmpHeight).putShort(1).putShort(24)
-      .putInt(0).putInt(PixelBytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      .putInt(54 + bytes).putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(bytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
     bb.array()
   }
+
+  private[multimodal] lazy val bmpHeader: Array[Byte] =
+    bmpHeaderFor(BmpWidth, BmpHeight)
 
   /** 96 deterministic pixel bytes as hex: a chained md5 of the text
     * (6 × 16 bytes). DuckDB replays this exactly. */
@@ -147,6 +152,93 @@ object MultimodalOps {
         round($"mean_raw", 6).as("frame_mean"))
       .orderBy($"media_id", $"frame_idx")
   }
+
+  /** mm6: image RESIZE with a real encode∘decode round trip — the
+    * preprocessing step every vision pipeline runs before batching into
+    * a model. Nearest-neighbor 2× downsample (8×4 → 4×2): decode the
+    * payload BMP (javax.imageio), sample every 2nd pixel of every 2nd
+    * raster row (top-left rule, in FILE order so the byte math is
+    * engine-replayable), RE-ENCODE the result as a complete 4×2 BMP,
+    * then decode THAT with imageio again and compute the output record
+    * from the re-decoded raster — so the hash gate certifies the
+    * resized file is itself a valid bitmap whose raster holds exactly
+    * the sampled pixels (encoder∘decoder = sampler, the mm4 property).
+    *
+    * Scale shape: narrow mapPartitions decode→resize→encode, zero
+    * shuffle — ingest-rate preprocessing; the 2× factor generalizes by
+    * changing the stride. */
+  def resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (ow, oh) = (BmpWidth / 2, BmpHeight / 2)
+    val media = mediaFromDocuments(spark, dir)
+      .filter($"kind" === "image")
+      .select($"media_id", $"payload")
+      .as[(Long, Array[Byte])]
+    media.mapPartitions { it =>
+      val hdr = bmpHeaderFor(ow, oh)
+      it.map { case (id, payload) =>
+        val px = decodeBmp(payload)             // file order, [0,1]
+        val outBytes = new Array[Byte](ow * oh * 3)
+        var k = 0
+        var j = 0
+        while (j < oh) {                        // output file-order row
+          var x = 0
+          while (x < ow) {
+            var c = 0
+            while (c < 3) {
+              val v = px((2 * j) * (BmpWidth * 3) + (2 * x) * 3 + c)
+              outBytes(k) = Math.round(v * 255.0).toByte
+              k += 1; c += 1
+            }
+            x += 1
+          }
+          j += 1
+        }
+        val resized = hdr ++ outBytes
+        // prove the re-encode: decode the resized file and derive the
+        // output record from ITS raster, not from outBytes
+        val rpx = decodeBmp(resized)
+        require(rpx.length == ow * oh * 3, "resized BMP has wrong raster")
+        var s = 0.0
+        val hex = new StringBuilder(rpx.length * 2)
+        var i = 0
+        while (i < rpx.length) {
+          val b = Math.round(rpx(i) * 255.0).toInt
+          s += rpx(i)
+          hex.append(f"$b%02x")
+          i += 1
+        }
+        (id, ow, oh, s / rpx.length, hex.toString)
+      }
+    }.toDF("media_id", "out_w", "out_h", "mean_raw", "px_hex")
+      .select($"media_id", $"out_w", $"out_h",
+        round($"mean_raw", 6).as("mean_px"),
+        md5($"px_hex").as("px_md5"))
+      .orderBy($"media_id")
+  }
+
+  /** DuckDB replay for mm6: regenerate the source pixel hex, pick the
+    * nearest-neighbor bytes by pure index math over the hex string,
+    * recompute the mean from the same bytes and md5 the hex. */
+  val resizeOracleSql: String =
+    """WITH m AS (
+         SELECT doc_id AS media_id,
+           md5(text) || md5(text || '1') || md5(text || '2') ||
+           md5(text || '3') || md5(text || '4') || md5(text || '5') AS ph
+         FROM documents
+         WHERE (doc_id % 3) = 0),
+       px AS (
+         SELECT media_id,
+           [substr(ph, 2 * ((2 * (i // 12)) * 24 + 2 * ((i % 12) // 3) * 3 + (i % 3)) + 1, 2)
+            for i in range(0, 24)] AS hx
+         FROM m)
+       SELECT media_id,
+         CAST(4 AS INTEGER) AS out_w, CAST(2 AS INTEGER) AS out_h,
+         round(list_sum(list_transform(hx,
+           h -> CAST(('0x' || h) AS BIGINT) / 255.0)) / 24.0, 6) AS mean_px,
+         md5(array_to_string(hx, '')) AS px_md5
+       FROM px
+       ORDER BY media_id"""
 
   /** Batched inference over media rows: the mapPartitions shape real GPU
     * scoring needs (fixed-size batches, per-partition setup). Each row's

@@ -61,4 +61,29 @@ class MultimodalSpec extends SparkSpec {
     assert(scored.forall(s => s.batch_size <= 32 && s.batch_size >= 1))
     assert(scored.forall(s => s.score >= 0.0 && s.score <= 1.0))
   }
+  test("mm6 resize: output raster is the 2x nearest-neighbor sample, re-decoded") {
+    val m = MultimodalOps.mediaFromDocuments(spark, dir)
+      .filter($"kind" === "image")
+      .select($"media_id", $"payload")
+      .orderBy($"media_id").limit(1).collect().head
+    val src = MultimodalOps.decodeBmp(m.getAs[Array[Byte]]("payload"))
+    val out = MultimodalOps.resize(spark, dir)
+      .filter($"media_id" === m.getAs[Long]("media_id")).collect().head
+    assert(out.getAs[Int]("out_w") === 4 && out.getAs[Int]("out_h") === 2)
+    // recompute the expected sampled hex by the same file-order rule
+    val hex = (0 until 24).map { i =>
+      val b = Math.round(src((2 * (i / 12)) * 24 + 2 * ((i % 12) / 3) * 3 + (i % 3)) * 255.0).toInt
+      f"$b%02x"
+    }.mkString
+    def md5Of(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.getAs[String]("px_md5") === md5Of(hex),
+      "resized raster must be exactly the NN-sampled source pixels")
+  }
+
+  test("mm6 resize: plan is a narrow map, no shuffle") {
+    val plan = MultimodalOps.resize(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
 }
