@@ -49,7 +49,7 @@ object LineDedup {
   /** Deterministic planted page as an array<string> of lines:
     * nav header, conditional cookie banner (content-addressed half of
     * doc_ids), 8-token content chunks, footer. Row-local. */
-  private[dedup] def plantedLines(docs: DataFrame): DataFrame = {
+  private[graft] def plantedLines(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), "\\s+")
     val nChunks = ceil(size(toks) / lit(LineTokens.toDouble)).cast("int")
     val content = transform(sequence(lit(0), nChunks - 1),
@@ -71,6 +71,16 @@ object LineDedup {
     * record per document: line counts before/removed plus the md5 of
     * the rewritten text (lines kept in original order, joined by \n). */
   def stripFrom(pages: DataFrame, minDocs: Int = MinDocs): DataFrame = {
+    val (out, lines) = pipeline(pages, minDocs)
+    val fin = out.localCheckpoint()       // per-doc rows only; frees the cache
+    lines.unpersist(false)
+    fin
+  }
+
+  /** The un-checkpointed dataflow (returned with its cached exploded
+    * relation so callers control release) — exposed for the plan gate. */
+  private[graft] def pipeline(pages: DataFrame,
+                              minDocs: Int = MinDocs): (DataFrame, DataFrame) = {
     import pages.sparkSession.implicits._
     // both the dictionary aggregation and the rewrite join consume the
     // exploded stream — persist it or the plant+explode runs twice
@@ -99,9 +109,7 @@ object LineDedup {
       .select($"doc_id", $"n_lines", $"n_removed",
         length($"clean").cast("long").as("clean_chars"),
         md5($"clean").as("clean_md5"))
-      .localCheckpoint()                  // per-doc rows only; frees the cache
-    lines.unpersist(false)
-    out
+    (out, lines)
   }
 
   /** p47: plant the page, strip cross-document duplicated lines, one

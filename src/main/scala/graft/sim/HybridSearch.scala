@@ -43,6 +43,15 @@ object HybridSearch {
 
   /** p48: RRF-fused top-10 related documents per seed doc. */
   def query(spark: SparkSession, dir: String): DataFrame = {
+    val (out, tf) = fused(spark, dir)
+    val fin = out.localCheckpoint()
+    tf.unpersist(false)
+    fin
+  }
+
+  /** The un-checkpointed dataflow (with its cached postings relation,
+    * released by the caller) — exposed for the plan gate. */
+  private[graft] def fused(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir)
@@ -78,9 +87,7 @@ object HybridSearch {
       .select($"query_id", $"doc_id", $"fused_rank", $"rrf_micro",
         $"rank_sparse", $"rank_dense")
       .orderBy($"query_id", $"fused_rank")
-      .localCheckpoint()
-    tf.unpersist(false)
-    out
+    (out, tf)
   }
 
   /** DuckDB replay: identical postings, seed-term derivation, BM25 leg

@@ -209,6 +209,50 @@ class PlanRegressionSpec extends SparkSpec {
       s"p2 must read the pairs artifact, got:\n$plan")
   }
 
+  test("p47 line dedup: dictionary join equi-keyed on the line hash") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, dir)
+    val (out, lines) = graft.dedup.LineDedup.pipeline(
+      graft.dedup.LineDedup.plantedLines(docs))
+    val p = out.queryExecution.explainString(FormattedMode)
+    lines.unpersist(false)
+    assertNoCartesian("p47", p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "p47: dictionary join lost its hash key")
+    assertCodegen("p47", p)
+  }
+
+  test("p48 hybrid: the sparse leg joins are keyed; fusion is an equi full-outer") {
+    val (out, tf) = graft.sim.HybridSearch.fused(spark, dir)
+    val p = out.queryExecution.explainString(FormattedMode)
+    tf.unpersist(false)
+    assertNoCartesian("p48", p)
+    // the dense leg's 3-row broadcast scorer is the one DECLARED
+    // non-equi join (the p6 exact-twin shape); the plan must still
+    // carry keyed joins for postings/fusion
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"),
+      "p48: no keyed join left in the plan")
+    assertCodegen("p48", p)
+  }
+
+  test("u13 bloom lookup: no join, custkey filter pushed to the pruned scan") {
+    // the query itself materializes before its temp layout is deleted,
+    // so assert on the lookup scan the bloom probe plans
+    import graft.operators.BloomIndex
+    val tmp = java.nio.file.Files.createTempDirectory("graft_plan_bloom").toString
+    BloomIndex.writeClustered(graft.Tables.orders(spark, dir), "o_orderdate", 4, tmp)
+    val manifest = BloomIndex.buildManifest(spark, tmp, "o_custkey")
+      .localCheckpoint(true)
+    val scan = BloomIndex.lookupScan(spark, tmp, manifest, "o_custkey", Seq(1L, 7L))
+    val p = scan.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Join"),
+      "u13: the bloom probe is a metadata step — no join belongs in the scan plan")
+    assert(p.contains("o_custkey"), "u13: lookup filter missing from the scan")
+    assertPushedFilters("u13", p)
+    graft.operators.ScaleOps.deleteRecursively(tmp)
+  }
+
   test("declared compressed-domain scans are the ONLY nested-loop joins") {
     // p5/p6 (exact oracle twins) and p7c's ADC scan are cross joins BY
     // DESIGN; every other audited query must stay nested-loop-free.
