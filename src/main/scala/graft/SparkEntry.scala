@@ -144,6 +144,8 @@ object SparkEntry {
     "q27_decimal_money"    -> (Relational.q27DecimalMoney _),
     "q28_percentiles"      -> (Relational.q28Percentiles _),
     "q23_cube"             -> (Relational.q23Cube _),
+    "q47_grouping_sets"    -> (Relational.q47GroupingSets _),
+    "q48_range_window"     -> (Relational.q48RangeWindow _),
     "q24_pivot"            -> (Relational.q24Pivot _),
     "q25_setops"           -> (Relational.q25SetOps _),
     "q26_asof_join"        -> (Relational.q26AsofJoin _),
@@ -750,6 +752,24 @@ object SparkEntry {
          FROM lineitem
          GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY returnflag, linestatus""",
+    "q47_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+         CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY gid, returnflag, linestatus""",
+    "q48_range_window" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(count(*) OVER w AS BIGINT) AS n_orders_90d,
+           CAST(sum(cents) OVER w AS BIGINT) AS spend_90d_cents
+         FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders) t
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
     "q24_pivot" ->
       """SELECT user_id,
          round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,

@@ -506,4 +506,52 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy($"l_returnflag")
   }
+
+  /** R44 (q47): explicit GROUPING SETS — the general form rollup/cube
+    * specialize; a reporting workload usually wants a hand-picked set
+    * of aggregation levels, not the full lattice (cube over k dims is
+    * 2^k groupings; the chosen 3 here cost one Expand×3 pass). The
+    * grouping_id bitmask disambiguates "NULL because subtotal" from a
+    * genuinely null dimension — the production-correct way, rather than
+    * the coalesce-to-'ALL' presentation trick (also emitted, for the
+    * report surface). */
+  def q47GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq()),
+        $"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_extendedprice"), 2).as("sum_price"),
+           count(lit(1)).as("n_rows"),
+           grouping_id().as("gid"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+              coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+              $"gid", $"sum_price", $"n_rows")
+      .orderBy($"gid", $"returnflag", $"linestatus")
+  }
+
+  /** R45 (q48): time-RANGE window frames — each order aggregated with
+    * the same customer's orders in the trailing 90 days (RANGE frames
+    * bound by VALUE distance, not row count — the rolling-metrics
+    * shape: trailing-spend features, rate limits, recency scores).
+    * One shuffle on the partition key; frame evaluation is a sliding
+    * accumulator within each sorted partition, never a self-join (the
+    * naive range-join formulation of the same query is O(n·frame)).
+    * Money is summed in integer CENTS inside the frame so the rolling
+    * sum is order-independent — two orders at the same timestamp sum
+    * identically however the engines break the tie. */
+  def q48RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy(unix_timestamp($"o_orderdate"))
+      .rangeBetween(-90L * 86400, 0)
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .withColumn("n_orders_90d", count(lit(1)).over(w))
+      .withColumn("spend_90d_cents", sum($"cents").over(w))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"n_orders_90d", $"spend_90d_cents")
+      .orderBy($"o_orderkey")
+  }
 }

@@ -253,6 +253,16 @@ class PlanRegressionSpec extends SparkSpec {
     graft.operators.ScaleOps.deleteRecursively(tmp)
   }
 
+  test("q47/q48: grouping-sets is one Expand pass; range frame is a window, not a join") {
+    val p47 = planOf("q47_grouping_sets")
+    assert(p47.contains("Expand"), "q47: grouping sets must plan as Expand")
+    assertNoCartesian("q47", p47)
+    val p48 = planOf("q48_range_window")
+    assert(p48.contains("Window"), "q48: range frame must stay a window")
+    assert(!p48.contains("Join"),
+      "q48: the trailing-90d metric regressed to a self-join")
+  }
+
   test("declared compressed-domain scans are the ONLY nested-loop joins") {
     // p5/p6 (exact oracle twins) and p7c's ADC scan are cross joins BY
     // DESIGN; every other audited query must stay nested-loop-free.
