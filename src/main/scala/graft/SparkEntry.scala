@@ -126,6 +126,7 @@ object SparkEntry {
     "u7_zorder_layout"     -> (graft.operators.ScaleOps.u7ZorderQuery _),
     "u12_stats_skipping"   -> (graft.operators.StatsSkipping.u12StatsSkippingQuery _),
     "u13_bloom_index"      -> (graft.operators.BloomIndex.u13BloomIndexQuery _),
+    "u14_schema_evolution" -> (graft.operators.SchemaEvolution.u14SchemaEvolutionQuery _),
     "s4_stream_join"       -> (graft.streaming.EventStreams.s4StreamJoin _),
     "s10_stream_outer_join" -> (graft.streaming.EventStreams.s10StreamOuterJoin _),
     "s5_stream_upsert"     -> (graft.streaming.EventStreams.s5StreamUpsert _),
@@ -1174,6 +1175,7 @@ object SparkEntry {
     "u11_time_travel" -> graft.operators.VersionedTable.oracleSql,
     "u12_stats_skipping" -> graft.operators.StatsSkipping.oracleSql,
     "u13_bloom_index" -> graft.operators.BloomIndex.oracleSql,
+    "u14_schema_evolution" -> graft.operators.SchemaEvolution.oracleSql,
     "s10_stream_outer_join" -> graft.streaming.EventStreams.s10OracleSql,
     "s11_stream_trending" -> graft.streaming.EventStreams.s11OracleSql,
     "mm3_phash_dedup" -> graft.multimodal.PHashDedup.oracleSql,
