@@ -70,6 +70,7 @@ object SparkEntry {
     "p36_bm25_search"      -> (graft.text.Bm25.query _),
     "p39_bpe_vocab"        -> (graft.text.BpeVocab.query _),
     "p39b_bpe_encode"      -> (graft.text.BpeVocab.encodeQuery _),
+    "p39c_bpe_decode"      -> (graft.text.BpeVocab.decodeQuery _),
     "p40_dsir_resample"    -> (graft.pipeline.ImportanceResample.query _),
     "p41_gopher_rules"     -> (graft.text.GopherRules.query _),
     "p42_text_normalize"   -> (graft.text.TextNormalize.query _),
@@ -1163,6 +1164,7 @@ object SparkEntry {
     "q44_reachability" -> graft.operators.Reachability.oracleSql,
     "p39_bpe_vocab" -> graft.text.BpeVocab.oracleSql,
     "p39b_bpe_encode" -> graft.text.BpeVocab.encodeOracleSql,
+    "p39c_bpe_decode" -> graft.text.BpeVocab.decodeOracleSql,
     "p40_dsir_resample" -> graft.pipeline.ImportanceResample.oracleSql,
     "p41_gopher_rules" -> graft.text.GopherRules.oracleSql,
     "p42_text_normalize" -> graft.text.TextNormalize.oracleSql,

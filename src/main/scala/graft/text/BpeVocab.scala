@@ -138,6 +138,111 @@ object BpeVocab {
       .orderBy($"doc_id")
   }
 
+  /** p39c: BPE DECODE (detokenize) — the inverse production step: token
+    * sequences back to text, certifying the tokenizer's INVERTIBILITY
+    * contract (encode∘decode = identity on whitespace-normalized text).
+    * An LLM pipeline leans on this everywhere: generation output,
+    * debugging token streams, and the guarantee that tokenization loses
+    * nothing.
+    *
+    * Decode works only from the SYMBOLS: concatenate a word's subword
+    * tokens, strip the trailing `</w>` marker, re-render the document
+    * in position order. The record carries the decoded md5 AND the
+    * whitespace-normalized source md5, plus their equality — the hash
+    * gate then certifies the round trip on every document (a decoder
+    * that cheats by echoing the source would still have to match the
+    * oracle's independent fold).
+    *
+    * Scale shape: identical to p39b — per-distinct-word decode on the
+    * vocabulary-sized table, one equi-join back, one doc_id-keyed
+    * re-render. */
+  def decodeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = mergeTable(spark, dir).orderBy($"step")
+      .select($"left", $"right").as[(String, String)].collect()
+    val docWords = Tables.documents(spark, dir)
+      .select($"doc_id", $"text",
+        posexplode(split($"text", "\\s+")).as(Seq("pos", "word")))
+    val enc0 = docWords.select($"word").distinct()
+      .withColumn("sym", concat(filter(split($"word", ""), x => x =!= lit("")),
+                                array(lit("</w>"))))
+    val encoded = merges.foldLeft(enc0) { case (df, (a, b)) =>
+      df.withColumn("sym", applyMerge(col("sym"), a, b))
+    // decode from the symbols alone: concat + strip the trailing marker
+    }.select($"word",
+      regexp_replace(concat_ws("", $"sym"), "</w>$", "").as("decoded_word"))
+    docWords.join(encoded, Seq("word"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+           md5(concat_ws(" ",
+             transform(array_sort(collect_list(struct($"pos", $"decoded_word"))),
+               s => s.getField("decoded_word")))).as("decoded_md5"),
+           md5(concat_ws(" ",
+             transform(array_sort(collect_list(struct($"pos", $"word"))),
+               s => s.getField("word")))).as("source_md5"))
+      .withColumn("roundtrip_ok", $"decoded_md5" === $"source_md5")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB replay for p39c: the merge-learning CTEs + the v-chain
+    * (both needed — decode inverts THIS run's learned merges), then an
+    * independent symbol-concat decode and per-doc re-render. */
+  val decodeOracleSql: String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      s"""p$i AS (
+           SELECT pr[1] AS l, pr[2] AS r, sum(cnt) AS c FROM (
+             SELECT unnest(list_zip(sym[:-2], sym[2:])) AS pr, cnt FROM $prev) t
+           GROUP BY 1, 2),
+         m$i AS (
+           SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         w$i AS (
+           SELECT list_reduce(list_transform(sym, x -> [x]),
+             (acc, x) -> CASE WHEN acc[-1] = m$i.l AND x[1] = m$i.r
+                              THEN acc[:-2] || [acc[-1] || x[1]]
+                              ELSE acc || x END) AS sym, cnt
+           FROM $prev, m$i)"""
+    }
+    def vround(i: Int): String = {
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      s"""v$i AS (
+           SELECT word, list_reduce(list_transform(sym, x -> [x]),
+             (acc, x) -> CASE WHEN acc[-1] = m$i.l AND x[1] = m$i.r
+                              THEN acc[:-2] || [acc[-1] || x[1]]
+                              ELSE acc || x END) AS sym
+           FROM $prev, m$i)"""
+    }
+    val rounds = (1 to Merges).map(round).mkString(",\n       ")
+    val vrounds = (1 to Merges).map(vround).mkString(",\n       ")
+    s"""WITH w0 AS (
+         SELECT regexp_split_to_array(word, '') || ['</w>'] AS sym, cnt FROM (
+           SELECT word, count(*) AS cnt FROM (
+             SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+             FROM documents) t GROUP BY 1)),
+       $rounds,
+       v0 AS (
+         SELECT word, regexp_split_to_array(word, '') || ['</w>'] AS sym FROM (
+           SELECT DISTINCT unnest(regexp_split_to_array(text, '\\s+')) AS word
+           FROM documents) t),
+       $vrounds,
+       dec AS (
+         SELECT word,
+           regexp_replace(array_to_string(sym, ''), '</w>$$', '') AS decoded_word
+         FROM v$Merges),
+       dw0 AS (
+         SELECT doc_id, [{'pos': i, 'word': w[i]} for i in range(1, len(w) + 1)] AS ws
+         FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents)),
+       dw AS (SELECT doc_id, unnest(ws, recursive := true) FROM dw0)
+       SELECT dw.doc_id, count(*) AS n_words,
+         md5(string_agg(dec.decoded_word, ' ' ORDER BY dw.pos)) AS decoded_md5,
+         md5(string_agg(dw.word, ' ' ORDER BY dw.pos)) AS source_md5,
+         (md5(string_agg(dec.decoded_word, ' ' ORDER BY dw.pos))
+           = md5(string_agg(dw.word, ' ' ORDER BY dw.pos))) AS roundtrip_ok
+       FROM dw JOIN dec ON dw.word = dec.word
+       GROUP BY dw.doc_id
+       ORDER BY doc_id"""
+  }
+
   /** DuckDB replay: 8 chained (words_i → pairs_i → argmax m_i →
     * words_{i+1}) CTE rounds with the same left-greedy fold. */
   val oracleSql: String = {

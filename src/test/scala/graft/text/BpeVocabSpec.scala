@@ -50,4 +50,15 @@ class BpeVocabSpec extends SparkSpec {
     assert(got.head == ("a", "b"))
     assert(got.exists { case (l, r) => l.length > 1 || r.length > 1 })
   }
+  test("bpe decode inverts encode on every document (roundtrip_ok everywhere)") {
+    val out = BpeVocab.decodeQuery(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 500)
+    assert(out.forall(_.getAs[Boolean]("roundtrip_ok")),
+      "some document failed the encode-decode round trip")
+    // and the certificate is not vacuous: decoded really derives from
+    // the symbols (decoded_md5 column equals source_md5 column)
+    assert(out.forall(r =>
+      r.getAs[String]("decoded_md5") == r.getAs[String]("source_md5")))
+  }
+
 }
