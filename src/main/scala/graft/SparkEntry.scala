@@ -123,11 +123,14 @@ object SparkEntry {
     "src2_json_roundtrip"  -> (graft.sources.SourceRoundtrips.jsonRoundtrip _),
     "src3_orc_roundtrip"   -> (graft.sources.SourceRoundtrips.orcRoundtrip _),
     "src4_text_roundtrip"  -> (graft.sources.SourceRoundtrips.textRoundtrip _),
+    "src5_xml_roundtrip"   -> (graft.sources.SourceRoundtrips.xmlRoundtrip _),
+    "q49_variant"          -> (Relational.q49Variant _),
     "u6_upsert"            -> (graft.operators.ScaleOps.u6UpsertQuery _),
     "u7_zorder_layout"     -> (graft.operators.ScaleOps.u7ZorderQuery _),
     "u12_stats_skipping"   -> (graft.operators.StatsSkipping.u12StatsSkippingQuery _),
     "u13_bloom_index"      -> (graft.operators.BloomIndex.u13BloomIndexQuery _),
     "u14_schema_evolution" -> (graft.operators.SchemaEvolution.u14SchemaEvolutionQuery _),
+    "u15_observed_metrics" -> (graft.operators.ObservedMetrics.u15ObservedMetricsQuery _),
     "s4_stream_join"       -> (graft.streaming.EventStreams.s4StreamJoin _),
     "s10_stream_outer_join" -> (graft.streaming.EventStreams.s10StreamOuterJoin _),
     "s5_stream_upsert"     -> (graft.streaming.EventStreams.s5StreamUpsert _),
@@ -1178,6 +1181,7 @@ object SparkEntry {
     "u12_stats_skipping" -> graft.operators.StatsSkipping.oracleSql,
     "u13_bloom_index" -> graft.operators.BloomIndex.oracleSql,
     "u14_schema_evolution" -> graft.operators.SchemaEvolution.oracleSql,
+    "u15_observed_metrics" -> graft.operators.ObservedMetrics.oracleSql,
     "s10_stream_outer_join" -> graft.streaming.EventStreams.s10OracleSql,
     "s11_stream_trending" -> graft.streaming.EventStreams.s11OracleSql,
     "mm3_phash_dedup" -> graft.multimodal.PHashDedup.oracleSql,
@@ -1394,6 +1398,18 @@ object SparkEntry {
     // src3: ORC roundtrip (own-schema columnar format + pushed filter);
     // same parquet-side summary oracle as src1/src2
     "src3_orc_roundtrip" -> ordersSummarySql,
+    // src5: XML roundtrip (Spark 4 built-in source); same summary oracle
+    "src5_xml_roundtrip" -> ordersSummarySql,
+    "q49_variant" ->
+      """SELECT event_type, count(*) AS n_events,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+           CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+         FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events) t
+         GROUP BY event_type
+         ORDER BY event_type""",
     "src4_text_roundtrip" ->
       """SELECT lang, count(*) AS n_docs, count(DISTINCT m) AS n_md5,
            min(m) AS min_md5, max(m) AS max_md5,

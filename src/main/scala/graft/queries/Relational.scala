@@ -554,4 +554,25 @@ object Relational {
         $"n_orders_90d", $"spend_90d_cents")
       .orderBy($"o_orderkey")
   }
+
+  /** R46 (q49): VARIANT semi-structured values — Spark 4's binary
+    * semi-structured type (the Snowflake/Iceberg VARIANT shape): JSON
+    * is parsed ONCE into the compact binary encoding, then typed paths
+    * are extracted directly from it — repeated accesses don't re-parse
+    * strings, and the binary form is what a lakehouse column would
+    * store. Contrast q30, which extracts from the raw JSON string per
+    * access. All extracted values aggregate as integers. */
+  def q49Variant(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", parse_json($"props").as("v"))
+      .select($"event_type",
+        variant_get($"v", "$.k", "long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum($"k").as("sum_k"),
+           countDistinct($"k").as("n_distinct_k"),
+           min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
 }

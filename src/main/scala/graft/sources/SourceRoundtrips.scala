@@ -93,4 +93,17 @@ object SourceRoundtrips {
       .orderBy(col("lang"))
     materializeAndClean(spark, out, tmp)
   }
+
+  /** src5: XML (Spark 4's built-in source — the format enterprise feeds
+    * and document corpora still arrive in). Orders are written as one
+    * `<order>` row tag each and read back with an explicit schema; any
+    * loss in element naming, escaping, type coercion, or the rowTag
+    * contract hash-mismatches against the parquet-derived oracle. */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val o = ordersSlice(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString
+    o.write.mode("overwrite").option("rowTag", "order").xml(tmp)
+    val back = spark.read.schema(o.schema).option("rowTag", "order").xml(tmp)
+    materializeAndClean(spark, summarize(back), tmp)
+  }
 }

@@ -263,6 +263,47 @@ object StreamBench {
         "left_outer")
       run("s10_outer_join", joined, "append")
     }
+
+    // S11-shaped trending maintenance: update-mode windowed per-item
+    // counts (10s windows, 100-ary item space) merged last-writer-wins
+    // into a foreachBatch-maintained view. Reported rps = event ingest
+    // rate sustained while maintaining the view; the view row count is
+    // windows×items (bounded), asserted non-exploding.
+    {
+      val trended = events()
+        .select(col("ts"),
+          concat(lit("{\"k\": "), (col("event_id") % 100).cast("string"),
+            lit("}")).as("props"))
+        .withWatermark("ts", "10 seconds")
+        .groupBy(window(col("ts"), "10 seconds"), col("props"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").as("window_start"), col("props").as("item"),
+          col("n_events"))
+      val view = new java.util.concurrent.ConcurrentHashMap[(java.sql.Timestamp, String), Long]()
+      val t0 = System.nanoTime()
+      val rows = new java.util.concurrent.atomic.AtomicLong()
+      val q = trended.writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach { r =>
+            view.put((r.getTimestamp(0), r.getString(1)), r.getLong(2))
+            rows.incrementAndGet()
+          }
+        }
+        .trigger(Trigger.ProcessingTime("2 seconds")).start()
+      Thread.sleep(seconds * 1000L)
+      val progress = q.recentProgress.toSeq
+      q.stop(); q.awaitTermination()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val measured = progress.drop(2).filter(_.numInputRows > 0)
+      val rps = measured.map(_.processedRowsPerSecond).sorted
+      val medianRps = if (rps.isEmpty) 0.0 else rps(rps.size / 2)
+      println(s"""{"stream":"s11_trending_view","rows_per_sec_in":$rowsPerSec,""" +
+        s""""median_processed_rps":${medianRps.round},""" +
+        s""""batches":${measured.size},"view_rows":${view.size},""" +
+        s""""view_updates":${rows.get()},"elapsed_s":${elapsed.round}}""")
+      require(view.size <= (seconds / 10 + 3) * 100,
+        s"s11 view exploded: ${view.size} rows")
+    }
     spark.stop()
   }
 }
