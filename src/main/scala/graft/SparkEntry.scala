@@ -71,6 +71,7 @@ object SparkEntry {
     "p39_bpe_vocab"        -> (graft.text.BpeVocab.query _),
     "p39b_bpe_encode"      -> (graft.text.BpeVocab.encodeQuery _),
     "p39c_bpe_decode"      -> (graft.text.BpeVocab.decodeQuery _),
+    "p50_token_shards"     -> (graft.pipeline.TokenShards.query _),
     "p40_dsir_resample"    -> (graft.pipeline.ImportanceResample.query _),
     "p41_gopher_rules"     -> (graft.text.GopherRules.query _),
     "p42_text_normalize"   -> (graft.text.TextNormalize.query _),
@@ -1168,6 +1169,7 @@ object SparkEntry {
     "p39_bpe_vocab" -> graft.text.BpeVocab.oracleSql,
     "p39b_bpe_encode" -> graft.text.BpeVocab.encodeOracleSql,
     "p39c_bpe_decode" -> graft.text.BpeVocab.decodeOracleSql,
+    "p50_token_shards" -> graft.pipeline.TokenShards.oracleSql,
     "p40_dsir_resample" -> graft.pipeline.ImportanceResample.oracleSql,
     "p41_gopher_rules" -> graft.text.GopherRules.oracleSql,
     "p42_text_normalize" -> graft.text.TextNormalize.oracleSql,

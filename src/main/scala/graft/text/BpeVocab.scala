@@ -33,7 +33,7 @@ object BpeVocab {
   val Merges = 8
 
   /** Left-greedy merge of adjacent pair (a,b) in a symbol array. */
-  private def applyMerge(sym: Column, a: String, b: String): Column =
+  private[graft] def applyMerge(sym: Column, a: String, b: String): Column =
     aggregate(
       slice(sym, lit(2), size(sym) - 1),
       slice(sym, 1, 1),
