@@ -72,6 +72,7 @@ object SparkEntry {
     "p39b_bpe_encode"      -> (graft.text.BpeVocab.encodeQuery _),
     "p39c_bpe_decode"      -> (graft.text.BpeVocab.decodeQuery _),
     "p50_token_shards"     -> (graft.pipeline.TokenShards.query _),
+    "p51_ingest_funnel"    -> (graft.pipeline.IngestFunnel.query _),
     "p40_dsir_resample"    -> (graft.pipeline.ImportanceResample.query _),
     "p41_gopher_rules"     -> (graft.text.GopherRules.query _),
     "p42_text_normalize"   -> (graft.text.TextNormalize.query _),
@@ -1170,6 +1171,7 @@ object SparkEntry {
     "p39b_bpe_encode" -> graft.text.BpeVocab.encodeOracleSql,
     "p39c_bpe_decode" -> graft.text.BpeVocab.decodeOracleSql,
     "p50_token_shards" -> graft.pipeline.TokenShards.oracleSql,
+    "p51_ingest_funnel" -> graft.pipeline.IngestFunnel.oracleSql,
     "p40_dsir_resample" -> graft.pipeline.ImportanceResample.oracleSql,
     "p41_gopher_rules" -> graft.text.GopherRules.oracleSql,
     "p42_text_normalize" -> graft.text.TextNormalize.oracleSql,

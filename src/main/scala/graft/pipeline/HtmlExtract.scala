@@ -64,11 +64,22 @@ object HtmlExtract {
   private def collapse(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
 
-  /** The extraction pipeline over any (doc_id, html) frame — exposed so
-    * specs can grade handcrafted pages against hand-computed verdicts. */
-  def extractFrom(pages: DataFrame): DataFrame = {
+  /** (doc_id, kept) — the extracted main text alone, for pipeline
+    * composition (p51 chains it into normalization and dedup). */
+  def extractedText(pages: DataFrame): DataFrame = {
     import pages.sparkSession.implicits._
-    val blocks = pages
+    blocksOf(pages).groupBy($"doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(when($"verdict" === "content",
+          struct($"pos", $"txt")))),
+        s => s.getField("txt"))).as("kept"))
+  }
+
+  /** The segmented, verdict-annotated block stream shared by
+    * [[extractFrom]] and [[extractedText]]. */
+  private def blocksOf(pages: DataFrame): DataFrame = {
+    import pages.sparkSession.implicits._
+    pages
       .select($"doc_id", posexplode(split($"html", BlockClose)).as(Seq("pos", "seg")))
       .withColumn("tag", regexp_extract($"seg", LastOpen, 1))
       .filter($"tag" =!= "")
@@ -83,7 +94,13 @@ object HtmlExtract {
           .when($"ld_micro" > LinkDenseMicro, "link_dense")
           .when(length($"txt") < MinChars, "too_short")
           .otherwise("content"))
-    blocks.groupBy($"doc_id")
+  }
+
+  /** The extraction pipeline over any (doc_id, html) frame — exposed so
+    * specs can grade handcrafted pages against hand-computed verdicts. */
+  def extractFrom(pages: DataFrame): DataFrame = {
+    import pages.sparkSession.implicits._
+    blocksOf(pages).groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_blocks"),
         sum(when($"verdict" === "nav_footer", 1L).otherwise(0L)).as("n_nav_footer"),
