@@ -133,6 +133,7 @@ object SparkEntry {
     "u13_bloom_index"      -> (graft.operators.BloomIndex.u13BloomIndexQuery _),
     "u14_schema_evolution" -> (graft.operators.SchemaEvolution.u14SchemaEvolutionQuery _),
     "u15_observed_metrics" -> (graft.operators.ObservedMetrics.u15ObservedMetricsQuery _),
+    "u16_write_audit_publish" -> (graft.operators.WriteAuditPublish.u16WapQuery _),
     "s4_stream_join"       -> (graft.streaming.EventStreams.s4StreamJoin _),
     "s10_stream_outer_join" -> (graft.streaming.EventStreams.s10StreamOuterJoin _),
     "s5_stream_upsert"     -> (graft.streaming.EventStreams.s5StreamUpsert _),
@@ -1186,6 +1187,7 @@ object SparkEntry {
     "u13_bloom_index" -> graft.operators.BloomIndex.oracleSql,
     "u14_schema_evolution" -> graft.operators.SchemaEvolution.oracleSql,
     "u15_observed_metrics" -> graft.operators.ObservedMetrics.oracleSql,
+    "u16_write_audit_publish" -> graft.operators.WriteAuditPublish.oracleSql,
     "s10_stream_outer_join" -> graft.streaming.EventStreams.s10OracleSql,
     "s11_stream_trending" -> graft.streaming.EventStreams.s11OracleSql,
     "mm3_phash_dedup" -> graft.multimodal.PHashDedup.oracleSql,

@@ -140,10 +140,22 @@ object CrossVal {
               .setRegParam(reg).setMaxIter(maxIter).setTol(1e-4)
               .setFitIntercept(true)
               .fit(train)
+            // score via the codegen dot product over the ARRAY column,
+            // not m.transform: the fitted model drags its
+            // trainingSummary → SparkSession into the transform task
+            // closure, which serializes only until anything touches the
+            // session's lazily-created (non-serializable)
+            // ObservationManager — u15's observe() in the same JVM made
+            // that a real crash. Margin semantics are identical
+            // (sequential accumulation, prediction = margin > 0), so
+            // the persisted-artifact replay is unaffected.
+            val margin = graft.functions.GraftFunctions.dot_product(
+              col("__phi"), typedlit(m.coefficients.toArray)) + m.intercept
+            val predCol = when(margin > lit(0.0), 1.0).otherwise(0.0)
             def acc(df: DataFrame): (Long, Double) = {
-              val a = m.transform(df).agg(
+              val a = df.agg(
                 count(lit(1)).as("n"),
-                sum(when(col("prediction") === col("__label01"), 1L).otherwise(0L)).as("ok"))
+                sum(when(predCol === col("__label01"), 1L).otherwise(0L)).as("ok"))
                 .head()
               (a.getLong(0), a.getLong(1).toDouble / a.getLong(0))
             }
