@@ -127,6 +127,7 @@ object SparkEntry {
     "src4_text_roundtrip"  -> (graft.sources.SourceRoundtrips.textRoundtrip _),
     "src5_xml_roundtrip"   -> (graft.sources.SourceRoundtrips.xmlRoundtrip _),
     "q49_variant"          -> (Relational.q49Variant _),
+    "q50_rolling_active"   -> (Relational.q50RollingActive _),
     "u6_upsert"            -> (graft.operators.ScaleOps.u6UpsertQuery _),
     "u7_zorder_layout"     -> (graft.operators.ScaleOps.u7ZorderQuery _),
     "u12_stats_skipping"   -> (graft.operators.StatsSkipping.u12StatsSkippingQuery _),
@@ -1406,6 +1407,20 @@ object SparkEntry {
     "src3_orc_roundtrip" -> ordersSummarySql,
     // src5: XML roundtrip (Spark 4 built-in source); same summary oracle
     "src5_xml_roundtrip" -> ordersSummarySql,
+    "q50_rolling_active" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         days AS (SELECT DISTINCT d FROM ud),
+         wau AS (
+           SELECT days.d, count(DISTINCT ud.user_id) AS wau7
+           FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+           GROUP BY days.d),
+         dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM ud GROUP BY d)
+         SELECT CAST(dau.d AS VARCHAR) AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau7 AS BIGINT) AS wau7
+         FROM dau JOIN wau ON dau.d = wau.d
+         ORDER BY day""",
     "q49_variant" ->
       """SELECT event_type, count(*) AS n_events,
            CAST(sum(k) AS BIGINT) AS sum_k,

@@ -555,6 +555,38 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** R47 (q50): rolling DISTINCT users (DAU / trailing-7-day WAU per
+    * active day) — the classic hard rolling metric: COUNT(DISTINCT)
+    * does not decompose over sliding windows, so the naive plan is a
+    * per-day self-join over the whole activity table. The scalable
+    * shape: collapse to distinct (user, day) once, then EXPLODE each
+    * activity day into the ≤7 window-ending days it contributes to —
+    * linear in activity, one count-distinct aggregation keyed on the
+    * window day (Spark plans exact distinct as a two-level partial
+    * aggregate). Window days are restricted to days that actually have
+    * events (leading partial windows are reported as-is — the standard
+    * dashboard convention). */
+  def q50RollingActive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d"))
+      .distinct()
+      .persist()
+    val dau = ud.groupBy($"d".as("day"))
+      .agg(count_distinct($"user_id").as("dau"))
+    val wau = ud
+      .select($"user_id", explode(sequence($"d", date_add($"d", 6))).as("day"))
+      .join(ud.select($"d".as("day")).distinct(), Seq("day"), "left_semi")
+      .groupBy($"day")
+      .agg(count_distinct($"user_id").as("wau7"))
+    val out = dau.join(wau, Seq("day"))
+      .select($"day".cast("string").as("day"), $"dau", $"wau7")
+      .orderBy($"day")
+      .localCheckpoint()
+    ud.unpersist(false)
+    out
+  }
+
   /** R46 (q49): VARIANT semi-structured values — Spark 4's binary
     * semi-structured type (the Snowflake/Iceberg VARIANT shape): JSON
     * is parsed ONCE into the compact binary encoding, then typed paths
