@@ -73,6 +73,7 @@ object SparkEntry {
     "p39c_bpe_decode"      -> (graft.text.BpeVocab.decodeQuery _),
     "p50_token_shards"     -> (graft.pipeline.TokenShards.query _),
     "p51_ingest_funnel"    -> (graft.pipeline.IngestFunnel.query _),
+    "p52_mixture_plan"     -> (graft.pipeline.MixturePlanner.query _),
     "p40_dsir_resample"    -> (graft.pipeline.ImportanceResample.query _),
     "p41_gopher_rules"     -> (graft.text.GopherRules.query _),
     "p42_text_normalize"   -> (graft.text.TextNormalize.query _),
@@ -1174,6 +1175,7 @@ object SparkEntry {
     "p39c_bpe_decode" -> graft.text.BpeVocab.decodeOracleSql,
     "p50_token_shards" -> graft.pipeline.TokenShards.oracleSql,
     "p51_ingest_funnel" -> graft.pipeline.IngestFunnel.oracleSql,
+    "p52_mixture_plan" -> graft.pipeline.MixturePlanner.oracleSql,
     "p40_dsir_resample" -> graft.pipeline.ImportanceResample.oracleSql,
     "p41_gopher_rules" -> graft.text.GopherRules.oracleSql,
     "p42_text_normalize" -> graft.text.TextNormalize.oracleSql,
