@@ -74,6 +74,7 @@ object SparkEntry {
     "p50_token_shards"     -> (graft.pipeline.TokenShards.query _),
     "p51_ingest_funnel"    -> (graft.pipeline.IngestFunnel.query _),
     "p52_mixture_plan"     -> (graft.pipeline.MixturePlanner.query _),
+    "p53_decon_split"      -> ((s, d) => graft.pipeline.TrainingOps.decontaminatedSplitQuery(s, d)),
     "p40_dsir_resample"    -> (graft.pipeline.ImportanceResample.query _),
     "p41_gopher_rules"     -> (graft.text.GopherRules.query _),
     "p42_text_normalize"   -> (graft.text.TextNormalize.query _),
@@ -1176,6 +1177,36 @@ object SparkEntry {
     "p50_token_shards" -> graft.pipeline.TokenShards.oracleSql,
     "p51_ingest_funnel" -> graft.pipeline.IngestFunnel.oracleSql,
     "p52_mixture_plan" -> graft.pipeline.MixturePlanner.oracleSql,
+    "p53_decon_split" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+         grams AS (
+           SELECT doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+               for i in range(1, len(w) - 6)])) AS gram
+           FROM toks WHERE len(w) >= 8),
+         bench AS (SELECT doc_id AS bench_doc, gram FROM grams WHERE doc_id % 37 = 0),
+         train AS (SELECT doc_id AS train_doc, gram FROM grams WHERE doc_id % 37 != 0),
+         contaminated AS (
+           SELECT DISTINCT train_doc AS doc_id FROM (
+             SELECT train_doc, bench_doc, count(*) AS n_shared
+             FROM train JOIN bench USING (gram) GROUP BY 1, 2) p
+           WHERE n_shared >= 3),
+         assigned AS (
+           SELECT d.source, d.n_chars,
+             CASE WHEN c.doc_id IS NOT NULL THEN 'quarantine'
+                  WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (
+             SELECT doc_id, source, n_chars,
+               CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+             FROM documents WHERE doc_id % 37 != 0) d
+           LEFT JOIN contaminated c USING (doc_id))
+         SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+         FROM assigned
+         GROUP BY source, split
+         ORDER BY source, split""",
     "p40_dsir_resample" -> graft.pipeline.ImportanceResample.oracleSql,
     "p41_gopher_rules" -> graft.text.GopherRules.oracleSql,
     "p42_text_normalize" -> graft.text.TextNormalize.oracleSql,

@@ -98,6 +98,35 @@ object TrainingOps {
     out
   }
 
+  /** p53: DECONTAMINATED SPLIT — the composition production pipelines
+    * actually run: p18's benchmark-overlap detection feeding p16's
+    * content-addressed split, with every contaminated doc QUARANTINED
+    * out of train/val/test entirely (dropping it from train but
+    * leaving it in val/test would leak the benchmark into evaluation —
+    * quarantine is the conservative contract). Corpus docs (non-bench)
+    * get the p16 hash split unless they share ≥ minShared distinct
+    * word-8-grams with any benchmark doc; the report is the per
+    * (source, split) funnel the recipe is judged by.
+    *
+    * Scale shape: p18's gram join emits the contaminated-doc set
+    * (small — it is an anti-quality signal), which joins back LEFT
+    * onto the corpus; the split itself stays row-local. */
+  def decontaminatedSplitQuery(spark: SparkSession, dir: String,
+                               n: Int = 8, minShared: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val contaminated = contaminationQuery(spark, dir, n, minShared)
+      .select(col("train_doc").as("doc_id")).distinct()
+      .withColumn("quarantine", lit(true))
+    assignSplit(docs.filter(col("doc_id") % 37 =!= 0), "doc_id")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("split",
+        when(col("quarantine"), "quarantine").otherwise(col("split")))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("n_chars_total"))
+      .orderBy(col("source"), col("split"))
+  }
+
   /** Deterministic mixture resampling: down-sample each source to a
     * target keep-rate (per mille) with the same content-addressed hash
     * as [[assignSplit]] — the way a training mix is rebalanced toward
