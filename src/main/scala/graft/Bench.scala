@@ -108,13 +108,15 @@ object Bench {
       s"""{"metric":"total","value":${fmt(2, total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfName"}"""
     }
     // If even dp=0 overflows the tail window, emit the SLOWEST queries
-    // that fit (the informative ones) plus an omission count, rather
-    // than an empty map.
+    // that fit (the informative ones) and declare BENCH_SUMMARY.json —
+    // written above with ALL per-query rows at full precision — as the
+    // canonical per-query record (160 names × ~20 chars can never fit a
+    // 1900-char tail; a pointer beats silent truncation).
     def truncatedLine(): String = {
       val sfName = new java.io.File(sfDir).getName
       val suffix = s"""},"sf":"$sfName"}"""
       val prefix =
-        s"""{"metric":"total","value":${fmt(2, total)},"unit":"sec","n_queries":${results.length},"queries":{"""
+        s"""{"metric":"total","value":${fmt(2, total)},"unit":"sec","n_queries":${results.length},"queries_truncated":true,"canonical":"BENCH_SUMMARY.json","queries":{"""
       val budget = 1900 - prefix.length - suffix.length
       val entries = results.sortBy(-_._2)
         .map { case (k, v) => "\"" + k + "\":" + fmt(1, v) }

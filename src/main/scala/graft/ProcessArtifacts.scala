@@ -46,7 +46,11 @@ object ProcessArtifacts {
     val path = root.resolve(key).toString
     done.synchronized {
       if (!done.contains(key)) {
+        // build cost lands in the FIRST consumer's timing window; log it
+        // so bench regressions can be attributed (artifact vs query)
+        val t0 = System.nanoTime()
         build.write.mode("overwrite").parquet(path)
+        System.err.println(f"[artifact] $kind built in ${(System.nanoTime() - t0) / 1e9}%.2fs")
         done.add(key)
       }
     }

@@ -35,7 +35,13 @@ object Verify {
     try Tables.contractCheck(spark, sfDir)
     catch { case e: Throwable => System.err.println(e.getMessage) }
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev aid (driver leaves unset): SPARK_GRAFT_VERIFY_ONLY="q43_pagerank"
+    // dumps just those queries for a quick check.py spot-check
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

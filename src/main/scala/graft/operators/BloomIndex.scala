@@ -61,12 +61,24 @@ object BloomIndex {
       .groupBy(col("file"))
       .agg(sort_array(collect_set(col("pos"))).as("bits"))
 
-  /** Files whose bloom admits `key` — all k probe bits must be set. */
+  /** A file's bloom admits `key` iff all k probe bits are set. */
+  private def admits(key: Long): Column =
+    (0 until KHashes).map(i =>
+      array_contains(col("bits"),
+        pmod(xxhash64(lit(i), lit(key)), lit(MBits.toLong)).cast("int")))
+      .reduce(_ && _)
+
+  /** Files whose bloom admits `key`. */
   def filesForKey(manifest: DataFrame, key: Long): Seq[String] =
-    manifest.filter((0 until KHashes).map(i =>
-        array_contains(col("bits"),
-          pmod(xxhash64(lit(i), lit(key)), lit(MBits.toLong)).cast("int")))
-        .reduce(_ && _))
+    filesForKeys(manifest, Seq(key))
+
+  /** Files whose bloom admits ANY of `keys` — ONE manifest pass / ONE
+    * collect job for the whole batch (the probe-bit arrays are computed
+    * per key up front and OR-ed into a single filter), not O(keys)
+    * driver round-trips. */
+  def filesForKeys(manifest: DataFrame, keys: Seq[Long]): Seq[String] =
+    if (keys.isEmpty) Seq.empty
+    else manifest.filter(keys.map(admits).reduce(_ || _))
       .select(col("file")).collect().map(_.getString(0)).toSeq
 
   /** Bloom-pruned point lookup for `keyCol IN keys`: union the probed
@@ -74,7 +86,7 @@ object BloomIndex {
     * bloom is a maybe, not a proof). */
   def lookupScan(spark: SparkSession, path: String, manifest: DataFrame,
                  keyCol: String, keys: Seq[Long]): DataFrame = {
-    val files = keys.flatMap(filesForKey(manifest, _)).distinct
+    val files = filesForKeys(manifest, keys)
     val base =
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -39,37 +39,73 @@ object PageRank {
     when(node % 2 === 0, concat(lit("c:"), (node / 2).cast("long").cast("string")))
       .otherwise(concat(lit("s:"), ((node - 1) / 2).cast("long").cast("string")))
 
+  /** Above this vertex count the per-iteration message table stops being
+    * broadcast-safe (~16 B/row → ~800 MB at 50M; we cut well below) and
+    * the loop switches to the co-partitioned shuffle path. */
+  private val BroadcastMaxNodes = 10L * 1000 * 1000
+
   /** Fixed-`iters` PageRank on a directed edge list (src, dst) — run on
-    * the symmetrized bipartite graph here. Returns (node, pr). */
+    * the symmetrized bipartite graph here. Returns (node, pr).
+    *
+    * Two physical paths, picked by vertex count:
+    *  - **broadcast (default up to 10M nodes)**: the per-iteration
+    *    message table is VERTEX-sized (node → quantized contribution),
+    *    orders of magnitude smaller than the edge list — broadcast it
+    *    and stream the edges straight out of parquet each iteration.
+    *    Per iteration that is one columnar edge scan + one map-side
+    *    broadcast join + one vertex-keyed aggregation, zero edge-sized
+    *    shuffles and zero cache residency. (The r7 repartition+persist+
+    *    eager-localCheckpoint shape paid 29–45s at sf0.1 in cold JVMs —
+    *    cache build, per-iteration edge sorts and three checkpoint
+    *    barriers — vs 3–5s for this shape, A/B'd in tools/PrProbe.)
+    *  - **shuffle (beyond 10M nodes)**: a billion-node graph's message
+    *    table no longer broadcasts; co-partition the edges by src once,
+    *    persist, and let every iteration shuffle only the vertex-sized
+    *    message table against that layout.
+    */
   def ranks(edges: DataFrame, iters: Int = Iters): DataFrame = {
-    // co-partition the edges by src ONCE; every iteration's join then
-    // shuffles only the vertex-sized message table against the cache,
-    // and the groupBy(src) degree build rides the same partitioning
-    val e = edges.repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src").as("node"))
+    val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
+      .persist()
     val n = deg.count()
-    var pr = deg.select(col("node"), (lit(1.0) / lit(n)).as("pr"))
-    try {
+    if (n <= BroadcastMaxNodes) {
+      var pr = deg.select(col("node"), (lit(1.0) / lit(n)).as("pr"))
       for (_ <- 1 to iters) {
         // the quantized contribution is a per-NODE value (identical for
         // all out-edges of a node): build it on the vertex table, then
-        // fan it out over the co-partitioned edges
+        // fan it out over the edges via broadcast
         val msg = pr.join(deg, Seq("node"))
           .select(col("node").as("src"),
             floor((col("pr") / col("outdeg")) * lit(1e12)).cast("long").as("c"))
-        pr = e.join(msg, Seq("src"))
+        pr = edges.join(broadcast(msg), Seq("src"))
           .groupBy(col("dst").as("node"))
           .agg(sum("c").as("s"))
           .select(col("node"),
             (lit(0.15) / lit(n) +
               lit(Damping) * (col("s").cast("double") / lit(1e12))).as("pr"))
       }
-      // materialize the (vertex-sized) result before releasing the edges
-      pr.localCheckpoint(true)
-    } finally e.unpersist(false)
+      // materialize the (vertex-sized) result so deg can be released;
+      // also keeps the caller's plan flat (iters-deep nesting stays here)
+      try pr.localCheckpoint(true) finally deg.unpersist(false)
+    } else {
+      val e = edges.repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var pr = deg.select(col("node"), (lit(1.0) / lit(n)).as("pr"))
+      try {
+        for (_ <- 1 to iters) {
+          val msg = pr.join(deg, Seq("node"))
+            .select(col("node").as("src"),
+              floor((col("pr") / col("outdeg")) * lit(1e12)).cast("long").as("c"))
+          pr = e.join(msg, Seq("src"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum("c").as("s"))
+            .select(col("node"),
+              (lit(0.15) / lit(n) +
+                lit(Damping) * (col("s").cast("double") / lit(1e12))).as("pr"))
+        }
+        pr.localCheckpoint(true)
+      } finally { e.unpersist(false); deg.unpersist(false) }
+    }
   }
 
   /** Symmetrized customer–supplier interaction edge list (who-trades-

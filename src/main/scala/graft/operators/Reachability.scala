@@ -25,31 +25,41 @@ object Reachability {
   private val Hops = 3
 
   /** BFS layers: (node, hop) with hop = first hop at which `node` is
-    * reached from `seeds` (hop 0 = the seeds themselves). */
+    * reached from `seeds` (hop 0 = the seeds themselves).
+    *
+    * The frontier and the reached set are VERTEX-sized while the edge
+    * list is the big table, so each hop is one broadcast-hash join of
+    * the frontier against a straight columnar edge scan plus one
+    * broadcast anti-join against the reached set — zero edge-sized
+    * shuffles or cache residency (the r7 repartition+persist+
+    * per-hop-checkpoint shape paid 30–70s at sf0.1 in cold JVMs; same
+    * finding as PageRank.ranks, A/B'd in tools/PrProbe). The hints are
+    * gated on the MEASURED reached-set count (free — the deltas are
+    * checkpointed), so past ~10M reached vertices the hint disappears
+    * and Spark shuffles on the vertex key instead of force-broadcasting
+    * something executor-memory-sized. */
   def bfsLayers(edges: DataFrame, seeds: DataFrame, hops: Int = Hops): DataFrame = {
-    // materialize the edge list ONCE, co-partitioned by src — each hop's
-    // frontier join then shuffles only the (vertex-sized) frontier
-    // against the cache instead of re-sorting the full edge list per hop
-    // (at the 100× decade: 117M edges × 3 hops of SMJ sorting was the
-    // whole q44 cost)
-    val e = edges.repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var reached  = seeds.select(col("node")).distinct()
-        .withColumn("hop", lit(0)).localCheckpoint(true)
-      var frontier = reached.select("node")
-      for (h <- 1 to hops if !frontier.isEmpty) {
-        val next = e
-          .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
-          .select(col("dst").as("node")).distinct()
-          .join(reached.select("node"), Seq("node"), "left_anti")
-          .withColumn("hop", lit(h))
-          .localCheckpoint(true) // delta is vertex-sized; keeps lineage flat
-        frontier = next.select("node")
-        reached = reached.union(next)
-      }
-      reached
-    } finally e.unpersist(false)
+    val bcastMax = 10L * 1000 * 1000
+    def hinted(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= bcastMax) broadcast(df) else df
+    var reached  = seeds.select(col("node")).distinct()
+      .withColumn("hop", lit(0)).localCheckpoint(true)
+    var nReached  = reached.count()
+    var frontier  = reached.select("node")
+    var nFrontier = nReached
+    for (h <- 1 to hops if nFrontier > 0) {
+      val next = edges
+        .join(hinted(frontier.withColumnRenamed("node", "src"), nFrontier), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(hinted(reached.select("node"), nReached), Seq("node"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint(true) // delta is vertex-sized; keeps lineage flat
+      nFrontier = next.count()
+      frontier = next.select("node")
+      reached = reached.union(next)
+      nReached += nFrontier
+    }
+    reached
   }
 
   /** q44: customers with custkey ≡ 0 (mod 25) as seeds, 3 hops over the

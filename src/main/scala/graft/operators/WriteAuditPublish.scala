@@ -51,9 +51,27 @@ object WriteAuditPublish {
       s"WAP audit failed: staged=$stg source=$src — staging left at $staged")
     require(stg.nNullKeys == 0L, s"WAP audit failed: null keys in $staged")
     require(stg.nKeys == stg.nRows, s"WAP audit failed: duplicate keys in $staged")
-    // atomic publish: one rename — readers see v$version whole or not at all
-    val ok = new java.io.File(staged).renameTo(new java.io.File(serving))
-    require(ok, s"publish rename failed: $staged -> $serving")
+    // atomic publish: one rename — readers see v$version whole or not at
+    // all. Files.move(ATOMIC_MOVE), not File.renameTo: renameTo returns a
+    // bare false, indistinguishable across "serving already exists from a
+    // prior partial run", "cross-filesystem root", and permission errors.
+    // A pre-existing serving dir is rejected explicitly — publishing the
+    // same version twice is a pipeline bug, never something to overwrite.
+    val servingPath = java.nio.file.Paths.get(serving)
+    require(!java.nio.file.Files.exists(servingPath),
+      s"publish refused: serving path already exists: $serving " +
+        "(a prior partial run? clean it up or bump the version)")
+    try java.nio.file.Files.move(java.nio.file.Paths.get(staged), servingPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.AtomicMoveNotSupportedException =>
+        throw new IllegalStateException(
+          s"publish failed: $root spans filesystems, atomic rename impossible " +
+            s"($staged -> $serving)", e)
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"publish rename failed: $staged -> $serving", e)
+    }
     serving
   }
 

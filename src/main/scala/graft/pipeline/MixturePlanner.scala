@@ -41,9 +41,19 @@ object MixturePlanner {
                       sum($"weight").as("w_total"))
     val out = inv.crossJoin(broadcast(tot))
       .withColumn("budget", expr("total_tokens div 2"))
+      // overflow guard folded INTO rate_micro (a separate unselected
+      // check column would be pruned by Catalyst): 10⁶·budget·weight is
+      // long arithmetic; past budget·weight > Long.Max/10⁶ (~9.2e12
+      // token-weight units, a multi-trillion-token budget) Spark would
+      // wrap silently while DuckDB promotes to HUGEINT — a cross-engine
+      // mismatch instead of an error. Fail loudly at the boundary; a
+      // planner for budgets beyond it should move to DECIMAL(38).
       .withColumn("rate_micro",
-        least(lit(1000000L),
-          expr("(1000000 * budget * weight) div (w_total * n_tokens)")))
+        when($"budget" > lit(Long.MaxValue / 1000000L) / $"weight",
+          raise_error(concat(lit("p52 mixture planner: budget*weight overflows "),
+            lit("integer-micro arithmetic for source "), $"source")).cast("long"))
+        .otherwise(least(lit(1000000L),
+          expr("(1000000 * budget * weight) div (w_total * n_tokens)"))))
       .withColumn("expected_tokens", expr("(n_tokens * rate_micro) div 1000000"))
       .select($"source", $"n_docs", $"n_tokens", $"weight",
         $"rate_micro", $"expected_tokens")

@@ -97,10 +97,15 @@ object EventStreams {
     // stateful operators instantiate one state store per shuffle
     // partition PER BATCH; on the bounded test streams the per-store
     // fixed cost dominates, so run the engine with a narrower state
-    // layout (the keyed shuffle still parallelizes — on a real cluster
-    // this knob is sized to executor count, not left at the SQL default)
+    // layout. Sized from the cluster's core count, not hard-coded: on a
+    // real cluster defaultParallelism = total executor cores, and the
+    // floor keeps tiny local runs from serializing the keyed shuffle.
+    // (State-layout width is a first-run choice — the store count is
+    // fixed by the checkpoint afterwards — so it must come from cluster
+    // shape, never the 200-partition SQL default.)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val stateParts = math.max(4, spark.sparkContext.defaultParallelism / 4)
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
     try {
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
@@ -556,7 +561,11 @@ object EventStreams {
     import org.apache.spark.sql.expressions.Window
     val counts = trendingCounts(eventStream(spark, dir))
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_trend").toString
-    var stateVer = 0
+    // AtomicInteger, not a var: foreachBatch runs on the stream-execution
+    // thread while the final read happens on the caller thread after
+    // awaitTermination — the atomic supplies the happens-before edge a
+    // plain var lacks (a stale read would serve an older state file)
+    val stateVer = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("window_start",
@@ -569,16 +578,17 @@ object EventStreams {
     val q = counts.writeStream.outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // last-writer-wins: this batch's rows replace same-key view rows
-        val merged = spark.read.parquet(s"$stateRoot/state_$stateVer")
+        val ver = stateVer.get()
+        val merged = spark.read.parquet(s"$stateRoot/state_$ver")
           .join(batch, Seq("window_start", "item"), "left_anti")
           .unionByName(batch)
         // next version, never in place (the s5 rule)
-        merged.write.mode("overwrite").parquet(s"$stateRoot/state_${stateVer + 1}")
-        stateVer += 1
+        merged.write.mode("overwrite").parquet(s"$stateRoot/state_${ver + 1}")
+        stateVer.set(ver + 1)
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val fin = spark.read.parquet(s"$stateRoot/state_$stateVer")
+    val fin = spark.read.parquet(s"$stateRoot/state_${stateVer.get()}")
     val w = Window.partitionBy(col("window_start"))
       .orderBy(col("n_events").desc, col("item"))
     val out = fin.withColumn("rank", row_number().over(w).cast("long"))

@@ -51,22 +51,25 @@ class TrendingSpec extends SparkSpec {
     val counts = EventStreams.trendingCounts(stream)
     // drive the maintained-view merge exactly as s11 does
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_trend_state").toString
-    var ver = 0
+    // AtomicInteger for the same reason as s11 itself: foreachBatch runs
+    // on the stream-execution thread, the final read on this thread
+    val ver = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         counts.schema)
       .write.mode("overwrite").parquet(s"$stateRoot/state_0")
     val q = counts.writeStream.outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        spark.read.parquet(s"$stateRoot/state_$ver")
+        val v = ver.get()
+        spark.read.parquet(s"$stateRoot/state_$v")
           .join(batch, Seq("window_start", "item"), "left_anti")
           .unionByName(batch)
-          .write.mode("overwrite").parquet(s"$stateRoot/state_${ver + 1}")
-        ver += 1
+          .write.mode("overwrite").parquet(s"$stateRoot/state_${v + 1}")
+        ver.set(v + 1)
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    assert(ver >= 3, s"expected >=3 micro-batches, got $ver")
-    val view = spark.read.parquet(s"$stateRoot/state_$ver")
+    assert(ver.get() >= 3, s"expected >=3 micro-batches, got ${ver.get()}")
+    val view = spark.read.parquet(s"$stateRoot/state_${ver.get()}")
       .collect().map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
     val batchRef = events
       .groupBy(date_trunc("hour", $"ts").as("window_start"),
