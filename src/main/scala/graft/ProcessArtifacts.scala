@@ -32,6 +32,19 @@ object ProcessArtifacts {
 
   private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  // per-kind build seconds, exposed so Bench can emit them INTO the
+  // summary JSON: the artifact cost lands in the first consumer's
+  // timing window, and a stderr-only log made the r8 204s p14 outlier
+  // unattributable from the committed artifact alone
+  private val buildSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  /** Seconds spent building each artifact kind so far this process. */
+  def buildSeconds: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    buildSecs.asScala.toMap
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -50,7 +63,9 @@ object ProcessArtifacts {
         // so bench regressions can be attributed (artifact vs query)
         val t0 = System.nanoTime()
         build.write.mode("overwrite").parquet(path)
-        System.err.println(f"[artifact] $kind built in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        val secs = (System.nanoTime() - t0) / 1e9
+        buildSecs.merge(kind, secs, (a, b) => a + b)
+        System.err.println(f"[artifact] $kind built in $secs%.2fs")
         done.add(key)
       }
     }

@@ -39,6 +39,18 @@ object Verify {
     // dumps just those queries for a quick check.py spot-check
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd filter name would otherwise yield a partial verify output
+    // indistinguishable from a clean run — log the active filter and die
+    // on any requested name that matches no registered query
+    only.foreach { names =>
+      System.err.println(s"[verify] SPARK_GRAFT_VERIFY_ONLY active: ${names.toSeq.sorted.mkString(",")}")
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[verify] unknown query name(s) in SPARK_GRAFT_VERIFY_ONLY: ${unknown.toSeq.sorted.mkString(",")}")
+        spark.stop(); sys.exit(2)
+      }
+    }
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -39,16 +39,15 @@ object PageRank {
     when(node % 2 === 0, concat(lit("c:"), (node / 2).cast("long").cast("string")))
       .otherwise(concat(lit("s:"), ((node - 1) / 2).cast("long").cast("string")))
 
-  /** Above this vertex count the per-iteration message table stops being
-    * broadcast-safe (~16 B/row → ~800 MB at 50M; we cut well below) and
-    * the loop switches to the co-partitioned shuffle path. */
-  private val BroadcastMaxNodes = 10L * 1000 * 1000
-
   /** Fixed-`iters` PageRank on a directed edge list (src, dst) — run on
     * the symmetrized bipartite graph here. Returns (node, pr).
     *
+    * `maxBroadcastNodes` is the vertex-count cutoff between the two
+    * physical paths below — see [[GraphBroadcast.MaxBroadcastNodes]]
+    * for the heap-derived default and the ~16 B/row sizing.
+    *
     * Two physical paths, picked by vertex count:
-    *  - **broadcast (default up to 10M nodes)**: the per-iteration
+    *  - **broadcast (default up to ~10M nodes)**: the per-iteration
     *    message table is VERTEX-sized (node → quantized contribution),
     *    orders of magnitude smaller than the edge list — broadcast it
     *    and stream the edges straight out of parquet each iteration.
@@ -63,12 +62,13 @@ object PageRank {
     *    persist, and let every iteration shuffle only the vertex-sized
     *    message table against that layout.
     */
-  def ranks(edges: DataFrame, iters: Int = Iters): DataFrame = {
+  def ranks(edges: DataFrame, iters: Int = Iters,
+            maxBroadcastNodes: Long = GraphBroadcast.MaxBroadcastNodes): DataFrame = {
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
       .persist()
     val n = deg.count()
-    if (n <= BroadcastMaxNodes) {
+    if (n <= maxBroadcastNodes) {
       var pr = deg.select(col("node"), (lit(1.0) / lit(n)).as("pr"))
       for (_ <- 1 to iters) {
         // the quantized contribution is a per-NODE value (identical for

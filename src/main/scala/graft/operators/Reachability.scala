@@ -35,13 +35,14 @@ object Reachability {
     * per-hop-checkpoint shape paid 30–70s at sf0.1 in cold JVMs; same
     * finding as PageRank.ranks, A/B'd in tools/PrProbe). The hints are
     * gated on the MEASURED reached-set count (free — the deltas are
-    * checkpointed), so past ~10M reached vertices the hint disappears
-    * and Spark shuffles on the vertex key instead of force-broadcasting
-    * something executor-memory-sized. */
-  def bfsLayers(edges: DataFrame, seeds: DataFrame, hops: Int = Hops): DataFrame = {
-    val bcastMax = 10L * 1000 * 1000
+    * checkpointed), so past `maxBroadcastNodes` reached vertices (see
+    * [[GraphBroadcast.MaxBroadcastNodes]] for the heap-derived default)
+    * the hint disappears and Spark shuffles on the vertex key instead
+    * of force-broadcasting something executor-memory-sized. */
+  def bfsLayers(edges: DataFrame, seeds: DataFrame, hops: Int = Hops,
+                maxBroadcastNodes: Long = GraphBroadcast.MaxBroadcastNodes): DataFrame = {
     def hinted(df: DataFrame, rows: Long): DataFrame =
-      if (rows <= bcastMax) broadcast(df) else df
+      if (rows <= maxBroadcastNodes) broadcast(df) else df
     var reached  = seeds.select(col("node")).distinct()
       .withColumn("hop", lit(0)).localCheckpoint(true)
     var nReached  = reached.count()

@@ -48,8 +48,12 @@ object MixturePlanner {
       // wrap silently while DuckDB promotes to HUGEINT — a cross-engine
       // mismatch instead of an error. Fail loudly at the boundary; a
       // planner for budgets beyond it should move to DECIMAL(38).
+      // The DENOMINATOR w_total*n_tokens can wrap too (w_total grows
+      // with source count: past ~5e5 total weight a near-boundary
+      // n_tokens overflows), so both products are guarded.
       .withColumn("rate_micro",
-        when($"budget" > lit(Long.MaxValue / 1000000L) / $"weight",
+        when(($"budget" > lit(Long.MaxValue / 1000000L) / $"weight")
+          .or($"n_tokens" > lit(Long.MaxValue) / $"w_total"),
           raise_error(concat(lit("p52 mixture planner: budget*weight overflows "),
             lit("integer-micro arithmetic for source "), $"source")).cast("long"))
         .otherwise(least(lit(1000000L),

@@ -3,10 +3,22 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev probe: A/B PageRank inner-loop variants to locate the q43 cost. */
+/** Dev probe: A/B PageRank inner-loop variants to locate the q43 cost.
+  * Run via `sbt "runMain graft.tools.PrProbe <dataDir>"` — the data dir
+  * is a REQUIRED argument (no environment-specific default), and the
+  * probe refuses to run inside a process that already has a live
+  * SparkSession (getOrCreate with .master() would silently grab and
+  * reconfigure it). */
 object PrProbe {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dir = args.headOption.getOrElse {
+      System.err.println("usage: graft.tools.PrProbe <dataDir>")
+      sys.exit(2)
+    }
+    if (SparkSession.getActiveSession.nonEmpty || SparkSession.getDefaultSession.nonEmpty) {
+      System.err.println("PrProbe: refusing to run — a SparkSession already exists in this JVM")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")

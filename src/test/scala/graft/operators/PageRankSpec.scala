@@ -38,4 +38,28 @@ class PageRankSpec extends SparkSpec {
       assert(x.getDouble(1) == y.getDouble(1)) // bit equality, not tolerance
     }
   }
+
+  test("pagerank: >cutoff shuffle path is bit-identical to the broadcast path") {
+    import spark.implicits._
+    // pin the cutoff to 0 so the same small graph exercises the branch
+    // that would run on a billion-node graph (co-partitioned edges,
+    // shuffled vertex-sized messages) — the quantized integer sums make
+    // the two physical plans produce identical bits
+    val base = (0 until 40).map(i => (s"n$i", s"n${(i + 3) % 40}")) ++
+      (1 until 10).map(i => (s"n${i * 3}", "n1"))
+    val df = base.toDF("src", "dst")
+    val sym = df.union(df.select($"dst".as("src"), $"src".as("dst")))
+    val bcast = PageRank.ranks(sym).orderBy("node").collect()
+    val shuf  = PageRank.ranks(sym, maxBroadcastNodes = 0).orderBy("node").collect()
+    assert(bcast.length == shuf.length && bcast.nonEmpty)
+    bcast.zip(shuf).foreach { case (x, y) =>
+      assert(x.getString(0) == y.getString(0))
+      assert(x.getDouble(1) == y.getDouble(1))
+    }
+  }
+
+  test("pagerank: heap-derived default cutoff is within its documented bounds") {
+    val c = GraphBroadcast.MaxBroadcastNodes
+    assert(c >= 1000000L && c <= 10000000L)
+  }
 }

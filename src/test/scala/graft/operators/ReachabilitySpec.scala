@@ -41,6 +41,18 @@ class ReachabilitySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bfs: >cutoff shuffle path (no broadcast hints) matches the broadcast path") {
+    // cutoff 0 drops every broadcast hint, forcing the vertex-keyed
+    // shuffle joins a billion-node frontier would take; the layer sets
+    // must be identical to the hinted plan's
+    val a = Reachability.bfsLayers(pathEdges, seed("a", "c"), hops = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val b = Reachability.bfsLayers(pathEdges, seed("a", "c"), hops = 3,
+        maxBroadcastNodes = 0)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("bfs: isolated seed (not in the edge list) still reports itself at hop 0") {
     val out = Reachability.bfsLayers(pathEdges, seed("zz"), 3)
       .collect().map(r => (r.getString(0), r.getInt(1))).toMap
