@@ -106,13 +106,35 @@ object EventStreams {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val stateParts = math.max(4, spark.sparkContext.defaultParallelism / 4)
     spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    // RocksDB state store by default: the in-memory HDFSBackedStateStore
+    // holds EVERY key of every stateful operator on-heap (s3's dedup set
+    // is corpus-cardinality-sized — 10M keys at the 100× decade measured
+    // 61s with GC pressure), while RocksDB keeps state off-heap with
+    // spill-to-disk, the shape that survives billion-key streams.
+    // Env-overridable for A/B (SPARK_GRAFT_STATE_STORE=memory).
+    val prevProvider = spark.conf.get(ProviderConf, "")
+    spark.conf.set(ProviderConf, stateStoreProvider)
     try {
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      if (prevProvider.isEmpty) spark.conf.unset(ProviderConf)
+      else spark.conf.set(ProviderConf, prevProvider)
+    }
     spark.table(name)
   }
+
+  private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+
+  private[streaming] def stateStoreProvider: String =
+    sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb") match {
+      case "memory" =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case _ =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    }
 
   /** s1: S1 through the streaming engine, hash-compared to the batch
     * windowed aggregation (complete mode — every window survives). */
@@ -268,17 +290,13 @@ object EventStreams {
     * splits batches; updates aimed at keys outside the base are
     * ignored (insert semantics are u6's batch path). */
   def s5StreamUpsert(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.streaming.Trigger
     val ordersBase = graft.Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"))
     val nOrders = ordersBase.count()
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_stream_merge").toString
-    var stateVer = 0
     ordersBase.withColumn("__v", lit(-1L)).withColumn("__e", lit(-1L))
       .write.mode("overwrite").parquet(s"$stateRoot/state_0")
-    val w = Window.partitionBy(col("o_orderkey"))
-      .orderBy(col("__v").desc, col("__e").desc)
     val updatesStream = eventStream(spark, dir).select(
       ((col("event_id") % nOrders) + 1).as("o_orderkey"),
       (col("value") * 100).as("o_totalprice"),
@@ -286,28 +304,66 @@ object EventStreams {
       col("event_id").as("__e"))
     val q = updatesStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val latest = batch
-          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-          .drop("__rn")
-          .join(ordersBase.select(col("o_orderkey")), Seq("o_orderkey"), "left_semi")
-        val merged = spark.read.parquet(s"$stateRoot/state_$stateVer")
-          .unionByName(latest)
-          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-          .drop("__rn")
-        // write the NEXT version, never in place: the read above streams
-        // from the current version's files while this one materializes
-        merged.write.mode("overwrite").parquet(s"$stateRoot/state_${stateVer + 1}")
-        stateVer += 1
+        mergeUpsertBatch(spark, stateRoot, ordersBase, batch)
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val fin = spark.read.parquet(s"$stateRoot/state_$stateVer")
+    val fin = spark.read.parquet(s"$stateRoot/state_${latestStateVersion(stateRoot)}")
     val out = fin.agg(
       count(lit(1)).as("n_orders"),
       round(sum(col("o_totalprice")), 2).as("total_value"),
       sum(when(col("__v") >= 0, 1L).otherwise(0L)).as("n_updated"))
     graft.operators.ScaleOps.materializeThen(out)(
       graft.operators.ScaleOps.deleteRecursively(stateRoot))
+  }
+
+  /** Highest committed state version under a versioned-merge root —
+    * derived from the DIRECTORY LISTING, not a process-local counter, so
+    * a restarted query (new JVM, same stateRoot) resumes from the state
+    * its predecessor actually committed. */
+  private[streaming] def latestStateVersion(stateRoot: String): Int = {
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(stateRoot))
+    try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.startsWith("state_") => s.stripPrefix("state_").toInt }
+        .foldLeft(0)(math.max)
+    } finally listing.close()
+  }
+
+  /** One CDC merge step (the s5 foreachBatch body, exposed so the
+    * checkpoint-recovery spec drives the EXACT production merge across a
+    * kill/restart): last-writer-wins merge of this micro-batch's update
+    * rows into the latest state version, written as the NEXT version —
+    * never in place, since the read streams from the current version's
+    * files while the new one materializes.
+    *
+    * Restart safety is BY CONSTRUCTION, twice over: (a) the version
+    * cursor comes from the directory listing, not process memory, so a
+    * restarted query continues the chain; (b) the merge is idempotent —
+    * after a crash between the state write and the checkpoint commit,
+    * Structured Streaming REPLAYS the uncommitted micro-batch with the
+    * same rows, and re-merging them yields a state version with
+    * identical content (the rank-1 winner per key cannot change when its
+    * own rows are re-offered). Exactly-once OUTPUT therefore holds even
+    * though the sink write and offset commit are not atomic. */
+  private[streaming] def mergeUpsertBatch(spark: org.apache.spark.sql.SparkSession,
+                                          stateRoot: String,
+                                          base: DataFrame,
+                                          batch: DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("__v").desc, col("__e").desc)
+    val ver = latestStateVersion(stateRoot)
+    val latest = batch
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+      .join(base.select(col("o_orderkey")), Seq("o_orderkey"), "left_semi")
+    val merged = spark.read.parquet(s"$stateRoot/state_$ver")
+      .unionByName(latest)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+    merged.write.mode("overwrite").parquet(s"$stateRoot/state_${ver + 1}")
   }
 
   /** s3: S3 through the streaming engine — dedup on event_id, then a
