@@ -65,6 +65,7 @@ object SparkEntry {
     "p32_sequences"        -> ((s, d) => graft.pipeline.TrainingOps.sequenceQuery(s, d)),
     "p33_dup_spans"        -> ((s, d) => graft.dedup.SpanDedup.duplicatedSpansQuery(s, d)),
     "p34_quality_clf"      -> (graft.text.QualityClassifier.query _),
+    "p54_lang_clf"         -> (graft.text.LangClassifier.query _),
     "p35_incr_dedup"       -> (graft.dedup.IncrementalDedup.query _),
     "p37_semdedup"         -> (graft.dedup.SemDedup.query _),
     "p36_bm25_search"      -> (graft.text.Bm25.query _),
@@ -1162,6 +1163,7 @@ object SparkEntry {
     "p32_sequences" -> graft.pipeline.TrainingOps.sequenceOracleSql,
     "p33_dup_spans" -> graft.dedup.SpanDedup.oracleSql,
     "p34_quality_clf" -> graft.text.QualityClassifier.oracleSql,
+    "p54_lang_clf" -> graft.text.LangClassifier.oracleSql,
     // s9 emits p34's exact decision record — one replay SQL gates both
     "s9_stream_score" -> graft.text.QualityClassifier.oracleSql,
     "p35_incr_dedup" -> graft.dedup.IncrementalDedup.oracleSql,

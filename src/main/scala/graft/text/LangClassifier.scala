@@ -1,0 +1,201 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.3 P54: LEARNED language ID — the fastText-style lang-id stage
+  * (hashed char-n-gram features → one-vs-rest logistic → argmax), the
+  * production replacement for p8's stopword scorer. The model family is
+  * exactly what fastText's lid.176 ships: character n-grams hashed into
+  * a fixed bucket space, a linear classifier per language, argmax at
+  * serving time.
+  *
+  * Training reuses the P34 distributed Newton/IRLS machinery
+  * ([[QualityClassifier.fit]]) once per language (one-vs-rest over the
+  * corpus's label set) on a train split; every contribution is
+  * floor-micro quantized, so fitted weights and all margins are
+  * bit-deterministic under any partitioning.
+  *
+  * Honesty note (fixture vs corpus): the synthetic corpus's `lang`
+  * column is content-INDEPENDENT (all five "languages" draw the same
+  * token distribution — measured: char-3-gram Naive Bayes scores 0.31
+  * vs a 0.43 majority baseline), so no content model can beat chance
+  * on it and the driver row gates DETERMINISM, not accuracy: persisted
+  * features + per-language weights replayed by DuckDB must reproduce
+  * every margin and argmax bit-exactly. The LEARNING itself is gated in
+  * LangClassifierSpec on a genuinely multilingual fixture (real
+  * en/fr/de/es text), where held-out accuracy must reach ≥0.9 — the
+  * gate a production lang-id model has to pass.
+  *
+  * Scale shape: feature extraction is one narrow pass + one
+  * (doc,bucket) aggregation; each of the |langs| fits is P34's
+  * one-treeAggregate-per-step layout over the train split; scoring is
+  * one join of the persisted feature table against a (|langs|·D)-row
+  * broadcast weight table with a per-doc argmax — nothing corpus-sized
+  * ever touches the driver.
+  */
+object LangClassifier {
+
+  /** Char-gram hash buckets. Kept small on purpose: the Newton Hessian
+    * pass is O(len²) per doc with len ≤ D+1, so D bounds fit cost at
+    * the 100× decade (len is D-saturated for char grams, so D=128 → ~8k Hessian cells/doc). Real lang-id separates
+    * scripts and function-word shapes easily at this width. */
+  val D = 128
+  val Iters = 3
+  /** L2 ridge: char-gram one-vs-rest on a small labeled split is
+    * SEPARABLE, and Newton on separable logistic loss diverges (weights
+    * run to infinity, the Hessian to singular) under P34's near-zero
+    * ridge — a real regularizer keeps the fit stable AND generalizing. */
+  val Ridge = 1e-3
+
+  /** (doc_id, bucket, cnt): hashed char 2- and 3-gram features,
+    * frequency-normalized per doc (cnt = gram count / total grams). */
+  def featureTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = lower(col("text"))
+    def grams(n: Int) =
+      transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+        i => substring(t, i, lit(n)))
+    docs
+      .select($"doc_id", explode(concat(grams(2), grams(3))).as("g"))
+      .select($"doc_id", pmod(xxhash64($"g"), lit(D.toLong)).cast("int").as("bucket"))
+      .groupBy($"doc_id", $"bucket")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"bucket", $"c")).as("fs"), sum($"c").as("t"))
+      .select($"doc_id", explode(transform($"fs",
+        f => struct(f.getField("bucket").as("bucket"),
+                    (f.getField("c") / $"t").as("cnt")))).as("f"))
+      .select($"doc_id", $"f.bucket", $"f.cnt")
+  }
+
+  /** One-vs-rest fit over `labels` (doc_id, lang): per distinct lang,
+    * a binary Newton fit on the shared feature table. Returns
+    * lang → (weights, bias). */
+  def fitOvr(feat: DataFrame, labels: DataFrame, iters: Int = Iters,
+             ridge: Double = Ridge): Seq[(String, Array[Double], Double)] = {
+    val spark = feat.sparkSession
+    import spark.implicits._
+    val langs = labels.select($"lang").distinct()
+      .as[String].collect().sorted.toSeq
+    langs.map { l =>
+      val y = labels.select($"doc_id",
+        when($"lang" === l, 1).otherwise(0).as("y"))
+      val (w, bias, _) = QualityClassifier.fit(feat, y, iters, numFeatures = D,
+        ridge = ridge)
+      (l, w, bias)
+    }
+  }
+
+  /** Per-(doc, lang) quantized margins from a weight table
+    * (lang, bucket, w; bias at bucket −1): floor-micro per (doc,bucket)
+    * product, integer sum per doc — the P34 scoring contract, replayed
+    * verbatim by the DuckDB oracle. */
+  def marginTable(feat: DataFrame, weights: DataFrame): DataFrame = {
+    val biases = weights.filter(col("bucket") === -1)
+      .select(col("lang"), floor(col("w") * 1e6).cast("long").as("b"))
+    feat
+      .join(broadcast(weights.filter(col("bucket") =!= -1)), Seq("bucket"))
+      .select(col("doc_id"), col("lang"),
+        floor(col("w") * col("cnt") * lit(1e6)).cast("long").as("c"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("s"))
+      .join(broadcast(biases), Seq("lang"))
+      .select(col("doc_id"), col("lang"), (col("s") + col("b")).as("margin_micros"))
+  }
+
+  /** Argmax serving: per doc the lang with the highest margin
+    * (lexicographic lang as the deterministic tie-break). */
+  def predict(margins: DataFrame): DataFrame = {
+    // struct-max: (margin desc, lang asc) — encode lang ordering by
+    // negating the margin comparison instead of fabricating a numeric
+    // key from the string: max over (margin, reverse-lang) structs needs
+    // a total order on lang; min over (-margin, lang) gives exactly
+    // (highest margin, then lowest lang)
+    margins
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("margin_micros")).as("nm"), col("lang").as("l"))).as("best"))
+      .select(col("doc_id"), col("best.l").as("lang_pred"),
+        (-col("best.nm")).as("pred_margin_micros"))
+  }
+
+  private val fittedDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def root(dir: String): String = graft.ml.ModelOracles.modelRoot(dir)
+
+  /** Train split: doc_id % 20 == 1 (5%). Lang-id labels are the
+    * expensive human-supplied input, so production lang-id trains on a
+    * small labeled sample and scores everything — and the small split
+    * also bounds the Newton Hessian pass (len²-per-doc with char grams
+    * saturating all D buckets) at the 100× decade. */
+  def isTrain(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    docId % 20 === 1
+
+  /** Fit once per (JVM, dir): persist the char-gram feature table and
+    * the per-language weight table for the replay oracle. */
+  def ensureFitted(spark: SparkSession, dir: String): Unit =
+    fittedDirs.synchronized {
+      if (!fittedDirs.contains(dir)) {
+        import spark.implicits._
+        val feat = featureTable(Tables.documents(spark, dir)).persist()
+        val trainLbl = Tables.documents(spark, dir)
+          .filter(isTrain($"doc_id")).select($"doc_id", $"lang").persist()
+        val train = feat.join(trainLbl.select($"doc_id"), Seq("doc_id"), "left_semi")
+        val fitted = fitOvr(train, trainLbl)
+        feat.write.mode("overwrite").parquet(s"${root(dir)}/p54_features")
+        fitted.flatMap { case (l, w, b) =>
+          w.toSeq.zipWithIndex.map { case (v, i) => (l, i, v) } :+ ((l, -1, b))
+        }.toDF("lang", "bucket", "w").coalesce(1)
+          .write.mode("overwrite").parquet(s"${root(dir)}/p54_weights")
+        feat.unpersist(false); trainLbl.unpersist(false)
+        fittedDirs.add(dir)
+      }
+    }
+
+  /** p54: score EVERY doc with the persisted per-language models —
+    * per-doc argmax language, its margin, the true label, and the split
+    * flag. The oracle recomputes margins and argmax from the persisted
+    * files. */
+  def query(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ensureFitted(spark, dir)
+    val feat = spark.read.parquet(s"${root(dir)}/p54_features")
+    val weights = spark.read.parquet(s"${root(dir)}/p54_weights")
+    predict(marginTable(feat, weights))
+      .join(Tables.documents(spark, dir).select($"doc_id", $"lang"), Seq("doc_id"))
+      .select($"doc_id", $"lang", $"lang_pred", $"pred_margin_micros",
+        isTrain($"doc_id").as("is_train"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB replay: margins from the persisted feature/weight files with
+    * the same floor-micro quantization; argmax with the same
+    * (margin desc, lang asc) tie-break. */
+  val oracleSql: String =
+    """WITH f AS (
+         SELECT * FROM read_parquet('/tmp/graft_models/sf0.01/p54_features/*.parquet')),
+       wt AS (
+         SELECT * FROM read_parquet('/tmp/graft_models/sf0.01/p54_weights/*.parquet')),
+       s AS (
+         SELECT f.doc_id, wt.lang,
+           CAST(sum(CAST(floor(wt.w * f.cnt * 1e6) AS BIGINT)) AS BIGINT) AS s
+         FROM f JOIN wt USING (bucket)
+         WHERE wt.bucket != -1
+         GROUP BY f.doc_id, wt.lang),
+       bias AS (
+         SELECT lang, CAST(floor(w * 1e6) AS BIGINT) AS b FROM wt WHERE bucket = -1),
+       m AS (
+         SELECT s.doc_id, s.lang, s.s + bias.b AS margin_micros
+         FROM s JOIN bias USING (lang)),
+       best AS (
+         SELECT doc_id, lang AS lang_pred, margin_micros AS pred_margin_micros,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY margin_micros DESC, lang) AS rn
+         FROM m)
+       SELECT b.doc_id, d.lang, b.lang_pred, b.pred_margin_micros,
+              (b.doc_id % 20 = 1) AS is_train
+       FROM best b JOIN documents d ON b.doc_id = d.doc_id
+       WHERE b.rn = 1
+       ORDER BY b.doc_id"""
+}

@@ -150,13 +150,16 @@ object QualityClassifier {
     * expressions, so the fitted weights are bit-identical to that
     * formulation) and summed as longs — order-independent under any
     * partitioning. */
-  def fit(feat: DataFrame, labels: DataFrame,
-          iters: Int = Iters): (Array[Double], Double, Seq[Double]) = {
+  def fit(feat: DataFrame, labels: DataFrame, iters: Int = Iters,
+          numFeatures: Int = NumFeatures,
+          ridge: Double = Ridge): (Array[Double], Double, Seq[Double]) = {
     val spark = feat.sparkSession
     import spark.implicits._
-    // slot mapping: token buckets 0..D−1, length feature D, bias at
-    // slot NumFeatures (bucket −1 on the wire)
-    val S = NumFeatures + 1
+    // slot mapping: feature buckets 0..numFeatures−1, bias at slot
+    // numFeatures (bucket −1 on the wire). numFeatures is a parameter so
+    // other hashed-feature classifiers (p54 char-n-gram language ID)
+    // reuse this exact Newton loop on their own bucket spaces.
+    val S = numFeatures + 1
     val nTri = S * (S + 1) / 2
     // pre-group once: the only job whose plan Catalyst analyzes
     val grouped = feat
@@ -181,7 +184,7 @@ object QualityClassifier {
           val (bs, cs, y) = doc
           val wv = bw.value
           val len = bs.length
-          def slot(b: Int): Int = if (b == -1) NumFeatures else b
+          def slot(b: Int): Int = if (b == -1) numFeatures else b
           var mm = 0L
           var k = 0
           while (k < len) {
@@ -236,7 +239,7 @@ object QualityClassifier {
       }
       losses += agg(S + nTri) / 1e6 / n
       var k = 0
-      while (k < S) { hess(k)(k) += Ridge * n; k += 1 }
+      while (k < S) { hess(k)(k) += ridge * n; k += 1 }
       val H = breeze.linalg.DenseMatrix.tabulate(S, S)((a, b) => hess(a)(b))
       val g = breeze.linalg.DenseVector(grad)
       val delta = H \ g
@@ -244,7 +247,7 @@ object QualityClassifier {
       while (k2 < S) { w(k2) -= delta(k2); k2 += 1 }
     }
     grouped.unpersist(false)
-    (w.take(NumFeatures), w(NumFeatures), losses.toSeq)
+    (w.take(numFeatures), w(numFeatures), losses.toSeq)
   }
 
   // one fit per (sf dir) per JVM — Verify and Bench score the same
