@@ -64,6 +64,7 @@ object SparkEntry {
     "p29_lm_quality"       -> (graft.text.LmQuality.query _),
     "p32_sequences"        -> ((s, d) => graft.pipeline.TrainingOps.sequenceQuery(s, d)),
     "p33_dup_spans"        -> ((s, d) => graft.dedup.SpanDedup.duplicatedSpansQuery(s, d)),
+    "p33b_dup_spans_bytes" -> ((s, d) => graft.dedup.SpanDedup.byteSpansQuery(s, d)),
     "p34_quality_clf"      -> (graft.text.QualityClassifier.query _),
     "p54_lang_clf"         -> (graft.text.LangClassifier.query _),
     "p35_incr_dedup"       -> (graft.dedup.IncrementalDedup.query _),
@@ -1162,6 +1163,7 @@ object SparkEntry {
     "p29_lm_quality" -> graft.text.LmQuality.oracleSql,
     "p32_sequences" -> graft.pipeline.TrainingOps.sequenceOracleSql,
     "p33_dup_spans" -> graft.dedup.SpanDedup.oracleSql,
+    "p33b_dup_spans_bytes" -> graft.dedup.SpanDedup.byteOracleSql,
     "p34_quality_clf" -> graft.text.QualityClassifier.oracleSql,
     "p54_lang_clf" -> graft.text.LangClassifier.oracleSql,
     // s9 emits p34's exact decision record — one replay SQL gates both

@@ -34,12 +34,24 @@ import graft.functions.HashFunctions
   */
 object SpanDedup {
 
+  /** Default window = 50 tokens, the granularity Lee et al. publish for
+    * ExactSubstr ("we remove substrings of ≥ 50 BPE tokens repeated
+    * verbatim"). Delta vs the paper, documented: (a) our unit is
+    * WHITESPACE tokens, not BPE tokens (the p39 BPE vocab could supply
+    * token ids, but whitespace keeps the oracle engine-neutral); (b) the
+    * paper finds maximal repeats with a suffix array — a sliding
+    * 50-gram equi-test finds exactly the same ≥50-token repeated
+    * positions (every maximal repeat of length L ≥ 50 is covered by its
+    * L−49 sliding windows), at one shuffle instead of a suffix-array
+    * build. See [[byteSpansQuery]] for the byte-granularity variant. */
+  val DefaultK = 50
+
   /** Per-doc duplicated-span removal record: word count, removed-word
     * count and fraction, and an md5 of the re-rendered text (compact and
     * fully discriminating). Docs shorter than k words hash ONE truncated
     * gram (the whole doc) — `tokenShingleHashSeq` semantics, mirrored by
     * the oracle — so a short doc duplicated elsewhere is fully removed. */
-  def duplicatedSpansQuery(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+  def duplicatedSpansQuery(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame =
     duplicatedSpans(Tables.documents(spark, dir), k)
 
   /** Operator form over any (doc_id, text) frame. */
@@ -79,20 +91,64 @@ object SpanDedup {
       .orderBy($"doc_id")
   }
 
+  /** Byte-granularity ExactSubstr (the paper's other published unit):
+    * sliding k-CHAR windows (≡ bytes on this ASCII corpus; on full UTF-8
+    * you'd window the encoded bytes), duplicate = window text appearing
+    * in ≥ 2 distinct documents, every covered character removed and the
+    * doc re-rendered from the survivors. Same two-keyed-shuffle scale
+    * shape as the word path — grams travel as xxhash64 longs, coverage
+    * is ≤ k positions per duplicated occurrence. */
+  def byteSpansQuery(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame =
+    byteSpans(Tables.documents(spark, dir), k)
+
+  /** Operator form of the byte/char-gram variant. */
+  def byteSpans(docsIn: DataFrame, k: Int): DataFrame = {
+    val spark = docsIn.sparkSession
+    import spark.implicits._
+    val docs = docsIn.select($"doc_id", $"text")
+    val grams = docs
+      .select($"doc_id", $"text",
+        explode(sequence(lit(1), greatest(length($"text") - (k - 1), lit(1)))).as("pos"))
+      .select($"doc_id", $"pos",
+        xxhash64(substring($"text", $"pos", lit(k))).as("g"))
+      .persist()
+    val dup = grams.groupBy($"g").agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2).select($"g")
+    val covered = grams.join(dup, Seq("g"))
+      .select($"doc_id", explode(sequence($"pos", $"pos" + lit(k - 1))).as("pos"))
+      .distinct()
+    val chars = docs
+      .select($"doc_id", posexplode(split($"text", "")))
+      .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("ch"))
+    val kept = chars.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+           array_sort(collect_list(struct($"pos", $"ch"))).as("arr"))
+      .select($"doc_id", $"n_kept",
+              concat_ws("", expr("transform(arr, x -> x.ch)")).as("kept_text"))
+    val nc = docs.select($"doc_id", length($"text").cast("long").as("n_chars"))
+    nc.join(kept, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_chars",
+        ($"n_chars" - coalesce($"n_kept", lit(0L))).as("n_dup_chars"),
+        round(($"n_chars" - coalesce($"n_kept", lit(0L))) / $"n_chars", 6).as("dup_frac"),
+        md5(coalesce($"kept_text", lit(""))).as("kept_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** DuckDB oracle: same k-gram stream (strings), same ≥2-distinct-docs
     * duplicate test, same position coverage and re-render. */
   val oracleSql: String =
     """WITH t AS (
          SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
        g0 AS (
-         SELECT doc_id, [{'i': i, 'gram': array_to_string(w[i:i+7], ' ')}
-                         for i in range(1, greatest(len(w) - 7, 1) + 1)] AS gs
+         SELECT doc_id, [{'i': i, 'gram': array_to_string(w[i:i+49], ' ')}
+                         for i in range(1, greatest(len(w) - 49, 1) + 1)] AS gs
          FROM t),
        g AS (SELECT doc_id, unnest(gs, recursive := true) FROM g0),
        dup AS (
          SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
        cov AS (
-         SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS pos
+         SELECT DISTINCT doc_id, unnest(range(i, i + 50)) AS pos
          FROM g JOIN dup USING (gram)),
        words0 AS (
          SELECT doc_id, [{'pos': i, 'word': w[i]}
@@ -112,5 +168,39 @@ object SpanDedup {
          round((nw.n_words - coalesce(kept.n_kept, 0)) / CAST(nw.n_words AS DOUBLE), 6) AS dup_frac,
          md5(coalesce(kept.kept_text, '')) AS kept_md5
        FROM nw LEFT JOIN kept USING (doc_id)
+       ORDER BY doc_id"""
+
+  /** DuckDB oracle for the byte/char-gram variant: gram STRINGS via
+    * substr, same coverage and re-render, per-character. */
+  val byteOracleSql: String =
+    """WITH t AS (SELECT doc_id, text FROM documents),
+       g0 AS (
+         SELECT doc_id, [{'i': i, 'gram': substr(text, CAST(i AS INT), 50)}
+                         for i in range(1, greatest(len(text) - 49, 1) + 1)] AS gs
+         FROM t),
+       g AS (SELECT doc_id, unnest(gs, recursive := true) FROM g0),
+       dup AS (
+         SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+       cov AS (
+         SELECT DISTINCT doc_id, unnest(range(i, i + 50)) AS pos
+         FROM g JOIN dup USING (gram)),
+       chars0 AS (
+         SELECT doc_id, [{'pos': i, 'ch': substr(text, CAST(i AS INT), 1)}
+                         for i in range(1, len(text) + 1)] AS cs
+         FROM t),
+       chars AS (SELECT doc_id, unnest(cs, recursive := true) FROM chars0),
+       kept AS (
+         SELECT chars.doc_id, count(*) AS n_kept,
+                string_agg(chars.ch, '' ORDER BY chars.pos) AS kept_text
+         FROM chars LEFT JOIN cov
+           ON chars.doc_id = cov.doc_id AND chars.pos = cov.pos
+         WHERE cov.pos IS NULL
+         GROUP BY chars.doc_id),
+       nc AS (SELECT doc_id, len(text) AS n_chars FROM t)
+       SELECT nc.doc_id, CAST(nc.n_chars AS BIGINT) AS n_chars,
+         CAST(nc.n_chars - coalesce(kept.n_kept, 0) AS BIGINT) AS n_dup_chars,
+         round((nc.n_chars - coalesce(kept.n_kept, 0)) / CAST(nc.n_chars AS DOUBLE), 6) AS dup_frac,
+         md5(coalesce(kept.kept_text, '')) AS kept_md5
+       FROM nc LEFT JOIN kept USING (doc_id)
        ORDER BY doc_id"""
 }

@@ -312,4 +312,43 @@ class DedupSpec extends SparkSpec {
     assert(out(13L)._2 === out(13L)._1 && out(13L)._3 === md5empty)
     assert(out(14L)._2 === out(14L)._1 && out(14L)._3 === md5empty)
   }
+
+  test("byte-gram span removal drops exactly the covered characters") {
+    // a 16-char span planted in two docs; k=16 char windows
+    val span = "ABCDEFGHIJKLMNOP" // 16 chars
+    val docsDf = Seq(
+      (20L, s"xx${span}yy"),
+      (21L, s"qq1${span}zz2"),
+      (22L, "completely unique content here"),
+      (23L, "tiny"), // shorter than k, equal to 24 → truncated-gram branch
+      (24L, "tiny"),
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.byteSpans(docsDf, 16)
+      .select("doc_id", "n_chars", "n_dup_chars", "kept_md5")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(20L)._1 === 20 && out(20L)._2 === 16 && out(20L)._3 === md5s("xxyy"))
+    assert(out(21L)._1 === 22 && out(21L)._2 === 16 && out(21L)._3 === md5s("qq1zz2"))
+    assert(out(22L)._2 === 0, "unique doc loses nothing")
+    // short identical docs: one truncated whole-doc gram each → all removed
+    assert(out(23L)._2 === out(23L)._1 && out(23L)._3 === md5s(""))
+    assert(out(24L)._2 === out(24L)._1 && out(24L)._3 === md5s(""))
+  }
+
+  test("p33 default window is the published ExactSubstr granularity (50 tokens)") {
+    assert(SpanDedup.DefaultK === 50)
+    // a 50-word span shared by two docs among filler is removed exactly
+    val span = (1 to 50).map(i => s"s$i").mkString(" ")
+    val docsDf = Seq(
+      (30L, s"a1 a2 $span a3"),
+      (31L, s"b1 $span b2 b3 b4"),
+      (32L, (1 to 60).map(i => s"c$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.duplicatedSpans(docsDf, SpanDedup.DefaultK)
+      .select("doc_id", "n_dup_words").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(30L -> 50L, 31L -> 50L, 32L -> 0L))
+  }
 }
