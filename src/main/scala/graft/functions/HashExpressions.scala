@@ -109,6 +109,29 @@ object HashUtil {
     sortedDistinct(out, wins)
   }
 
+  /** Hash-bucket ids — pmod(xxhash64(window bytes, seed 42), d) — of
+    * every byte n-gram of lower(text), in document order (whole lowered
+    * string when shorter; empty text hashes one empty window). Byte
+    * windows (≡ characters on ASCII) sidestep the per-window char-offset
+    * scan SQL `substring` pays on UTF8 strings — one lowered byte copy
+    * per doc, then O(n)-byte rolling windows (p54's feature extractor:
+    * the substring formulation measured 13.9s of p54's 15.2s at sf0.1). */
+  def byteNgramBuckets(text: UTF8String, n: Int, d: Int): Array[Int] = {
+    val bytes = text.toLowerCase.getBytes
+    val len = bytes.length
+    val wins = math.max(len - n + 1, 1)
+    val out = new Array[Int](wins)
+    var i = 0
+    while (i < wins) {
+      val m = math.min(n, len - i)
+      val h = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i, m, 42L)
+      out(i) = (((h % d) + d) % d).toInt
+      i += 1
+    }
+    out
+  }
+
   /** Sorted distinct xxhash64 values of k-token shingles (split on \s+,
     * shingle = tokens joined by one space; short docs yield their whole
     * token string) — fused twin of the shingles→hash column pipeline. */
@@ -308,6 +331,25 @@ case class CharNgramHashes(child: Expression, n: Int) extends TextToHashSet {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `byte_ngram_buckets(text, n, d)` — hash-bucket id per byte n-gram of
+  * lower(text), document order (p54's fused feature extractor). */
+case class ByteNgramBuckets(child: Expression, n: Int, d: Int) extends UnaryExpression {
+  override def prettyName: String = "byte_ngram_buckets"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.simpleString}")
+  }
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(HashUtil.byteNgramBuckets(a.asInstanceOf[UTF8String], n, d))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"graft.functions.HashUtil.byteNgramBuckets($a, $n, $d));")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `token_shingle_hashes(text, k)` — fused shingle+hash set builder. */
 case class TokenShingleHashes(child: Expression, k: Int) extends TextToHashSet {
   override def prettyName: String = "token_shingle_hashes"
@@ -380,6 +422,9 @@ object HashFunctions {
 
   def char_ngram_hashes(text: Column, n: Int): Column =
     column(CharNgramHashes(expression(text), n))
+
+  def byte_ngram_buckets(text: Column, n: Int, d: Int): Column =
+    column(ByteNgramBuckets(expression(text), n, d))
 
   def token_shingle_hashes(text: Column, k: Int): Column =
     column(TokenShingleHashes(expression(text), k))

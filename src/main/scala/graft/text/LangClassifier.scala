@@ -49,18 +49,22 @@ object LangClassifier {
     * ridge — a real regularizer keeps the fit stable AND generalizing. */
   val Ridge = 1e-3
 
-  /** (doc_id, bucket, cnt): hashed char 2- and 3-gram features,
-    * frequency-normalized per doc (cnt = gram count / total grams). */
+  /** (doc_id, bucket, cnt): hashed byte 2- and 3-gram features of the
+    * lowercased text (≡ char grams on ASCII; fastText hashes byte
+    * n-grams too), frequency-normalized per doc (cnt = gram count /
+    * total grams). Extraction is ONE fused codegen expression per n
+    * ([[graft.functions.HashUtil.byteNgramBuckets]]): the SQL
+    * `substring(text, i, n)` formulation paid an O(len) char-offset
+    * scan per window — 13.9s of p54's 15.2s at sf0.1 — where the fused
+    * rolling byte window is linear per doc. */
   def featureTable(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val t = lower(col("text"))
-    def grams(n: Int) =
-      transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
-        i => substring(t, i, lit(n)))
+    import graft.functions.HashFunctions.byte_ngram_buckets
     docs
-      .select($"doc_id", explode(concat(grams(2), grams(3))).as("g"))
-      .select($"doc_id", pmod(xxhash64($"g"), lit(D.toLong)).cast("int").as("bucket"))
+      .select($"doc_id", explode(concat(
+        byte_ngram_buckets($"text", 2, D),
+        byte_ngram_buckets($"text", 3, D))).as("bucket"))
       .groupBy($"doc_id", $"bucket")
       .agg(count(lit(1)).as("c"))
       .groupBy($"doc_id")
@@ -71,22 +75,43 @@ object LangClassifier {
       .select($"doc_id", $"f.bucket", $"f.cnt")
   }
 
-  /** One-vs-rest fit over `labels` (doc_id, lang): per distinct lang,
-    * a binary Newton fit on the shared feature table. Returns
-    * lang → (weights, bias). */
+  /** One-vs-rest fit over `labels` (doc_id, lang): per distinct lang, a
+    * binary Newton fit on the SHARED pre-grouped corpus — the expensive
+    * part (explode + two shuffles into per-doc sparse rows) runs ONCE,
+    * and each class's loop re-labels the cached RDD with a narrow map
+    * (measured at sf0.1: 5 independent fits re-shuffled the feature
+    * table 5× and put p54 at 15.2s; sharing cuts the prep to 1×).
+    * Returns lang → (weights, bias). */
   def fitOvr(feat: DataFrame, labels: DataFrame, iters: Int = Iters,
              ridge: Double = Ridge): Seq[(String, Array[Double], Double)] = {
     val spark = feat.sparkSession
     import spark.implicits._
-    val langs = labels.select($"lang").distinct()
-      .as[String].collect().sorted.toSeq
-    langs.map { l =>
-      val y = labels.select($"doc_id",
-        when($"lang" === l, 1).otherwise(0).as("y"))
-      val (w, bias, _) = QualityClassifier.fit(feat, y, iters, numFeatures = D,
-        ridge = ridge)
-      (l, w, bias)
-    }
+    val grouped = feat
+      .union(labels.select($"doc_id", lit(-1).as("bucket"), lit(1.0).as("cnt")))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"bucket", $"cnt"))).as("fs"))
+      .join(labels, Seq("doc_id"))
+      .select($"fs.bucket".as("bs"), $"fs.cnt".as("cs"), $"lang")
+      .as[(Array[Int], Array[Double], String)]
+      .rdd
+      // the grouped TRAIN split is sample-sized (per-doc sparse rows),
+      // but .rdd off an AQE plan keeps the 8×cpus initial shuffle
+      // partitioning — at ~1 job per Newton step the per-step task
+      // overhead dominated the fit (measured ~1s/step at sf0.1). A
+      // core-proportional coalesce makes each step one small job.
+      .coalesce(math.max(8, org.apache.spark.sql.SparkSession.active
+        .sparkContext.defaultParallelism / 4))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = grouped.count().toDouble
+      val langs = labels.select($"lang").distinct()
+        .as[String].collect().sorted.toSeq
+      langs.map { l =>
+        val bin = grouped.map { case (bs, cs, lg) => (bs, cs, if (lg == l) 1 else 0) }
+        val (w, bias, _) = QualityClassifier.fitGrouped(bin, n, iters, D, ridge)
+        (l, w, bias)
+      }
+    } finally grouped.unpersist(false)
   }
 
   /** Per-(doc, lang) quantized margins from a weight table

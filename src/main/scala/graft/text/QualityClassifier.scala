@@ -155,12 +155,6 @@ object QualityClassifier {
           ridge: Double = Ridge): (Array[Double], Double, Seq[Double]) = {
     val spark = feat.sparkSession
     import spark.implicits._
-    // slot mapping: feature buckets 0..numFeatures−1, bias at slot
-    // numFeatures (bucket −1 on the wire). numFeatures is a parameter so
-    // other hashed-feature classifiers (p54 char-n-gram language ID)
-    // reuse this exact Newton loop on their own bucket spaces.
-    val S = numFeatures + 1
-    val nTri = S * (S + 1) / 2
     // pre-group once: the only job whose plan Catalyst analyzes
     val grouped = feat
       .union(labels.select($"doc_id", lit(-1).as("bucket"), lit(1.0).as("cnt")))
@@ -170,8 +164,34 @@ object QualityClassifier {
       .select($"fs.bucket".as("bs"), $"fs.cnt".as("cs"), $"y")
       .as[(Array[Int], Array[Double], Int)]
       .rdd
+      // the grouped TRAIN split is sample-sized (per-doc sparse rows),
+      // but .rdd off an AQE plan keeps the 8×cpus initial shuffle
+      // partitioning — at ~1 job per Newton step the per-step task
+      // overhead dominated the fit (measured ~1s/step at sf0.1). A
+      // core-proportional coalesce makes each step one small job.
+      .coalesce(math.max(8, org.apache.spark.sql.SparkSession.active
+        .sparkContext.defaultParallelism / 4))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = grouped.count().toDouble
+    try fitGrouped(grouped, n, iters, numFeatures, ridge)
+    finally grouped.unpersist(false)
+  }
+
+  /** The Newton loop itself over a pre-grouped per-doc sparse RDD
+    * ((bucket-sorted feature arrays with bias slot −1), label) — exposed
+    * so one-vs-rest callers (p54) group the corpus ONCE and run the loop
+    * per class over cheap map()s of the shared cached parent instead of
+    * re-shuffling the feature table per class. */
+  def fitGrouped(grouped: org.apache.spark.rdd.RDD[(Array[Int], Array[Double], Int)],
+                 n: Double, iters: Int, numFeatures: Int,
+                 ridge: Double): (Array[Double], Double, Seq[Double]) = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    // slot mapping: feature buckets 0..numFeatures−1, bias at slot
+    // numFeatures (bucket −1 on the wire). numFeatures is a parameter so
+    // other hashed-feature classifiers (p54 char-n-gram language ID)
+    // reuse this exact Newton loop on their own bucket spaces.
+    val S = numFeatures + 1
+    val nTri = S * (S + 1) / 2
     val w = Array.fill(S)(0.0)
     val losses = scala.collection.mutable.ArrayBuffer[Double]()
     for (_ <- 1 to iters) {
@@ -246,7 +266,6 @@ object QualityClassifier {
       var k2 = 0
       while (k2 < S) { w(k2) -= delta(k2); k2 += 1 }
     }
-    grouped.unpersist(false)
     (w.take(numFeatures), w(numFeatures), losses.toSeq)
   }
 
