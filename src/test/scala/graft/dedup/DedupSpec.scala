@@ -163,6 +163,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("bucket-local verification emits exactly the join-verified pair set") {
+    // sf0.001 documents: real planted near-dups + unrelated docs; the
+    // in-bucket path (one fat shuffle, row-local Jaccard, dedup after)
+    // must equal the candidate-join path pair for pair, jaccard for
+    // jaccard — including bucket-cap behavior
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sets = docs.select($"doc_id".as("id"),
+      graft.functions.HashFunctions.char_ngram_hashes($"text", 3).as("sh"))
+    val inBucket = MinHashDedup.verifiedPairsByHashed(sets, 0.9, bands = 8, rowsPerBand = 8)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val joined = MinHashDedup.candidatePairsByHashed(sets, bands = 8, rowsPerBand = 8)
+      .withColumn("jaccard", round(MinHashDedup.jaccardSorted($"sh_a", $"sh_b"), 6))
+      .filter($"jaccard" >= 0.9)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inBucket === joined)
+    assert(inBucket.nonEmpty, "fixture must exercise the verify path")
+  }
+
   test("LSH-blocked embedding dedup: recall 1.0 on planted near-identical vectors") {
     val rng = new scala.util.Random(11)
     val dim = 64
