@@ -89,6 +89,9 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     }
     val failed = scala.collection.mutable.ArrayBuffer[String]()
+    // rerun figure is -1.0 when the rerun itself failed or returned a
+    // DIFFERENT row count (then the first run's figure stands — a
+    // fast-failing rerun must not masquerade as the official time)
     val reruns = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     def clearCaches(): Unit = {
       // queries are independent: drop caches leaked by iterative ops so
@@ -107,13 +110,26 @@ object Bench {
       var dt = (System.nanoTime() - t0) / 1e9
       clearCaches()
       val exp = expected.get(name)
-      if (n >= 0 && exp.exists(e => dt > math.max(5 * e, 3.0))) {
+      // streaming queries carry a large fixed engine cost, so ambient
+      // contention inflates them 2–2.5× without ever tripping a 5×
+      // guard (r9 verdict: the committed s-band ran 1.9–2.5× expected,
+      // unattributable from the artifact) — trigger their rerun earlier
+      val trigger = if (name.matches("s\\d+_.*")) 2.5 else 5.0
+      if (n >= 0 && exp.exists(e => dt > math.max(trigger * e, 3.0))) {
         val t1 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        // the rerun only counts if it SUCCEEDS with the same row count:
+        // a rerun that fails fast (or returns different rows) must not
+        // record its time-to-failure as the official figure (r9 ADVICE)
+        val n2 = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt2 = (System.nanoTime() - t1) / 1e9
-        System.err.println(f"[bench] $name%-24s rerun: first=$dt%.2fs second=$dt2%.2fs (expected ~${exp.get}%.2fs)")
-        reruns += name -> (dt, dt2)
-        dt = math.min(dt, dt2)
+        if (n2 == n) {
+          System.err.println(f"[bench] $name%-24s rerun: first=$dt%.2fs second=$dt2%.2fs (expected ~${exp.get}%.2fs)")
+          reruns += name -> (dt, dt2)
+          dt = math.min(dt, dt2)
+        } else {
+          System.err.println(f"[bench] $name%-24s rerun FAILED (n=$n vs n2=$n2); first run's $dt%.2fs stands")
+          reruns += name -> (dt, -1.0)
+        }
         clearCaches()
       }
       System.err.println(f"[bench] $name%-24s $dt%8.2fs" +
@@ -149,7 +165,17 @@ object Bench {
           else reruns.map { case (k, (a, b)) =>
             "\"" + k + "\":{\"first\":" + fmt(2, a) + ",\"rerun\":" + fmt(2, b) + "}"
           }.mkString(""","contention_reruns":{""", ",", "}")
-        art + rr
+        // per-streaming-query engine meters: wall = start→termination,
+        // batch = engine-accounted triggerExecution. wall−batch is the
+        // fixed startup/teardown band — uniform inflation there is
+        // ambient contention, batch inflation is a plan regression.
+        val sm = graft.streaming.StreamMeters.snapshot
+        val smJson =
+          if (sm.isEmpty) ""
+          else sm.toSeq.sortBy(_._1).map { case (k, (w, b)) =>
+            "\"" + k + "\":{\"wall\":" + fmt(2, w) + ",\"batch\":" + fmt(2, b) + "}"
+          }.mkString(""","stream_engine_sec":{""", ",", "}")
+        art + rr + smJson
       }
       s"""{"metric":"total","value":${fmt(2, total)},"unit":"sec","queries":$qs$failedJson$extraJson,"sf":"$sfName"}"""
     }

@@ -180,6 +180,65 @@ object HashUtil {
     out
   }
 
+  /** xxhash64 of every k-CHAR window of `text`, in document order (one
+    * truncated window — the whole text — when shorter). ONE char-offset
+    * walk records every character's byte offset, then each window
+    * hashes its byte slice in place: O(len·k) bytes hashed total. The
+    * SQL `xxhash64(substring(text, pos, k))` formulation pays an
+    * additional O(len) UTF8 char-offset scan per window — O(len²) per
+    * doc, the exact defect measured at 13.9s of p54's 15.2s and
+    * re-introduced by p33b's first cut (r9 verdict). Values are
+    * xxhash64 over the window's UTF-8 bytes (seed 42) — NOT equal to
+    * Spark's `xxhash64(string)` column hash; only within-corpus
+    * EQUALITY matters (the oracle compares gram STRINGS). */
+  def charWindowHashSeq(text: UTF8String, k: Int): Array[Long] = {
+    val bytes = text.getBytes
+    val nChars = text.numChars()
+    // byte offset of each char (offs(c) = start of char c, offs(nChars) = end)
+    val offs = new Array[Int](nChars + 1)
+    var c = 0; var b = 0
+    while (c < nChars) {
+      offs(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    offs(nChars) = bytes.length
+    val wins = math.max(nChars - k + 1, 1)
+    val out = new Array[Long](wins)
+    var w = 0
+    while (w < wins) {
+      val s = offs(w)
+      val e = offs(math.min(w + k, nChars))
+      out(w) = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s, e - s, 42L)
+      w += 1
+    }
+    out
+  }
+
+  /** Re-render `text` with the 1-based CHAR positions in `sortedPos`
+    * (sorted ascending; duplicates and past-the-end positions are
+    * ignored) removed — one byte walk, O(len + |positions|). The
+    * row-local rebuild for span dedup: replaces a per-CHARACTER
+    * explode + anti-join + collect whose shuffle carried one row per
+    * character of the corpus. */
+  def removeCharPositions(text: UTF8String, sortedPos: ArrayData): UTF8String = {
+    val bytes = text.getBytes
+    val out = new Array[Byte](bytes.length)
+    val np = sortedPos.numElements()
+    var w = 0; var bi = 0; var c = 1; var pi = 0
+    while (bi < bytes.length) {
+      val l = UTF8String.numBytesForFirstByte(bytes(bi))
+      while (pi < np && sortedPos.getInt(pi) < c) pi += 1
+      if (!(pi < np && sortedPos.getInt(pi) == c)) {
+        var j = 0
+        while (j < l) { out(w) = bytes(bi + j); w += 1; j += 1 }
+      }
+      bi += l; c += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, w))
+  }
+
   /** |A ∩ B| for two sorted distinct long arrays — linear merge walk.
     * Null slots (possible only for untrusted SQL input — the fused set
     * builders emit containsNull=false) are skipped, not counted. */
@@ -350,6 +409,40 @@ case class ByteNgramBuckets(child: Expression, n: Int, d: Int) extends UnaryExpr
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `char_window_hash_seq(text, k)` — xxhash64 of every k-char window in
+  * document order (p33b's fused gram stream: one char-offset walk per
+  * doc instead of an O(len) substring scan per window). */
+case class CharWindowHashSeq(child: Expression, k: Int) extends TextToHashSet {
+  override def prettyName: String = "char_window_hash_seq"
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(HashUtil.charWindowHashSeq(a.asInstanceOf[UTF8String], k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"graft.functions.HashUtil.charWindowHashSeq($a, $k));")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `remove_char_positions(text, sorted_pos)` — text with the given
+  * 1-based char positions removed (row-local span-dedup re-render). */
+case class RemoveCharPositions(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "remove_char_positions"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (_: StringType, ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, array<int>) arguments")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.removeCharPositions(a.asInstanceOf[UTF8String], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashUtil.removeCharPositions($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `token_shingle_hashes(text, k)` — fused shingle+hash set builder. */
 case class TokenShingleHashes(child: Expression, k: Int) extends TextToHashSet {
   override def prettyName: String = "token_shingle_hashes"
@@ -425,6 +518,12 @@ object HashFunctions {
 
   def byte_ngram_buckets(text: Column, n: Int, d: Int): Column =
     column(ByteNgramBuckets(expression(text), n, d))
+
+  def char_window_hash_seq(text: Column, k: Int): Column =
+    column(CharWindowHashSeq(expression(text), k))
+
+  def remove_char_positions(text: Column, sortedPos: Column): Column =
+    column(RemoveCharPositions(expression(text), expression(sortedPos)))
 
   def token_shingle_hashes(text: Column, k: Int): Column =
     column(TokenShingleHashes(expression(text), k))

@@ -90,7 +90,7 @@ object EventStreams {
     graft.Tables.normalizeTs(tableStream(spark, dir, "events"))
   }
 
-  private def runToMemory(out: DataFrame, mode: String): DataFrame = {
+  private def runToMemory(out: DataFrame, mode: String, label: String = ""): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val spark = out.sparkSession
     val name = "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -115,9 +115,13 @@ object EventStreams {
     val prevProvider = spark.conf.get(ProviderConf, "")
     spark.conf.set(ProviderConf, stateStoreProvider)
     try {
+      val t0 = System.nanoTime()
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      if (label.nonEmpty)
+        StreamMeters.record(label, (System.nanoTime() - t0) / 1e9,
+          StreamMeters.batchSeconds(q))
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       if (prevProvider.isEmpty) spark.conf.unset(ProviderConf)
@@ -139,7 +143,7 @@ object EventStreams {
   /** s1: S1 through the streaming engine, hash-compared to the batch
     * windowed aggregation (complete mode — every window survives). */
   def s1StreamHourly(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    runToMemory(hourlyWindowed(eventStream(spark, dir)), "complete")
+    runToMemory(hourlyWindowed(eventStream(spark, dir)), "complete", "s1_stream_hourly")
       .select(col("window_start"), col("event_type"), col("n_events"),
               round(col("sum_value"), 2).as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
@@ -147,7 +151,7 @@ object EventStreams {
   /** s6: S6 through the streaming engine (complete mode — bounded
     * window-slot cardinality regardless of event volume). */
   def s6StreamSliding(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    runToMemory(slidingWindowed(eventStream(spark, dir)), "complete")
+    runToMemory(slidingWindowed(eventStream(spark, dir)), "complete", "s6_stream_sliding")
       .select(col("window_start"), col("event_type"), col("n_events"),
               round(col("sum_value"), 2).as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
@@ -165,7 +169,7 @@ object EventStreams {
               col("user_id").cast("long"), col("event_type"),
               col("value").cast("double"))
       .as[Event]
-    runToMemory(sessionize(events).toDF(), "append")
+    runToMemory(sessionize(events).toDF(), "append", "s2_stream_sessions")
       .select(col("user_id"), col("session_start"), col("session_end"),
               col("n_events").cast("long").as("n_events"),
               round(col("sum_value"), 2).as("sum_value"))
@@ -193,7 +197,7 @@ object EventStreams {
       col("user_id") === col("p_user") &&
       col("purchase_ts") >= col("click_ts") &&
       col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
-    runToMemory(joined, "append")
+    runToMemory(joined, "append", "s4_stream_join")
       .agg(count(lit(1)).as("n_pairs"),
            countDistinct(col("user_id")).as("n_users"),
            round(sum(col("value")), 2).as("sum_purchase_value"))
@@ -230,7 +234,7 @@ object EventStreams {
       col("purchase_ts") >= col("click_ts") &&
       col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
       "left_outer")
-    val emitted = runToMemory(joined, "append")
+    val emitted = runToMemory(joined, "append", "s10_stream_outer_join")
     // safe-region bound: the engine's global watermark is the MIN of the
     // two per-stream watermarks (multipleWatermarkPolicy=min), so a click
     // is provably decided only once MIN(max click ts, max purchase ts)
@@ -302,12 +306,15 @@ object EventStreams {
       (col("value") * 100).as("o_totalprice"),
       unix_millis(col("ts")).as("__v"),
       col("event_id").as("__e"))
+    val t0 = System.nanoTime()
     val q = updatesStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         mergeUpsertBatch(spark, stateRoot, ordersBase, batch)
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StreamMeters.record("s5_stream_upsert", (System.nanoTime() - t0) / 1e9,
+      StreamMeters.batchSeconds(q))
     val fin = spark.read.parquet(s"$stateRoot/state_${latestStateVersion(stateRoot)}")
     val out = fin.agg(
       count(lit(1)).as("n_orders"),
@@ -317,16 +324,26 @@ object EventStreams {
       graft.operators.ScaleOps.deleteRecursively(stateRoot))
   }
 
-  /** Highest committed state version under a versioned-merge root —
+  /** Highest COMMITTED state version under a versioned-merge root —
     * derived from the DIRECTORY LISTING, not a process-local counter, so
     * a restarted query (new JVM, same stateRoot) resumes from the state
-    * its predecessor actually committed. */
+    * its predecessor actually committed. "Committed" means the version
+    * directory carries the `_SUCCESS` marker the parquet job commit
+    * protocol writes LAST: a crash DURING a state write leaves a partial
+    * `state_N` with no marker, and counting it would hand the restarted
+    * chain a torn state file, silently dropping previously merged rows
+    * (r9 ADVICE). Torn versions are simply skipped — the replayed
+    * micro-batch re-merges onto the last good version and overwrites
+    * the partial directory. */
   private[streaming] def latestStateVersion(stateRoot: String): Int = {
-    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(stateRoot))
+    val rootPath = java.nio.file.Paths.get(stateRoot)
+    val listing = java.nio.file.Files.list(rootPath)
     try {
       import scala.jdk.CollectionConverters._
       listing.iterator().asScala.map(_.getFileName.toString)
-        .collect { case s if s.startsWith("state_") => s.stripPrefix("state_").toInt }
+        .collect { case s if s.startsWith("state_") &&
+          java.nio.file.Files.exists(rootPath.resolve(s).resolve("_SUCCESS")) =>
+          s.stripPrefix("state_").toInt }
         .foldLeft(0)(math.max)
     } finally listing.close()
   }
@@ -338,15 +355,21 @@ object EventStreams {
     * never in place, since the read streams from the current version's
     * files while the new one materializes.
     *
-    * Restart safety is BY CONSTRUCTION, twice over: (a) the version
-    * cursor comes from the directory listing, not process memory, so a
-    * restarted query continues the chain; (b) the merge is idempotent —
-    * after a crash between the state write and the checkpoint commit,
-    * Structured Streaming REPLAYS the uncommitted micro-batch with the
-    * same rows, and re-merging them yields a state version with
-    * identical content (the rank-1 winner per key cannot change when its
-    * own rows are re-offered). Exactly-once OUTPUT therefore holds even
-    * though the sink write and offset commit are not atomic. */
+    * Restart safety, three layers: (a) the version cursor comes from
+    * the directory listing COUNTING ONLY `_SUCCESS`-marked versions, so
+    * a crash mid-write leaves a torn `state_N` that the restarted chain
+    * skips and overwrites; (b) the merge is idempotent — after a crash
+    * between the state write and the checkpoint commit, Structured
+    * Streaming REPLAYS the uncommitted micro-batch with the same rows,
+    * and re-merging them yields a state version with identical content
+    * (the rank-1 winner per key cannot change when its own rows are
+    * re-offered). The remaining window is the commit protocol's own:
+    * `_SUCCESS` creation is not atomic WITH the task-file renames, so a
+    * crash after the last rename but before the marker re-runs one
+    * merge — idempotent by (b), never torn. On object stores without
+    * atomic rename the marker-last ordering is the committer's
+    * contract (magic committer / job-commit semantics), same as every
+    * parquet job this library writes. */
   private[streaming] def mergeUpsertBatch(spark: org.apache.spark.sql.SparkSession,
                                           stateRoot: String,
                                           base: DataFrame,
@@ -369,7 +392,7 @@ object EventStreams {
   /** s3: S3 through the streaming engine — dedup on event_id, then a
     * batch summary of the sink (oracle: DISTINCT over the table). */
   def s3StreamDedup(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    runToMemory(dedupedEvents(eventStream(spark, dir)), "append")
+    runToMemory(dedupedEvents(eventStream(spark, dir)), "append", "s3_stream_dedup")
       .agg(count(lit(1)).as("n_events"),
            countDistinct(col("user_id")).as("n_users"))
 
@@ -439,7 +462,7 @@ object EventStreams {
            // lexicographic struct max = (highest cos, then lowest id)
            max(struct(col("cos").as("c"),
                       (-col("neighbor_id")).as("negid"))).as("__nn"))
-    runToMemory(served, "complete")
+    runToMemory(served, "complete", "s7_stream_ann_serve")
       .select(col("query_id"), col("n_candidates"),
               (-col("__nn.negid")).as("nn_id"),
               round(col("__nn.c"), 6).as("nn_cos"))
@@ -488,7 +511,7 @@ object EventStreams {
       .agg(max(when(col("md5_r") === col("md5"), lit(1)).otherwise(lit(0))).as("exn"),
            min(when(col("j") >= IncrementalDedup.Threshold, col("rid"))).as("near_dup_of"),
            max(when(col("j") >= IncrementalDedup.Threshold, col("j"))).as("best_jaccard"))
-    val sink = runToMemory(decided, "complete")
+    val sink = runToMemory(decided, "complete", "s8_stream_incr_dedup")
     graft.Tables.documents(spark, dir)
       .filter(col("doc_id") % 2 === 1)
       .select(col("doc_id"))
@@ -516,7 +539,7 @@ object EventStreams {
     val (w, bias) = QualityClassifier.loadWeights(spark, dir)
     val scored = QualityClassifier.marginMicrosNarrow(
       tableStream(spark, dir, "documents"), w, bias)
-    val sink = runToMemory(scored, "append")
+    val sink = runToMemory(scored, "append", "s9_stream_score")
     sink.join(QualityClassifier.labelTable(spark, dir), Seq("doc_id"))
       .select(col("doc_id"), col("margin_micros"),
         (col("margin_micros") >= 0).as("pred"), col("y"),
@@ -631,6 +654,7 @@ object EventStreams {
           org.apache.spark.sql.types.StructField("n_events",
             org.apache.spark.sql.types.LongType))))
       .write.mode("overwrite").parquet(s"$stateRoot/state_0")
+    val t0s11 = System.nanoTime()
     val q = counts.writeStream.outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // last-writer-wins: this batch's rows replace same-key view rows
@@ -644,6 +668,8 @@ object EventStreams {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StreamMeters.record("s11_stream_trending", (System.nanoTime() - t0s11) / 1e9,
+      StreamMeters.batchSeconds(q))
     val fin = spark.read.parquet(s"$stateRoot/state_${stateVer.get()}")
     val w = Window.partitionBy(col("window_start"))
       .orderBy(col("n_events").desc, col("item"))
