@@ -90,6 +90,7 @@ object SparkEntry {
     "q45_countmin"         -> (graft.operators.CountMin.query _),
     "q46_triangles"        -> (graft.operators.Triangles.query _),
     "q44_reachability"     -> (graft.operators.Reachability.query _),
+    "q51_sssp"             -> (graft.operators.Sssp.query _),
     "s8_stream_incr_dedup" -> (graft.streaming.EventStreams.s8StreamIncrDedup _),
     "s9_stream_score"      -> (graft.streaming.EventStreams.s9StreamQualityScore _),
     "s11_stream_trending"  -> (graft.streaming.EventStreams.s11StreamTrending _),
@@ -1175,6 +1176,7 @@ object SparkEntry {
     "q45_countmin" -> graft.operators.CountMin.oracleSql,
     "q46_triangles" -> graft.operators.Triangles.oracleSql,
     "q44_reachability" -> graft.operators.Reachability.oracleSql,
+    "q51_sssp" -> graft.operators.Sssp.oracleSql,
     "p39_bpe_vocab" -> graft.text.BpeVocab.oracleSql,
     "p39b_bpe_encode" -> graft.text.BpeVocab.encodeOracleSql,
     "p39c_bpe_decode" -> graft.text.BpeVocab.decodeOracleSql,
