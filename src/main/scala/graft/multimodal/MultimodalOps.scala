@@ -48,7 +48,7 @@ object MultimodalOps {
 
   /** 96 deterministic pixel bytes as hex: a chained md5 of the text
     * (6 × 16 bytes). DuckDB replays this exactly. */
-  private def pixelHex(text: Column): Column =
+  private[multimodal] def pixelHex(text: Column): Column =
     concat(md5(text), md5(concat(text, lit("1"))), md5(concat(text, lit("2"))),
            md5(concat(text, lit("3"))), md5(concat(text, lit("4"))),
            md5(concat(text, lit("5"))))
