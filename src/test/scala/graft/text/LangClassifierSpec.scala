@@ -97,12 +97,36 @@ class LangClassifierSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "en", 500L), (2L, "de", -10L)))
   }
 
-  test("p54: feature table is frequency-normalized and bucket-bounded") {
+  test("p54: feature table is uniform-share-normalized and bucket-bounded") {
     val f = LangClassifier.featureTable(Seq((1L, "xx", "abcd")).toDF("doc_id", "lang", "text"))
       .collect().map(r => (r.getInt(1), r.getDouble(2)))
     // "abcd": 2-grams ab bc cd + d(partial), 3-grams abc bcd cd(partial) d? —
     // exact gram set aside, the invariants are what scoring relies on:
     assert(f.forall { case (b, _) => b >= 0 && b < LangClassifier.D })
-    assert(math.abs(f.map(_._2).sum - 1.0) < 1e-9, "per-doc cnt must sum to 1")
+    // cnt = D · share, so per-doc cnt sums to D (1.0 = uniform share —
+    // unit-scale features keep the ridge priced for O(1) weights)
+    assert(math.abs(f.map(_._2).sum - LangClassifier.D) < 1e-9,
+      "per-doc cnt must sum to D")
+  }
+
+  test("p54: langized derivation splices the labeled language's function words, deterministically") {
+    val in = Seq(
+      (7L, "fr", "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (8L, "zz", "alpha beta gamma")).toDF("doc_id", "lang", "text")
+    val out1 = LangClassifier.langized(in).orderBy($"doc_id")
+      .select($"text").as[String].collect()
+    val out2 = LangClassifier.langized(in).orderBy($"doc_id")
+      .select($"text").as[String].collect()
+    assert(out1.toSeq == out2.toSeq, "derivation must be deterministic")
+    val frWords = LangClassifier.FuncWords("fr").toSet
+    val spliced = out1(0).split(" ").filterNot(
+      "alpha beta gamma delta epsilon zeta eta theta iota".split(" ").toSet)
+    assert(spliced.nonEmpty && spliced.forall(frWords),
+      s"spliced tokens ${spliced.toSeq} must be French function words")
+    // original token order preserved
+    assert(out1(0).split(" ").filterNot(frWords).toSeq ==
+      "alpha beta gamma delta epsilon zeta eta theta iota".split(" ").toSeq)
+    // unknown lang → text unchanged
+    assert(out1(1) == "alpha beta gamma")
   }
 }
