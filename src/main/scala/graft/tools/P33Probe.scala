@@ -31,8 +31,11 @@ object P33Probe {
         val sb = new StringBuilder
         while (sb.length < lenChars) {
           sb.append("w").append(rnd.nextInt(100000)).append(' ')
-          // every ~40 words, docs d and d+1 share a long verbatim span
-          if (d % 2 == 0 && rnd.nextInt(40) == 0) sb.append(shared).append(' ')
+          // even docs share a long verbatim span every ~1000 words —
+          // ~11% of their bytes are duplicated spans (web-boilerplate
+          // density; an earlier 1/40 draw made even docs ~75% spans and
+          // the COVERAGE volume, not the gram stream, dominated)
+          if (d % 2 == 0 && rnd.nextInt(1000) == 0) sb.append(shared).append(' ')
         }
         (d.toLong, sb.toString.trim.take(lenChars))
       }
@@ -68,24 +71,50 @@ object P33Probe {
           md5(coalesce($"kept_text", lit(""))).as("kept_md5"))
     }
 
-    def time(tag: String)(df: => DataFrame): Double = {
+    def time(tag: String)(df0: => DataFrame): Double = {
       val t0 = System.nanoTime()
-      val n = df.count()
+      // fold EVERY output column into one checksum: a bare count() lets
+      // Catalyst eliminate the unique-key left join (and with it the
+      // whole gram subtree), timing an empty plan — measured 0.3s for a
+      // stage that runs 389s when actually forced
+      val df = df0
+      val n = df.select(expr("bit_xor(" +
+        s"xxhash64(concat_ws('|', ${df.columns.map(c => s"cast($c as string)").mkString(",")})))"))
+        .head().getLong(0)
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      println(f"$tag%-28s $dt%7.2fs  ($n rows)")
+      println(f"$tag%-28s $dt%7.2fs  (checksum $n)")
       dt
     }
 
-    val lens = args.headOption.map(_.split(",").map(_.toInt).toSeq)
+    val lens = sys.env.get("P33_LENS").map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(12800, 25600, 51200, 102400))
+    val gramsOnly = args.contains("--grams")
     val withOld = !args.contains("--no-old")
     for (len <- lens) {
       val docs = corpus(len).persist()
       docs.count()
-      time(f"new  len=$len%7d")(graft.dedup.SpanDedup.byteSpans(docs, k))
-      if (withOld) time(f"old  len=$len%7d")(oldByteSpans(docs))
+      if (gramsOnly) {
+        // the isolated gram stage (hash aggregated so nothing else runs):
+        // this is where the formulations differ
+        time(f"new-grams len=$len%7d") {
+          docs.select($"doc_id",
+            posexplode(graft.functions.HashFunctions.char_window_hash_seq($"text", k)))
+            .groupBy($"col").count()
+        }
+        if (withOld) time(f"old-grams len=$len%7d") {
+          docs
+            .select($"doc_id", $"text",
+              explode(sequence(lit(1), greatest(length($"text") - (k - 1), lit(1)))).as("pos"))
+            .select($"doc_id", $"pos",
+              xxhash64(substring($"text", $"pos", lit(k))).as("g"))
+            .groupBy($"g").count()
+        }
+      } else {
+        time(f"new  len=$len%7d")(graft.dedup.SpanDedup.byteSpans(docs, k))
+        if (withOld) time(f"old  len=$len%7d")(oldByteSpans(docs))
+      }
       docs.unpersist(true)
     }
     spark.stop()
