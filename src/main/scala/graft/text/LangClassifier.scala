@@ -131,7 +131,17 @@ object LangClassifier {
     * and each class's loop re-labels the cached RDD with a narrow map
     * (measured at sf0.1: 5 independent fits re-shuffled the feature
     * table 5× and put p54 at 15.2s; sharing cuts the prep to 1×).
-    * Returns lang → (weights, bias). */
+    * Returns lang → (weights, bias).
+    *
+    * Ridge is SCALE-INVARIANT here: fitGrouped averages gradient and
+    * Hessian over n but adds `ridge·n` to the diagonal, so a fixed
+    * ridge grows linearly against the data term as the corpus grows —
+    * at the 100× decade (25k train docs) 1e-3·n = 25 drowned an O(0.1)
+    * averaged Hessian and the fit collapsed to the bias (held-out
+    * accuracy = majority, caught by the r10 accuracy gate). Dividing by
+    * the train count keeps the effective diagonal add at [[Ridge]] at
+    * every scale; the sf0.01/sf0.1/fixture fits are unchanged in kind,
+    * the decade fit actually learns. */
   def fitOvr(feat: DataFrame, labels: DataFrame, iters: Int = Iters,
              ridge: Double = Ridge): Seq[(String, Array[Double], Double)] = {
     val spark = feat.sparkSession
@@ -158,7 +168,7 @@ object LangClassifier {
         .as[String].collect().sorted.toSeq
       langs.map { l =>
         val bin = grouped.map { case (bs, cs, lg) => (bs, cs, if (lg == l) 1 else 0) }
-        val (w, bias, _) = QualityClassifier.fitGrouped(bin, n, iters, D, ridge)
+        val (w, bias, _) = QualityClassifier.fitGrouped(bin, n, iters, D, ridge / n)
         (l, w, bias)
       }
     } finally grouped.unpersist(false)
