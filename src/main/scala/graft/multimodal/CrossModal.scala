@@ -125,8 +125,11 @@ object CrossModal {
           .otherwise(round($"cos_raw", 6)).as("cm_cos"),
         $"kept", $"planted")
       .orderBy($"pair_id")
-    // plant replay gate: agreement must separate perfectly (see above)
-    val bad = scored.filter($"kept" === $"planted").count()
+    // plant replay gate: agreement must separate perfectly (see above).
+    // Computed off the PERSISTED output frame — the first cut filtered
+    // the pre-persist plan, so the gate re-ran the whole decode+embed
+    // pipeline a second time (measured at the 100× decade: 91s → ~50s)
+    val bad = out.filter($"kept" === $"planted").count()
     require(bad == 0,
       s"mm7 cross-modal gate failed to separate $bad planted/true pairs")
     out
