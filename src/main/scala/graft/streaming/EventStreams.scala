@@ -640,11 +640,6 @@ object EventStreams {
     import org.apache.spark.sql.expressions.Window
     val counts = trendingCounts(eventStream(spark, dir))
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_trend").toString
-    // AtomicInteger, not a var: foreachBatch runs on the stream-execution
-    // thread while the final read happens on the caller thread after
-    // awaitTermination — the atomic supplies the happens-before edge a
-    // plain var lacks (a stale read would serve an older state file)
-    val stateVer = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("window_start",
@@ -657,20 +652,24 @@ object EventStreams {
     val t0s11 = System.nanoTime()
     val q = counts.writeStream.outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // last-writer-wins: this batch's rows replace same-key view rows
-        val ver = stateVer.get()
+        // last-writer-wins: this batch's rows replace same-key view rows.
+        // The version cursor is the _SUCCESS-gated directory listing (the
+        // s5 rule) so a restarted query resumes from committed state and
+        // skips torn writes — filesystem listing also gives the final
+        // read below its cross-thread visibility (the r9 AtomicInteger
+        // mirror is gone with it).
+        val ver = latestStateVersion(stateRoot)
         val merged = spark.read.parquet(s"$stateRoot/state_$ver")
           .join(batch, Seq("window_start", "item"), "left_anti")
           .unionByName(batch)
         // next version, never in place (the s5 rule)
         merged.write.mode("overwrite").parquet(s"$stateRoot/state_${ver + 1}")
-        stateVer.set(ver + 1)
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     StreamMeters.record("s11_stream_trending", (System.nanoTime() - t0s11) / 1e9,
       StreamMeters.batchSeconds(q))
-    val fin = spark.read.parquet(s"$stateRoot/state_${stateVer.get()}")
+    val fin = spark.read.parquet(s"$stateRoot/state_${latestStateVersion(stateRoot)}")
     val w = Window.partitionBy(col("window_start"))
       .orderBy(col("n_events").desc, col("item"))
     val out = fin.withColumn("rank", row_number().over(w).cast("long"))

@@ -62,4 +62,22 @@ class PageRankSpec extends SparkSpec {
     val c = GraphBroadcast.MaxBroadcastNodes
     assert(c >= 1000000L && c <= 10000000L)
   }
+
+  test("graph broadcast: memory strings parse; malformed override fails with a clear message") {
+    assert(GraphBroadcast.parseMemoryBytes("4g") == 4L << 30)
+    assert(GraphBroadcast.parseMemoryBytes("512m") == 512L << 20)
+    assert(GraphBroadcast.parseMemoryBytes("1024") == 1024L)
+    assert(GraphBroadcast.parseMemoryBytes("2.5g") == (2.5 * (1L << 30)).toLong)
+    // unparseable → MaxValue so the driver-heap term governs alone
+    assert(GraphBroadcast.parseMemoryBytes("oops") == Long.MaxValue)
+    val prev = sys.props.get("graft.graph.broadcastMaxNodes")
+    try {
+      sys.props("graft.graph.broadcastMaxNodes") = "not-a-number"
+      val e = intercept[IllegalArgumentException](GraphBroadcast.MaxBroadcastNodes)
+      assert(e.getMessage.contains("broadcastMaxNodes"))
+    } finally prev match {
+      case Some(v) => sys.props("graft.graph.broadcastMaxNodes") = v
+      case None => sys.props -= "graft.graph.broadcastMaxNodes"
+    }
+  }
 }
