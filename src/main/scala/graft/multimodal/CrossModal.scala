@@ -39,11 +39,15 @@ import graft.Tables
   * IEEE-correctly-rounded in both engines. No float accumulation
   * anywhere, so no summation-order sensitivity (the p29/p34 discipline).
   *
-  * Scale shape: the plant is a self-equi-join on doc_id+1 (at 100 TB:
-  * pairs arrive AS pairs, no join at all); decode + both embeddings +
-  * the gate are ONE narrow mapPartitions — zero shuffles, unbounded
-  * ingest-rate throughput, the mm1/mm6 shape with a second modality
-  * folded in.
+  * Scale shape: the SCORING — decode + both embeddings + the
+  * agreement math — is ONE narrow mapPartitions (the mm1/mm6 shape
+  * with a second modality folded in), so at 100 TB, where pairs
+  * arrive AS pairs, the operator is shuffle-free ingest-rate row-local
+  * work. The self-equi-join (building test pairs from the single-table
+  * corpus) and the doc-ordered output sort are harness artifacts: the
+  * join is a broadcast hash join at test SF and would not exist on a
+  * real pair table, and the sort exists for the deterministic oracle
+  * compare.
   */
 object CrossModal {
 

@@ -173,4 +173,35 @@ class CheckpointRecoverySpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(once === twice)
   }
+
+  test("s5 torn state write: a version without _SUCCESS is skipped and overwritten on replay") {
+    import spark.implicits._
+    val base = Seq((1L, 100.0), (2L, 200.0)).toDF("o_orderkey", "o_totalprice")
+    val stateRoot = tmp("s5_torn")
+    base.withColumn("__v", lit(-1L)).withColumn("__e", lit(-1L))
+      .write.mode("overwrite").parquet(s"$stateRoot/state_0")
+    val batch = Seq((1L, 555.0, 10L, 7L)).toDF("o_orderkey", "o_totalprice", "__v", "__e")
+    EventStreams.mergeUpsertBatch(spark, stateRoot, base, batch)
+    val committed = spark.read.parquet(s"$stateRoot/state_1")
+      .collect().map(_.toSeq).toSet
+    // simulate a crash DURING the state_2 write: directory exists with a
+    // partial (here: empty-marker-less, garbage-content) payload
+    val torn = java.nio.file.Paths.get(stateRoot, "state_2")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.write(torn.resolve("part-00000.parquet"),
+      "not parquet".getBytes("UTF-8"))
+    // the cursor must NOT count the torn version (r9 ADVICE: counting it
+    // would hand the restarted chain a torn file and silently drop rows)
+    assert(EventStreams.latestStateVersion(stateRoot) == 1)
+    // the replayed micro-batch re-merges onto state_1 and OVERWRITES the
+    // torn directory; the recovered chain carries the committed content
+    val batch2 = Seq((2L, 666.0, 11L, 8L)).toDF("o_orderkey", "o_totalprice", "__v", "__e")
+    EventStreams.mergeUpsertBatch(spark, stateRoot, base, batch2)
+    assert(EventStreams.latestStateVersion(stateRoot) == 2)
+    val recovered = spark.read.parquet(s"$stateRoot/state_2")
+      .collect().map(_.toSeq).toSet
+    assert(recovered.exists(r => r.head == 1L && r(1) == 555.0), "state_1 rows survive")
+    assert(recovered.exists(r => r.head == 2L && r(1) == 666.0), "replayed batch merged")
+    assert(committed.size == 2 && recovered.size == 2)
+  }
 }
