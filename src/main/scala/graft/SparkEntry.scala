@@ -63,6 +63,7 @@ object SparkEntry {
     "p28_doc_clusters"     -> (graft.pipeline.DocClusters.query _),
     "p29_lm_quality"       -> (graft.text.LmQuality.query _),
     "p32_sequences"        -> ((s, d) => graft.pipeline.TrainingOps.sequenceQuery(s, d)),
+    "p56_train_order"      -> ((s, d) => graft.pipeline.TrainingOps.trainOrderQuery(s, d)),
     "p33_dup_spans"        -> ((s, d) => graft.dedup.SpanDedup.duplicatedSpansQuery(s, d)),
     "p33b_dup_spans_bytes" -> ((s, d) => graft.dedup.SpanDedup.byteSpansQuery(s, d)),
     "p34_quality_clf"      -> (graft.text.QualityClassifier.query _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "q46_triangles"        -> (graft.operators.Triangles.query _),
     "q44_reachability"     -> (graft.operators.Reachability.query _),
     "q51_sssp"             -> (graft.operators.Sssp.query _),
+    "q52_ppr"              -> (graft.operators.Ppr.query _),
     "s8_stream_incr_dedup" -> (graft.streaming.EventStreams.s8StreamIncrDedup _),
     "s9_stream_score"      -> (graft.streaming.EventStreams.s9StreamQualityScore _),
     "s11_stream_trending"  -> (graft.streaming.EventStreams.s11StreamTrending _),
@@ -1164,6 +1166,7 @@ object SparkEntry {
     "p28_doc_clusters" -> graft.pipeline.DocClusters.oracleSql,
     "p29_lm_quality" -> graft.text.LmQuality.oracleSql,
     "p32_sequences" -> graft.pipeline.TrainingOps.sequenceOracleSql,
+    "p56_train_order" -> graft.pipeline.TrainingOps.trainOrderOracleSql,
     "p33_dup_spans" -> graft.dedup.SpanDedup.oracleSql,
     "p33b_dup_spans_bytes" -> graft.dedup.SpanDedup.byteOracleSql,
     "p34_quality_clf" -> graft.text.QualityClassifier.oracleSql,
@@ -1178,6 +1181,7 @@ object SparkEntry {
     "q46_triangles" -> graft.operators.Triangles.oracleSql,
     "q44_reachability" -> graft.operators.Reachability.oracleSql,
     "q51_sssp" -> graft.operators.Sssp.oracleSql,
+    "q52_ppr" -> graft.operators.Ppr.oracleSql,
     "p39_bpe_vocab" -> graft.text.BpeVocab.oracleSql,
     "p39b_bpe_encode" -> graft.text.BpeVocab.encodeOracleSql,
     "p39c_bpe_decode" -> graft.text.BpeVocab.decodeOracleSql,

@@ -209,6 +209,73 @@ object TrainingOps {
       .orderBy($"user_id")
   }
 
+  /** §2.3 P56 (p56): deterministic per-EPOCH training-order shuffle +
+    * shard assignment — the "global shuffle" every training run needs,
+    * done content-addressed instead of with `orderBy(rand())`. Every
+    * doc gets an order key md5("order:<epoch>:"+id): the epoch salt
+    * gives each epoch an independent pseudorandom permutation (the
+    * published reshuffle-each-epoch practice) while staying exactly
+    * reproducible across reruns, retries, and partitioning — rand()
+    * is none of those. Shard = first 32 bits of the key mod nShards:
+    * a zero-shuffle per-row map (the assignSplit trick), so shard
+    * routing costs nothing; the within-shard order is ONE keyed
+    * shuffle partitioned by shard. At 100 TB you size nShards so a
+    * shard is a few GB (tens of thousands of shards): assignment
+    * stays zero-shuffle, each shard sorts independently, and the
+    * training job streams shards in shard/pos order — no global sort
+    * ever happens.
+    *
+    * The query emits one row per shard with an md5 DIGEST over the
+    * pos-ordered doc ids (the sequenceQuery pattern): compact, and the
+    * hash gate certifies the ENTIRE permutation — key derivation,
+    * shard routing, and within-shard order — not just counts. */
+  /** Per-row core: (id, shard, pos) — the epoch-salted order key routes
+    * each row to a shard (zero-shuffle map) and ranks it within the
+    * shard (one keyed shuffle). md5 ties are broken by id, so the
+    * permutation is total even under (astronomically unlikely) key
+    * collisions. */
+  def trainOrder(df: DataFrame, idCol: String,
+                 epoch: Int, nShards: Int): DataFrame = {
+    val key = md5(concat(lit(s"order:$epoch:"), col(idCol).cast("string")))
+    val routed = df
+      .select(col(idCol), key.as("k"))
+      .withColumn("shard",
+        conv(substring(col("k"), 1, 8), 16, 10).cast("long") % nShards)
+    val w = Window.partitionBy(col("shard")).orderBy(col("k"), col(idCol))
+    routed.withColumn("pos", row_number().over(w))
+  }
+
+  def trainOrderQuery(spark: SparkSession, dir: String,
+                      epoch: Int = 1, nShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    trainOrder(Tables.documents(spark, dir), "doc_id", epoch, nShards)
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_sort(collect_list(struct($"pos", $"doc_id".cast("string").as("d")))).as("arr"))
+      .select($"shard", $"n_docs",
+        md5(concat_ws("|", expr("transform(arr, x -> x.d)"))).as("order_md5"))
+      .orderBy($"shard")
+  }
+
+  val trainOrderOracleSql: String =
+    """WITH k AS (
+         SELECT doc_id,
+                md5('order:1:' || CAST(doc_id AS VARCHAR)) AS k
+         FROM documents),
+       routed AS (
+         SELECT doc_id, k,
+                CAST(('0x' || substring(k, 1, 8)) AS BIGINT) % 8 AS shard
+         FROM k),
+       ordered AS (
+         SELECT shard, doc_id,
+                row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+         FROM routed)
+       SELECT shard, count(*) AS n_docs,
+              md5(string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY pos))
+                AS order_md5
+       FROM ordered GROUP BY shard ORDER BY shard"""
+
   val sequenceOracleSql: String =
     """WITH capped AS (
          SELECT user_id, event_type, epoch_us(ts) AS ts_us,
