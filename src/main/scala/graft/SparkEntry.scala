@@ -176,6 +176,7 @@ object SparkEntry {
     "mm5_video_frames"     -> (graft.multimodal.VideoOps.videoFrameFeatures _),
     "mm6_image_resize"     -> (graft.multimodal.MultimodalOps.resize _),
     "mm7_crossmodal_filter" -> (graft.multimodal.CrossModal.query _),
+    "mm8_scene_cuts"       -> (graft.multimodal.SceneCuts.query _),
     "q22_sessions"         -> (Sessionization.sessionsBatch _),
     "u1_bucketed_join"     -> (graft.operators.ScaleOps.u1BucketedJoinQuery _),
     "u2_salted_join"       -> (graft.operators.ScaleOps.u2SaltedJoinQuery _),
@@ -1240,6 +1241,7 @@ object SparkEntry {
     "mm5_video_frames" -> graft.multimodal.VideoOps.oracleSql,
     "mm6_image_resize" -> graft.multimodal.MultimodalOps.resizeOracleSql,
     "mm7_crossmodal_filter" -> graft.multimodal.CrossModal.oracleSql,
+    "mm8_scene_cuts" -> graft.multimodal.SceneCuts.oracleSql,
     // the stream computes the SAME decision record as the batch p35, so
     // the same replay SQL gates both halves of the continual-ingestion story
     "s8_stream_incr_dedup" -> graft.dedup.IncrementalDedup.oracleSql,
