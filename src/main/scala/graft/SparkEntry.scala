@@ -62,6 +62,7 @@ object SparkEntry {
     "p27_weighted_sample"  -> ((s, d) => graft.operators.WeightedSample.query(s, d)),
     "p28_doc_clusters"     -> (graft.pipeline.DocClusters.query _),
     "p29_lm_quality"       -> (graft.text.LmQuality.query _),
+    "p57_kn_trigram"       -> (graft.text.KnTrigramLm.query _),
     "p32_sequences"        -> ((s, d) => graft.pipeline.TrainingOps.sequenceQuery(s, d)),
     "p56_train_order"      -> ((s, d) => graft.pipeline.TrainingOps.trainOrderQuery(s, d)),
     "p33_dup_spans"        -> ((s, d) => graft.dedup.SpanDedup.duplicatedSpansQuery(s, d)),
@@ -1166,6 +1167,7 @@ object SparkEntry {
     // computes it with a one-pass bounded custom aggregate, not a sort.)
     "p28_doc_clusters" -> graft.pipeline.DocClusters.oracleSql,
     "p29_lm_quality" -> graft.text.LmQuality.oracleSql,
+    "p57_kn_trigram" -> graft.text.KnTrigramLm.oracleSql,
     "p32_sequences" -> graft.pipeline.TrainingOps.sequenceOracleSql,
     "p56_train_order" -> graft.pipeline.TrainingOps.trainOrderOracleSql,
     "p33_dup_spans" -> graft.dedup.SpanDedup.oracleSql,
