@@ -143,6 +143,7 @@ object SparkEntry {
     "u14_schema_evolution" -> (graft.operators.SchemaEvolution.u14SchemaEvolutionQuery _),
     "u15_observed_metrics" -> (graft.operators.ObservedMetrics.u15ObservedMetricsQuery _),
     "u16_write_audit_publish" -> (graft.operators.WriteAuditPublish.u16WapQuery _),
+    "u17_dynamic_overwrite" -> (graft.operators.DynamicPartitionOverwrite.u17DynamicOverwriteQuery _),
     "s4_stream_join"       -> (graft.streaming.EventStreams.s4StreamJoin _),
     "s10_stream_outer_join" -> (graft.streaming.EventStreams.s10StreamOuterJoin _),
     "s5_stream_upsert"     -> (graft.streaming.EventStreams.s5StreamUpsert _),
@@ -1236,6 +1237,7 @@ object SparkEntry {
     "u14_schema_evolution" -> graft.operators.SchemaEvolution.oracleSql,
     "u15_observed_metrics" -> graft.operators.ObservedMetrics.oracleSql,
     "u16_write_audit_publish" -> graft.operators.WriteAuditPublish.oracleSql,
+    "u17_dynamic_overwrite" -> graft.operators.DynamicPartitionOverwrite.oracleSql,
     "s10_stream_outer_join" -> graft.streaming.EventStreams.s10OracleSql,
     "s11_stream_trending" -> graft.streaming.EventStreams.s11OracleSql,
     "mm3_phash_dedup" -> graft.multimodal.PHashDedup.oracleSql,
