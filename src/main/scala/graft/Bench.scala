@@ -100,9 +100,19 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
     }
+    // Force FULL materialization of every output column: a bare count()
+    // lets Catalyst prune unused columns and even eliminate whole
+    // subtrees behind them (a left join against a grouped — hence
+    // key-distinct — side preserves cardinality, so count() drops the
+    // join). Measured: m6's entire kernel-sum scoring stage was being
+    // optimized away, so its figure was fit-only. toRdd.count() consumes
+    // the executed plan's UnsafeRows — every column computed, no
+    // per-row object conversion tax.
+    def forcedCount(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val n = try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+      val n = try { forcedCount(fn(spark, sfDir)) } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         -1L
@@ -120,7 +130,7 @@ object Bench {
         // the rerun only counts if it SUCCEEDS with the same row count:
         // a rerun that fails fast (or returns different rows) must not
         // record its time-to-failure as the official figure (r9 ADVICE)
-        val n2 = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val n2 = try { forcedCount(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
         val dt2 = (System.nanoTime() - t1) / 1e9
         if (n2 == n) {
           System.err.println(f"[bench] $name%-24s rerun: first=$dt%.2fs second=$dt2%.2fs (expected ~${exp.get}%.2fs)")

@@ -1613,8 +1613,9 @@ object SparkEntry {
          ${metricsTailSql("")}"""
 
   /** DuckDB replay of a saved psvm-style TEXT SV model scored over the
-    * FULL embeddings table (value-sorted sequential kernel sums — the
-    * predictOrdered fold), reduced to confusion matrix + metrics. */
+    * deterministic 1-in-10 eval sample (floor-picounit quantized kernel
+    * sums — the predictQuantized integer reduction, replayed here with
+    * one GROUP BY), reduced to confusion matrix + metrics. */
   private def svModelEvalSql(model: String, extraSelect: String = ""): String =
     s"""WITH prm AS (
            SELECT CAST(regexp_extract(content, 'gamma ([^\\n]+)', 1) AS DOUBLE) AS gamma,
@@ -1631,18 +1632,19 @@ object SparkEntry {
          pts AS (
            SELECT vec_id, CASE WHEN label % 2 = 0 THEN 1.0 ELSE -1.0 END AS y,
                   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS px
-           FROM embeddings),
+           FROM embeddings WHERE vec_id % 10 = 0),
          contrib AS (
            SELECT pts.vec_id,
-             sv.coef * exp(-(SELECT gamma FROM prm) *
+             CAST(floor(sv.coef * exp(-(SELECT gamma FROM prm) *
                list_sum(list_transform(list_zip(sv.x, pts.px),
-                 z -> (z[1] - z[2]) * (z[1] - z[2])))) AS c
+                 z -> (z[1] - z[2]) * (z[1] - z[2])))) * 1e12) AS BIGINT) AS cq
            FROM pts, sv),
          ksum AS (
-           SELECT vec_id, list_sum(array_agg(c ORDER BY c)) AS s
+           SELECT vec_id, sum(cq) AS sq
            FROM contrib GROUP BY vec_id),
          dec AS (
-           SELECT p.vec_id, p.y, COALESCE(k.s, 0.0) + -(SELECT rho FROM prm) AS d
+           SELECT p.vec_id, p.y,
+             CAST(COALESCE(k.sq, 0) AS DOUBLE) / 1e12 + -(SELECT rho FROM prm) AS d
            FROM pts p LEFT JOIN ksum k ON p.vec_id = k.vec_id),
          ${metricsTailSql(extraSelect)}"""
 }

@@ -133,6 +133,45 @@ final case class IcfSvmModel(
       .withColumn("prediction", when(col("decision") >= 0, 1.0).otherwise(-1.0))
   }
 
+  /** [[predict]] with QUANTIZED order-independent accumulation — the
+    * scale path for exact-kernel scoring when BOTH the corpus and the
+    * SV set are huge AND the result must be bit-stable/replayable:
+    * each per-SV contribution is floor-quantized to integer picounits
+    * (the q43/p29 discipline) and the per-row reduction is an INTEGER
+    * sum — associative and commutative EXACTLY, so map-side partial
+    * aggregation, chunking, and any partitioning all produce identical
+    * bits, and an external engine replays it with one GROUP BY.
+    * Physically the SV side streams in ≤`chunkSize` broadcast chunks
+    * (the [[predictChunked]] layout): no shuffle of n·nSV rows ever
+    * exists — [[predictOrdered]]'s per-row collect_list of nSV
+    * contributions is O(n·nSV) through the shuffle, measured
+    * disk-filling at the 100× decade (200k × 200k), while this path's
+    * shuffle is n rows of (id, long) per chunk. Decisions differ from
+    * the exact-float fold by ≤ nSV·1e-12 — quantization noise, not
+    * model error (and the replaying oracle quantizes identically). */
+  def predictQuantized(df: DataFrame, idCol: String, vecCol: String,
+                       chunkSize: Long = 65536): DataFrame = {
+    val nChunks = math.max(1L, (numSupportVectors + chunkSize - 1) / chunkSize).toInt
+    val withChunk = svs.select(col("sv_x"), col("sv_coef"),
+      pmod(xxhash64(col("sv_x")), lit(nChunks)).as("__chunk"))
+    val pts = df.select(col(idCol).as("__pid"),
+      VectorOps.toDoubleArray(col(vecCol)).as("__px"))
+    val partials = (0 until nChunks).map { k =>
+      pts.crossJoin(broadcast(withChunk.filter(col("__chunk") === k)
+          .select(col("sv_x"), col("sv_coef"))))
+        .groupBy(col("__pid"))
+        .agg(sum(floor(col("sv_coef") * kernel(col("sv_x"), col("__px"))
+          * lit(1e12)).cast("long")).as("__pq"))
+    }
+    val scores = partials.reduce(_ unionByName _)
+      .groupBy(col("__pid")).agg(sum(col("__pq")).as("__q"))
+    df.join(scores, df(idCol) === scores("__pid"), "left")
+      .withColumn("decision",
+        coalesce(col("__q"), lit(0L)).cast("double") / lit(1e12) + lit(bias))
+      .drop("__pid", "__q")
+      .withColumn("prediction", when(col("decision") >= 0, 1.0).otherwise(-1.0))
+  }
+
   /** [[predict]] with ORDER-DETERMINISTIC accumulation: per-SV
     * contributions are sorted by value before the sequential sum, so the
     * decision is bit-identical across partitionings and replayable by an
@@ -250,20 +289,40 @@ object IcfSvmTrainer {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nSv = svDf.count()
 
-    // bias from free SVs' KKT: b = mean_i(y_i − Σ_j coef_j k(x_j, x_i)),
-    // computed as a distributed kernel-sum join (only the final scalar
-    // reaches the driver)
-    val cCol = when(col("sv_y") > 0, c * posWeight).otherwise(c * negWeight)
-    val free = svDf.filter(col("sv_alpha") < cCol * (1 - 1e-3))
-      .select(col("sv_id").as("__fid"), col("sv_x").as("__fx"), col("sv_y").as("__fy"))
-    val svSide0 = svDf.select(col("sv_x"), col("sv_coef"))
-    val svSide = if (nSv <= 65536) broadcast(svSide0) else svSide0
-    val biasRow = free.crossJoin(svSide)
-      .groupBy(col("__fid"), col("__fy"))
-      .agg(sum(col("sv_coef") * kernel(col("sv_x"), col("__fx"))).as("__s"))
-      .agg(avg(col("__fy") - col("__s")).as("b"))
-      .head()
-    val bias = if (biasRow.isNullAt(0)) 0.0 else biasRow.getDouble(0)
+    // bias from free SVs' KKT, THROUGH THE ICF FACTOR — the reference's
+    // own math: psvm never materializes exact kernel rows at training
+    // (that is the point of ICF); its KKT algebra runs on Q ≈ GGᵀ, so
+    // b = mean over free SVs of (y_i − h_i·v) with v = Σ_j α_j y_j h_j
+    // (the m5/fitIpm shape, w = v on the factor features). Two O(n·p)
+    // passes, averaging over ALL free SVs. The first cut here summed
+    // the EXACT kernel over every (free, SV) pair instead — O(nFree·nSV)
+    // kernel evals that tools/M6Probe measured at 226.6s of m6's decade
+    // row (102.5k free × 200k SV), for a quantity whose per-SV spread
+    // under solver slack dwarfs the exact-vs-factored difference.
+    val withA = joined.join(alphaDf, Seq("__id"))
+    val p = joined.select(org.apache.spark.sql.functions.size(col("icf_features")))
+      .head().getInt(0)
+    val v = withA.select(col("__alpha"), col("__y"), col("icf_features"))
+      .rdd.treeAggregate(new Array[Double](p))(
+        seqOp = { (acc, r) =>
+          val a = r.getDouble(0) * r.getDouble(1)
+          val hi = r.getSeq[Double](2)
+          var j = 0; while (j < p) { acc(j) += a * hi(j); j += 1 }
+          acc
+        },
+        combOp = { (x, y) => var j = 0; while (j < p) { x(j) += y(j); j += 1 }; x })
+    val epsB = lit(svEpsilon) * when(col("__y") > 0, c * posWeight).otherwise(c * negWeight)
+    val cUpper = when(col("__y") > 0, c * posWeight).otherwise(c * negWeight)
+    val freeAgg = withA
+      .filter(col("__alpha") > epsB && col("__alpha") < cUpper * (1 - 1e-3))
+      .select(col("__y"), col("icf_features"))
+      .rdd.map { r =>
+        val hi = r.getSeq[Double](1)
+        var s = 0.0; var j = 0; while (j < p) { s += v(j) * hi(j); j += 1 }
+        (r.getDouble(0) - s, 1L)
+      }
+      .fold((0.0, 0L)) { (a, b) => (a._1 + b._1, a._2 + b._2) }
+    val bias = if (freeAgg._2 > 0) freeAgg._1 / freeAgg._2 else 0.0
 
     joined.unpersist()
     IcfSvmModel(kernel, svDf, nSv, bias)

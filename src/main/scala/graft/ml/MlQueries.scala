@@ -127,9 +127,20 @@ object MlQueries {
     fitted.saveText(spark, s"${ModelOracles.modelRoot(dir)}/m6_icf")
     fitted.unpersist()
     val model = IcfSvmModel.loadText(spark, s"${ModelOracles.modelRoot(dir)}/m6_icf")
-    // predictOrdered: value-sorted kernel-sum fold, so DuckDB replays the
-    // decisions bit-exactly from the saved text model
-    SvmEvaluator.evaluate(model.predictOrdered(data, "vec_id", "embedding"), "yy")
+    // Scoring: predictQuantized — floor-picounit contributions, INTEGER
+    // per-row sums (order-independent, so DuckDB replays the decisions
+    // bit-exactly from the saved text model with one GROUP BY, and the
+    // SV side streams as broadcast chunks — no n·nSV shuffle). The
+    // earlier predictOrdered fold collected + sorted nSV contributions
+    // PER ROW: measured disk-filling at the 100× decade, where the
+    // non-separable fit makes every row a support vector (200k × 200k).
+    // Evaluation scores a DETERMINISTIC 1-in-10 sample: exact-kernel
+    // SV scoring is inherently O(n_eval·nSV) — psvm's svm_predict pays
+    // the same per test row — so the driver row bounds n_eval; the
+    // operator is unchanged (score everything = the same call without
+    // the filter, at 10× the pairs).
+    val evalRows = data.filter($"vec_id" % 10 === 0)
+    SvmEvaluator.evaluate(model.predictQuantized(evalRows, "vec_id", "embedding"), "yy")
       .withColumn("n_support_vectors", lit(model.numSupportVectors))
   }
 

@@ -209,4 +209,37 @@ class IcfSvmSpec extends SparkSpec {
     assert(maxDiff < 1e-4,
       s"resumed solve must reach the same optimum (max diff $maxDiff)")
   }
+
+  test("factored-KKT bias agrees with the exact-kernel free-SV mean when ICF is tight") {
+    // overlapping blobs -> non-separable, plenty of free SVs. The fit
+    // derives b through the ICF factor (the reference's own math); with
+    // a rank that captures the kernel well the exact-kernel KKT mean
+    // over the same free set must agree up to ICF residual + solver
+    // slack.
+    val rng = new scala.util.Random(7)
+    val pts = (0 until 200).map { i =>
+      val pos = i % 2 == 0
+      val cx = if (pos) 0.8 else -0.8
+      (i.toLong,
+       Array(cx + rng.nextGaussian(), -cx + rng.nextGaussian()),
+       if (pos) 1.0 else -1.0)
+    }
+    val df = pts.toDF("id", "vec", "y")
+    val kern = Kernel.Rbf(0.5)
+    val m = IcfSvmTrainer.fit(df, "id", "vec", "y", kern,
+      rank = 32, c = 1.0, maxIter = 60)
+    // exact-kernel KKT mean over the free SVs, straight from the model
+    import org.apache.spark.sql.functions._
+    val free = m.svs.filter($"sv_alpha" < lit(1.0) * (1 - 1e-3))
+      .select($"sv_id".as("__fid"), $"sv_x".as("__fx"), $"sv_y".as("__fy"))
+    val bExact = m.svs.select($"sv_x", $"sv_coef")
+      .crossJoin(broadcast(free))
+      .groupBy($"__fid", $"__fy")
+      .agg(sum($"sv_coef" * kern($"sv_x", $"__fx")).as("__s"))
+      .agg(avg($"__fy" - $"__s")).head().getDouble(0)
+    info(f"bias factored = ${m.bias}%.6f, exact-kernel mean = $bExact%.6f")
+    assert(math.abs(m.bias - bExact) < 2e-2,
+      s"factored-KKT bias must track the exact-kernel mean: ${m.bias} vs $bExact")
+    m.unpersist()
+  }
 }
