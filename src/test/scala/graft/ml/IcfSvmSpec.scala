@@ -75,6 +75,21 @@ class IcfSvmSpec extends SparkSpec {
     single.foreach { case (id, d) =>
       assert(math.abs(d - chunked(id)) < 1e-9, s"id $id: $d vs ${chunked(id)}")
     }
+
+    // quantized path: within nSV·1e-12 of the exact-float decision, and
+    // BIT-identical across chunk sizes and partitionings (integer sums
+    // commute exactly — the scale path's whole point)
+    val quant = model.predictQuantized(df, "id", "vec")
+      .select($"id", $"decision").as[(Long, Double)].collect().toMap
+    single.foreach { case (id, d) =>
+      assert(math.abs(d - quant(id)) <= (model.numSupportVectors + 1) * 1e-12,
+        s"id $id: quantized ${quant(id)} vs exact $d")
+    }
+    val quantTiny = model.predictQuantized(df.repartition(7), "id", "vec", chunkSize = 8)
+      .select($"id", $"decision").as[(Long, Double)].collect().toMap
+    quant.foreach { case (id, d) =>
+      assert(d == quantTiny(id), s"id $id: quantized bits differ across chunking")
+    }
   }
 
   test("per-class C weights shift the confusion matrix toward the rare class") {
