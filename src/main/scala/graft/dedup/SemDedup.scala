@@ -54,6 +54,44 @@ object SemDedup {
       cs
     })
 
+  /** Scalable cell assignment: the centroid MATRIX rides one broadcast
+    * and a typed mapPartitions loops it per row. The expression form
+    * ([[graft.sim.IvfAnn.cellOf]] — k fused sq_distance exprs over
+    * LITERAL centroid arrays) is right for ANN's small fixed nlist but
+    * wrong here, where k grows with the corpus (n/targetCell): at the
+    * 100× decade k = 390 makes a ~25k-literal expression tree — codegen
+    * collapse, per-row distance-array allocs, and (unpersisted) it ran
+    * once per downstream consumer. Arithmetic is BIT-IDENTICAL to the
+    * fused expression and the oracle: squared distance accumulates in
+    * dimension order, argmin keeps the first minimal index (the
+    * `ORDER BY dist, cluster_id` tie-break). Spec-pinned against
+    * cellOf. */
+  private[graft] def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                                 centroids: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    df.select(col(idCol).cast("long").as("vec_id"),
+              VectorOps.toDoubleArray(col(vecCol)).as("vec"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, vecSeq) =>
+          val x = vecSeq.toArray
+          var best = 0; var bestD = Double.PositiveInfinity
+          var ci = 0
+          while (ci < cs.length) {
+            val c = cs(ci)
+            var s = 0.0; var j = 0
+            while (j < x.length) { val d = x(j) - c(j); s += d * d; j += 1 }
+            if (s < bestD) { bestD = s; best = ci }
+            ci += 1
+          }
+          (id, x, best)
+        }
+      }.toDF("vec_id", "vec", "cluster")
+  }
+
   /** Per-vector decision record: cluster, the lowest-id within-cell
     * semantic duplicate counterpart (`dup_of`, null when none at
     * cos ≥ threshold), and the keep flag. Deterministic: the kept
@@ -61,10 +99,11 @@ object SemDedup {
   def decisions(df: DataFrame, idCol: String, vecCol: String,
                 centroids: Array[Array[Double]],
                 threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("vec_id"),
-                      VectorOps.toDoubleArray(col(vecCol)).as("vec"))
-      .withColumn("cluster", graft.sim.IvfAnn.cellOf(col("vec"), centroids))
+    // localCheckpoint: the assigned frame feeds BOTH join sides and the
+    // final left join — without it the assignment ran three times
+    val v = assignCells(df, idCol, vecCol, centroids)
       .withColumn("nrm", VectorOps.norm(col("vec")))
+      .localCheckpoint(true)
     val a = v.select(col("cluster"), col("vec_id").as("id_a"),
                      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = v.select(col("cluster"), col("vec_id").as("id_b"),

@@ -125,12 +125,20 @@ object SpanDedup {
       .persist()
     val dup = grams.groupBy($"g").agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" >= 2).select($"g")
-    // covered 1-based char positions, folded to ONE sorted array per doc
-    // (array size ≤ doc length — row-local, the same order as the text)
+    // covered 1-based char positions, folded to ONE sorted array per doc.
+    // Only the duplicated-window START positions travel through the
+    // aggregation (1 int per occurrence, map-side combined); the k×
+    // expansion to covered positions happens ROW-LOCALLY on the folded
+    // array. The first cut exploded sequence(pos+1, pos+k) BEFORE the
+    // groupBy — k=50 rows per occurrence through the shuffle, ~5B rows
+    // at the 100× decade where the replicated corpus duplicates every
+    // gram (measured: 72.3s → the shuffle now carries 50× less).
     val covered = grams.join(dup, Seq("g"))
-      .select($"doc_id", explode(sequence($"pos" + 1, $"pos" + lit(k))).as("p"))
       .groupBy($"doc_id")
-      .agg(sort_array(collect_set($"p")).as("cov"))
+      .agg(collect_set($"pos").as("starts"))
+      .select($"doc_id",
+        array_sort(array_distinct(flatten(transform($"starts",
+          s => sequence(s + 1, s + lit(k)))))).as("cov"))
     docs.join(covered, Seq("doc_id"), "left")
       .select($"doc_id", length($"text").cast("long").as("n_chars"),
         HashFunctions.remove_char_positions($"text",

@@ -48,4 +48,30 @@ class SemDedupSpec extends SparkSpec {
     assert(out(0).getBoolean(3) && !out(1).getBoolean(3) && out(2).getBoolean(3))
     assert(out(1).getLong(2) == 10L)
   }
+
+  test("semdedup: broadcast-matrix assignment is bit-identical to the fused-expression cellOf") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(99)
+    val k = 23; val dim = 16
+    val centroids = Array.fill(k)(Array.fill(dim)(rng.nextGaussian()))
+    val rows = (0 until 500).map { i =>
+      // include exact centroid copies (distance-0 rows) and midpoints
+      // (tie-prone) alongside random vectors
+      val v = i % 7 match {
+        case 0 => centroids(i % k).clone()
+        case 1 => centroids(i % k).zip(centroids((i + 1) % k)).map(t => (t._1 + t._2) / 2.0)
+        case _ => Array.fill(dim)(rng.nextGaussian())
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val viaLoop = SemDedup.assignCells(rows, "vec_id", "embedding", centroids)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    val viaExpr = rows
+      .select($"vec_id",
+        graft.sim.IvfAnn.cellOf(
+          graft.functions.VectorOps.toDoubleArray($"embedding"), centroids).as("cluster"))
+      .as[(Long, Int)].collect().toMap
+    assert(viaLoop.size == 500 && viaLoop == viaExpr)
+  }
 }
