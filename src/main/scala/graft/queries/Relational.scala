@@ -377,18 +377,56 @@ object Relational {
       countDistinct($"l_suppkey").as("exact_supps"))
   }
 
+  /** Exact interpolated percentiles (percentile_cont semantics) via
+    * VALUE COMPRESSION + distributed per-group sort: rows first collapse
+    * to (group, value, cnt) with a parallel hash aggregate, only the
+    * DISTINCT values go through the per-group window sort, and the
+    * cumulative counts recover the global 0-based rank range
+    * [cumb, cumb+cnt) each value occupies — the interpolation at
+    * (n−1)·p then reads at most two covering values. This is the
+    * 100 TB-safe exact formulation: Spark's `percentile()` aggregate
+    * accumulates a value→count map PER AGGREGATION BUFFER, measured
+    * 35× super-linear at 10× rows (see q29's note); here the state per
+    * buffer is one row per distinct (group, value). */
+  private def exactPercentiles(df: DataFrame, groupCol: String, valCol: String,
+                               ps: Seq[(Double, String)]): DataFrame = {
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wN = Window.partitionBy(col(groupCol))
+    def interp(p: Double, alias: String): Column = {
+      val pos = (col("n") - 1) * p
+      val lo = floor(pos)
+      val f = pos - lo
+      val covers: Column => Column = i =>
+        col("cumb") <= i && i < col("cumb") + col("cnt")
+      round(sum(
+        when(covers(lo), col(valCol) * (lit(1.0) - f)).otherwise(0.0) +
+        when(covers(lo + 1), col(valCol) * f).otherwise(0.0)), 2).as(alias)
+    }
+    val aggs = ps.map { case (p, alias) => interp(p, alias) }
+    df.groupBy(col(groupCol), col(valCol))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cumb", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(wN))
+      .groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** R27: exact interpolated percentiles (percentile_cont semantics) per
-    * group — median + p95 of extended price by return flag. Spark's
-    * `percentile` is the exact (sort-based) aggregate, so DuckDB's
-    * `quantile_cont` mirrors it bit-for-bit after rounding. */
+    * group — median + p95 of extended price and median quantity by
+    * return flag, via [[exactPercentiles]] (the scalable compressed-sort
+    * exact form, NOT the map-per-buffer `percentile()` aggregate).
+    * DuckDB's `quantile_cont` mirrors the interpolation after
+    * rounding. */
   def q28Percentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, dir)
-      .groupBy($"l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"),
-        round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"))
+    val li = Tables.lineitem(spark, dir)
+    val price = exactPercentiles(li, "l_returnflag", "l_extendedprice",
+      Seq(0.5 -> "p50_price", 0.95 -> "p95_price"))
+    val qty = exactPercentiles(li, "l_returnflag", "l_quantity",
+      Seq(0.5 -> "p50_qty"))
+    price.join(qty, Seq("l_returnflag"))
+      .select($"l_returnflag", $"p50_price", $"p95_price", $"p50_qty")
       .orderBy($"l_returnflag")
   }
 
@@ -405,35 +443,15 @@ object Relational {
       .agg(
         round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("ap50_price"),
         round(expr("approx_percentile(l_extendedprice, 0.95, 1000)"), 2).as("ap95_price"))
-    // EXACT side via value-compressed distributed sort + interpolation
-    // at the two closest ranks (same linear-interpolation definition as
-    // Spark's `percentile`), NOT the percentile() aggregate: that one
-    // accumulates a value→count map per group in a single aggregation
-    // buffer — at 10× rows that meant multi-million-entry maps per
-    // buffer and a 35× super-linear blow-up. Here the rows first
-    // compress to (group, value, cnt) with a parallel hash aggregate,
-    // and only the distinct values go through the per-group sort, with
-    // cumulative counts recovering the global 0-based rank range
-    // [cumb, cumb+cnt) each value occupies.
-    val wCum = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wN = Window.partitionBy($"l_returnflag")
-    def interp(p: Double, alias: String): Column = {
-      val pos = (col("n") - 1) * p
-      val lo = floor(pos)
-      val f = pos - lo
-      val covers: Column => Column = i =>
-        col("cumb") <= i && i < col("cumb") + col("cnt")
-      round(sum(
-        when(covers(lo), col("l_extendedprice") * (lit(1.0) - f)).otherwise(0.0) +
-        when(covers(lo + 1), col("l_extendedprice") * f).otherwise(0.0)), 2).as(alias)
-    }
-    val exact = li.groupBy($"l_returnflag", $"l_extendedprice")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("cumb", coalesce(sum($"cnt").over(wCum), lit(0L)))
-      .withColumn("n", sum($"cnt").over(wN))
-      .groupBy($"l_returnflag")
-      .agg(interp(0.5, "p50_price"), interp(0.95, "p95_price"))
+    // EXACT side via [[exactPercentiles]] — the value-compressed
+    // distributed sort + interpolation at the two closest ranks (same
+    // linear-interpolation definition as Spark's `percentile`), NOT the
+    // percentile() aggregate: that one accumulates a value→count map per
+    // group in a single aggregation buffer — at 10× rows that meant
+    // multi-million-entry maps per buffer and a 35× super-linear
+    // blow-up. q28 now runs on the same helper.
+    val exact = exactPercentiles(li, "l_returnflag", "l_extendedprice",
+      Seq(0.5 -> "p50_price", 0.95 -> "p95_price"))
     val out = approx.join(exact, Seq("l_returnflag"))
       .select($"l_returnflag", $"ap50_price", $"p50_price",
               $"ap95_price", $"p95_price")
