@@ -626,7 +626,8 @@ object SparkEntry {
     // m6: ICF→IPM SV model, text-round-tripped; decisions replayed from
     // the saved SV lines with the value-sorted sequential kernel sum.
     "m6_svm_icf_ipm_eval" -> svModelEvalSql("m6_icf",
-      extraSelect = ", (SELECT CAST(count(*) AS BIGINT) FROM sv) AS n_support_vectors"),
+      extraSelect = ", (tp + fp + tn + fn) AS n_eval" +
+        ", (SELECT CAST(count(*) AS BIGINT) FROM sv) AS n_support_vectors"),
     // m3: OVR multiclass — replay φ(x) from the SHARED saved map, every
     // per-class decision from the classifiers table, and the argmax
     // (first maximal class wins, ascending order) per row.
@@ -1613,9 +1614,11 @@ object SparkEntry {
          ${metricsTailSql("")}"""
 
   /** DuckDB replay of a saved psvm-style TEXT SV model scored over the
-    * deterministic 1-in-10 eval sample (floor-picounit quantized kernel
-    * sums — the predictQuantized integer reduction, replayed here with
-    * one GROUP BY), reduced to confusion matrix + metrics. */
+    * deterministic hash-based 1-in-10 eval sample (md5-bucket rule, so
+    * id-structured generators at other scales cannot bias the eval set;
+    * floor-picounit quantized kernel sums — the predictQuantized
+    * integer reduction, replayed here with one GROUP BY), reduced to
+    * confusion matrix + metrics. */
   private def svModelEvalSql(model: String, extraSelect: String = ""): String =
     s"""WITH prm AS (
            SELECT CAST(regexp_extract(content, 'gamma ([^\\n]+)', 1) AS DOUBLE) AS gamma,
@@ -1632,7 +1635,8 @@ object SparkEntry {
          pts AS (
            SELECT vec_id, CASE WHEN label % 2 = 0 THEN 1.0 ELSE -1.0 END AS y,
                   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS px
-           FROM embeddings WHERE vec_id % 10 = 0),
+           FROM embeddings
+           WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0),
          contrib AS (
            SELECT pts.vec_id,
              CAST(floor(sv.coef * exp(-(SELECT gamma FROM prm) *

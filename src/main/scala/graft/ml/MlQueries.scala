@@ -138,9 +138,15 @@ object MlQueries {
     // SV scoring is inherently O(n_eval·nSV) — psvm's svm_predict pays
     // the same per test row — so the driver row bounds n_eval; the
     // operator is unchanged (score everything = the same call without
-    // the filter, at 10× the pairs).
-    val evalRows = data.filter($"vec_id" % 10 === 0)
+    // the filter, at 10× the pairs). The sample is HASH-based (md5 of
+    // the id, the p16 bucket idiom — not raw id modulo, which is safe
+    // only while ids stay uncorrelated with labels), and the result row
+    // carries n_eval so the sampling scope is visible in the artifact.
+    val evalRows = data.filter(
+      conv(substring(md5($"vec_id".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10 === 0)
     SvmEvaluator.evaluate(model.predictQuantized(evalRows, "vec_id", "embedding"), "yy")
+      .withColumn("n_eval", ($"tp" + $"fp" + $"tn" + $"fn").cast("long"))
       .withColumn("n_support_vectors", lit(model.numSupportVectors))
   }
 

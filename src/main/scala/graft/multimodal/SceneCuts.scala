@@ -117,7 +117,7 @@ object SceneCuts {
            [CAST(('0x' || substr(CASE WHEN f < boundary THEN h0 ELSE h1 END,
                                  2 * i + 1, 2)) AS BIGINT)
              for i in range(0, ${VideoOps.FrameBytes})] AS fb
-         FROM hx, (SELECT unnest([0, 1, 2, 3]) AS f) s),
+         FROM hx, (SELECT unnest(range(0, ${VideoOps.Frames})) AS f) s),
        sad AS (
          SELECT a.media_id, a.f AS frame_idx,
            list_sum([abs(a.fb[i + 1] - b.fb[i + 1])

@@ -43,6 +43,17 @@ object Ppr {
   private val Damping = 0.85
   private val Iters   = 3
 
+  /** The per-iteration message join + vertex re-aggregation — the ONE
+    * production frame both physical branches share (broadcast hint vs
+    * plain shuffled join on the co-partitioned edge list). Extracted so
+    * PlanShapeSpec pins the plan of the frame the loop actually runs,
+    * not a hand-rebuilt lookalike. */
+  private[operators] def messageAgg(e: DataFrame, msg: DataFrame,
+                                    useBroadcast: Boolean): DataFrame =
+    e.join(if (useBroadcast) broadcast(msg) else msg, Seq("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum("c").as("s"))
+
   /** Fixed-`iters` personalized PageRank on a directed edge list
     * (src, dst); `sources` is a (node) table — rows absent from the
     * graph are ignored (a teleport to a node with no edges would leak
@@ -80,9 +91,7 @@ object Ppr {
           .join(tele.select(col("node"), col("outdeg")), Seq("node"))
           .select(col("node").as("src"),
             floor((col("pr") / col("outdeg")) * lit(1e12)).cast("long").as("c"))
-        val agg = e.join(if (useBroadcast) broadcast(msg) else msg, Seq("src"))
-          .groupBy(col("dst").as("node"))
-          .agg(sum("c").as("s"))
+        val agg = messageAgg(e, msg, useBroadcast)
         pr = tele
           .join(agg, Seq("node"), "left")
           .select(col("node"),

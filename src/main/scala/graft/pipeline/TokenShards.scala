@@ -43,12 +43,11 @@ object TokenShards {
     val docWords = Tables.documents(spark, dir)
       .select($"doc_id", $"source",
         posexplode(split($"text", "\\s+")).as(Seq("pos", "word")))
-    val enc0 = docWords.select($"word").distinct()
-      .withColumn("sym", concat(filter(split($"word", ""), x => x =!= lit("")),
-                                array(lit("</w>"))))
-    val encoded = merges.foldLeft(enc0) { case (df, (a, b)) =>
-      df.withColumn("sym", graft.text.BpeVocab.applyMerge(col("sym"), a, b))
-    }.persist()
+    // one typed word-cache pass — plan size independent of the merge
+    // count (the encodeWords shape shared with p39b/p39c)
+    val encoded = graft.text.BpeVocab
+      .encodeWords(docWords.select($"word").distinct(), merges)
+      .persist()
     // vocabulary ids: dense rank of the token string — vocabulary-sized
     val ids = encoded.select(explode($"sym").as("token")).distinct()
       .withColumn("id", (row_number().over(Window.orderBy($"token")) - 1).cast("int"))

@@ -32,7 +32,12 @@ object BpeVocab {
 
   val Merges = 8
 
-  /** Left-greedy merge of adjacent pair (a,b) in a symbol array. */
+  /** Left-greedy merge of adjacent pair (a,b) in a symbol array — the
+    * expression form, used ONCE per learning step (where each step's
+    * table is checkpointed, so plan depth stays constant). Bulk merge
+    * application over a whole merge LIST goes through [[encodeWords]]:
+    * chaining this expression M times builds an M-deep Catalyst tree
+    * that does not survive production merge counts. */
   private[graft] def applyMerge(sym: Column, a: String, b: String): Column =
     aggregate(
       slice(sym, lit(2), size(sym) - 1),
@@ -42,6 +47,81 @@ object BpeVocab {
           concat(slice(acc, lit(1), size(acc) - 1),
                  array(concat(element_at(acc, -1), x))))
         .otherwise(concat(acc, array(x))))
+
+  /** Sequential application of ALL merges to one symbol array: merge i
+    * runs fully (one left-greedy pass) before merge i+1 — bit-identical
+    * to chaining [[applyMerge]] over the merge list and to the oracle's
+    * chained `list_reduce` CTEs, but evaluated in plain Scala so the
+    * PLAN cost is O(1) in the merge count.
+    *
+    * Cost per word: a merge pass only runs when both of its symbols are
+    * currently present (grow-only presence set — a stale entry costs one
+    * empty O(L) scan, never a wrong merge), so a word of length L pays
+    * O(M) hash probes plus O(L) per applicable merge, and a word can
+    * absorb at most L−1 merges in total. At a production M (30k–100k)
+    * that is microseconds per distinct word, vs an M-deep expression
+    * tree the analyzer/janino could not even compile. */
+  private[graft] def applyMergesSeq(sym0: Array[String],
+                                    merges: Array[(String, String)]): Array[String] = {
+    var sym = sym0
+    val present = new java.util.HashSet[String](sym0.length * 2)
+    var k = 0
+    while (k < sym.length) { present.add(sym(k)); k += 1 }
+    var i = 0
+    while (i < merges.length && sym.length > 1) {
+      val a = merges(i)._1; val b = merges(i)._2
+      if (present.contains(a) && present.contains(b)) {
+        val out = new Array[String](sym.length)
+        var n = 0; var j = 0; var hit = false
+        while (j < sym.length) {
+          if (n > 0 && sym(j) == b && out(n - 1) == a) { out(n - 1) = a + b; hit = true }
+          else { out(n) = sym(j); n += 1 }
+          j += 1
+        }
+        if (hit) {
+          sym = java.util.Arrays.copyOf(out, n)
+          present.add(a + b)
+        }
+      }
+      i += 1
+    }
+    sym
+  }
+
+  /** Initial symbol sequence of a word: its characters + the `</w>`
+    * end-of-word marker. Split by CODE POINT (surrogate pairs intact) —
+    * the semantics of the column expression `split($"word", "")` (and
+    * of DuckDB's regexp_split_to_array), which `String.split("")` does
+    * NOT share: Java's empty-pattern split advances by code unit and
+    * halves astral-plane characters (spec-pinned on 𝄞). */
+  private[graft] def initialSyms(w: String): Array[String] = {
+    val n = w.codePointCount(0, w.length)
+    val sym = new Array[String](n + 1)
+    var i = 0; var k = 0
+    while (i < w.length) {
+      val cc = Character.charCount(w.codePointAt(i))
+      sym(k) = w.substring(i, i + cc)
+      i += cc; k += 1
+    }
+    sym(n) = "</w>"
+    sym
+  }
+
+  /** Encode a DISTINCT-word table under a learned merge list in ONE
+    * narrow typed pass — the word-cache shape shared by p39b/p39c/p50:
+    * corpus-size-independent (it runs on the vocabulary-sized table)
+    * AND merge-count-independent in plan size (one mapPartitions node
+    * + one broadcast merge array, however many merges the vocabulary
+    * carries). Returns (word, sym). */
+  def encodeWords(words: DataFrame, merges: Array[(String, String)]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    words.select(col("word")).as[String].mapPartitions { it =>
+      val ms = bc.value
+      it.map(w => (w, applyMergesSeq(initialSyms(w), ms).toSeq))
+    }.toDF("word", "sym")
+  }
 
   /** Learn `merges` BPE merges from a (word, cnt) table; returns the
     * merge table (step, left, right, merged, pair_count). */
@@ -69,8 +149,12 @@ object BpeVocab {
         .head()
       val (a, b, c) = top
       out += ((step, a, b, a + b, c))
-      val next = words.select(applyMerge($"sym", a, b).as("sym"), $"cnt").persist()
-      next.count()
+      // localCheckpoint truncates lineage: each step's plan is ONE merge
+      // expression over a LogicalRDD, so analysis cost and plan depth
+      // stay constant in the step count (persist alone keeps the full
+      // k-deep logical chain alive through analysis at every step)
+      val next = words.select(applyMerge($"sym", a, b).as("sym"), $"cnt")
+        .localCheckpoint(true)
       words.unpersist(false)
       words = next
     }
@@ -108,8 +192,10 @@ object BpeVocab {
     * vocabulary joins back to the corpus word stream on `word` — one
     * shuffled equi-join (broadcast when the vocab fits, AQE decides;
     * stopword skew is AQE skew-join fodder) and one doc_id-keyed
-    * aggregation. The merge list itself is M driver rows (bounded by
-    * construction), applied as M chained narrow array folds.
+    * aggregation. The merge list is M driver rows applied in ONE typed
+    * pass ([[encodeWords]]) from a broadcast array, so plan size is
+    * independent of M — a production vocabulary (30k–100k merges)
+    * costs data-plane work, not analyzer/codegen blow-up.
     *
     * Output is the per-doc decision record: word count, token count
     * under the learned vocab, and the md5 of the full rendered token
@@ -122,12 +208,8 @@ object BpeVocab {
       .select($"left", $"right").as[(String, String)].collect()
     val docWords = Tables.documents(spark, dir)
       .select($"doc_id", posexplode(split($"text", "\\s+")).as(Seq("pos", "word")))
-    val enc0 = docWords.select($"word").distinct()
-      .withColumn("sym", concat(filter(split($"word", ""), x => x =!= lit("")),
-                                array(lit("</w>"))))
-    val encoded = merges.foldLeft(enc0) { case (df, (a, b)) =>
-      df.withColumn("sym", applyMerge(col("sym"), a, b))
-    }.select($"word", $"sym", concat_ws(" ", $"sym").as("ts"))
+    val encoded = encodeWords(docWords.select($"word").distinct(), merges)
+      .select($"word", $"sym", concat_ws(" ", $"sym").as("ts"))
     docWords.join(encoded, Seq("word"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_words"),
@@ -163,14 +245,10 @@ object BpeVocab {
     val docWords = Tables.documents(spark, dir)
       .select($"doc_id", $"text",
         posexplode(split($"text", "\\s+")).as(Seq("pos", "word")))
-    val enc0 = docWords.select($"word").distinct()
-      .withColumn("sym", concat(filter(split($"word", ""), x => x =!= lit("")),
-                                array(lit("</w>"))))
-    val encoded = merges.foldLeft(enc0) { case (df, (a, b)) =>
-      df.withColumn("sym", applyMerge(col("sym"), a, b))
     // decode from the symbols alone: concat + strip the trailing marker
-    }.select($"word",
-      regexp_replace(concat_ws("", $"sym"), "</w>$", "").as("decoded_word"))
+    val encoded = encodeWords(docWords.select($"word").distinct(), merges)
+      .select($"word",
+        regexp_replace(concat_ws("", $"sym"), "</w>$", "").as("decoded_word"))
     docWords.join(encoded, Seq("word"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_words"),

@@ -48,8 +48,12 @@ object KnTrigramLm {
   /** Count tables from a (w1, w2, w3) trigram-occurrence frame, joined
     * onto `triples` (left joins + coalesce, so unseen trigrams /
     * continuations get their interpolated backoff mass — the spec
-    * scores the full vocabulary through this). Returns `triples` +
-    * integer count columns + p1/p2/p3. */
+    * scores the full vocabulary through this). A triple whose CONTEXT
+    * was never observed falls through to the next-lower order (p3 → p2
+    * when (w1,w2) is unseen, p2 → p1 when w2 never appears mid-trigram)
+    * — the standard backoff-to-lower-order contract, so the API is
+    * total over any (w1,w2,w3) and never emits null probabilities.
+    * Returns `triples` + integer count columns + p1/p2/p3. */
   def scoreTriples(occs: DataFrame, triples: DataFrame): DataFrame = {
     val t3 = occs.groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("t"))
@@ -72,10 +76,10 @@ object KnTrigramLm {
       .join(mid, Seq("w2"), "left")
       .join(uni, Seq("w3"), "left")
       .withColumn("p1", cnt(col("uni")) / lit(tot.toDouble))
-      .withColumn("p2",
-        (greatest(cnt(col("cont23")) - d, zero) + d * col("mid_ctx") * col("p1")) / col("mid_den"))
-      .withColumn("p3",
-        (greatest(cnt(col("t")) - d, zero) + d * col("n3") * col("p2")) / col("c12"))
+      .withColumn("p2", when(col("mid_den").isNull, col("p1")).otherwise(
+        (greatest(cnt(col("cont23")) - d, zero) + d * col("mid_ctx") * col("p1")) / col("mid_den")))
+      .withColumn("p3", when(col("c12").isNull, col("p2")).otherwise(
+        (greatest(cnt(col("t")) - d, zero) + d * col("n3") * col("p2")) / col("c12")))
   }
 
   /** Trigram occurrences per doc over the whitespace tokens (docs with

@@ -17,16 +17,24 @@ class PlanShapeSpec extends SparkSpec {
     val base = (0 until 30).map(i => (s"n$i", s"n${(i + 1) % 30}")).toDF("src", "dst")
     val sym = base.union(base.select($"dst".as("src"), $"src".as("dst")))
     val out = Ppr.personalizedRanks(sym, Seq("n0").toDF("node"))
-    // the result is localCheckpointed, so assert on the LAST iteration's
-    // plan via a fresh un-checkpointed build: run one iteration manually
-    val plan = {
-      val deg = sym.groupBy($"src".as("node")).agg(count(lit(1)).as("outdeg"))
-      val msg = deg.select($"node".as("src"), lit(1000L).as("c"))
-      sym.join(broadcast(msg), Seq("src"))
-        .groupBy($"dst".as("node")).agg(sum($"c").as("s"))
+    // assert on the PRODUCTION iteration frame (Ppr.messageAgg — the
+    // method the loop runs), not a hand-rebuilt lookalike: a regression
+    // that drops the broadcast hint inside Ppr now fails here
+    val deg = sym.groupBy($"src".as("node")).agg(count(lit(1)).as("outdeg"))
+    val msg = deg.select($"node".as("src"), lit(1000L).as("c"))
+    val bPlan = Ppr.messageAgg(sym, msg, useBroadcast = true)
+      .queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"), s"message join must broadcast:\n$bPlan")
+    // and the beyond-cutoff branch must NOT pin a broadcast: with the
+    // hint absent and broadcast sizing disabled, the same frame shuffles
+    val shPlan = graft.operators.ScaleOps.withConfs(spark,
+      Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")) {
+      Ppr.messageAgg(sym, msg, useBroadcast = false)
         .queryExecution.executedPlan.toString
     }
-    assert(plan.contains("BroadcastHashJoin"), s"message join must broadcast:\n$plan")
+    assert(!shPlan.contains("BroadcastHashJoin"),
+      s"beyond-cutoff branch must not force a broadcast:\n$shPlan")
     assert(out.collect().nonEmpty)
   }
 

@@ -48,6 +48,28 @@ class KnTrigramLmSpec extends SparkSpec {
     assert(p3 < 2.0 / 3.0 && p3 > 0.0)
   }
 
+  test("kn: unseen contexts back off to the lower order instead of going null") {
+    val occ = occsOf("a b c a b d", "b c a b c e")
+    // (z,z) was never a context; z never appears mid-trigram — p3 must
+    // equal p2 must equal p1 (the unigram continuation mass), not null
+    val novel = Seq(("z", "z", "c"), ("z", "z", "zz")).toDF("w1", "w2", "w3")
+    val got = KnTrigramLm.scoreTriples(occ, novel)
+      .select($"w3", $"p1", $"p2", $"p3").collect()
+    got.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3),
+        s"null probability for novel context: $r")
+      assert(r.getDouble(3) === r.getDouble(1), "p3 must back off to p1 for a fully novel context")
+      assert(r.getDouble(2) === r.getDouble(1), "p2 must back off to p1 when w2 is never mid-trigram")
+    }
+    // and a SEEN middle word under an unseen (w1,w2): p3 backs off to a
+    // REAL p2 (bigram evidence survives even when the full context is new)
+    val half = Seq(("z", "b", "c")).toDF("w1", "w2", "w3")
+    val h = KnTrigramLm.scoreTriples(occ, half)
+      .select($"p1", $"p2", $"p3").head()
+    assert(h.getDouble(2) === h.getDouble(1), "p3 must equal p2 when only (w1,w2) is unseen")
+    assert(h.getDouble(1) !== h.getDouble(0), "p2 must carry bigram evidence, not collapse to p1")
+  }
+
   test("p57 query: every doc with >= 3 tokens gets a positive integer NLL") {
     val out = KnTrigramLm.query(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"n_trigrams", $"kn_nll_micro")
