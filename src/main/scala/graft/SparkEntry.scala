@@ -63,6 +63,7 @@ object SparkEntry {
     "p28_doc_clusters"     -> (graft.pipeline.DocClusters.query _),
     "p29_lm_quality"       -> (graft.text.LmQuality.query _),
     "p57_kn_trigram"       -> (graft.text.KnTrigramLm.query _),
+    "p59_unigram_lm"       -> (graft.text.UnigramLm.query _),
     "p32_sequences"        -> ((s, d) => graft.pipeline.TrainingOps.sequenceQuery(s, d)),
     "p56_train_order"      -> ((s, d) => graft.pipeline.TrainingOps.trainOrderQuery(s, d)),
     "p33_dup_spans"        -> ((s, d) => graft.dedup.SpanDedup.duplicatedSpansQuery(s, d)),
@@ -144,6 +145,7 @@ object SparkEntry {
     "u15_observed_metrics" -> (graft.operators.ObservedMetrics.u15ObservedMetricsQuery _),
     "u16_write_audit_publish" -> (graft.operators.WriteAuditPublish.u16WapQuery _),
     "u17_dynamic_overwrite" -> (graft.operators.DynamicPartitionOverwrite.u17DynamicOverwriteQuery _),
+    "u18_ann_upsert"        -> (graft.operators.AnnUpsert.u18AnnUpsertQuery _),
     "s4_stream_join"       -> (graft.streaming.EventStreams.s4StreamJoin _),
     "s10_stream_outer_join" -> (graft.streaming.EventStreams.s10StreamOuterJoin _),
     "s5_stream_upsert"     -> (graft.streaming.EventStreams.s5StreamUpsert _),
@@ -179,6 +181,7 @@ object SparkEntry {
     "mm6_image_resize"     -> (graft.multimodal.MultimodalOps.resize _),
     "mm7_crossmodal_filter" -> (graft.multimodal.CrossModal.query _),
     "mm8_scene_cuts"       -> (graft.multimodal.SceneCuts.query _),
+    "mm9_png_decode"       -> (graft.multimodal.PngCodec.query _),
     "q22_sessions"         -> (Sessionization.sessionsBatch _),
     "u1_bucketed_join"     -> (graft.operators.ScaleOps.u1BucketedJoinQuery _),
     "u2_salted_join"       -> (graft.operators.ScaleOps.u2SaltedJoinQuery _),
@@ -1170,6 +1173,10 @@ object SparkEntry {
     "p28_doc_clusters" -> graft.pipeline.DocClusters.oracleSql,
     "p29_lm_quality" -> graft.text.LmQuality.oracleSql,
     "p57_kn_trigram" -> graft.text.KnTrigramLm.oracleSql,
+    // p59: the full unigram-LM EM trajectory replayed as chained CTEs —
+    // seed counts, per-round unrolled Viterbi DP, usage, re-costing,
+    // final per-doc render
+    "p59_unigram_lm" -> graft.text.UnigramLm.oracleSql,
     "p32_sequences" -> graft.pipeline.TrainingOps.sequenceOracleSql,
     "p56_train_order" -> graft.pipeline.TrainingOps.trainOrderOracleSql,
     "p33_dup_spans" -> graft.dedup.SpanDedup.oracleSql,
@@ -1239,6 +1246,9 @@ object SparkEntry {
     "u15_observed_metrics" -> graft.operators.ObservedMetrics.oracleSql,
     "u16_write_audit_publish" -> graft.operators.WriteAuditPublish.oracleSql,
     "u17_dynamic_overwrite" -> graft.operators.DynamicPartitionOverwrite.oracleSql,
+    // u18: candidate aggregates + the routing invariant replayed from
+    // the POST-INSERT files (centroids, postings, probes all persisted)
+    "u18_ann_upsert" -> graft.operators.AnnUpsert.oracleSql,
     "s10_stream_outer_join" -> graft.streaming.EventStreams.s10OracleSql,
     "s11_stream_trending" -> graft.streaming.EventStreams.s11OracleSql,
     "mm3_phash_dedup" -> graft.multimodal.PHashDedup.oracleSql,
@@ -1247,6 +1257,9 @@ object SparkEntry {
     "mm6_image_resize" -> graft.multimodal.MultimodalOps.resizeOracleSql,
     "mm7_crossmodal_filter" -> graft.multimodal.CrossModal.oracleSql,
     "mm8_scene_cuts" -> graft.multimodal.SceneCuts.oracleSql,
+    // mm9: features of the hand-decoded (Inflater + defilter) PNG raster
+    // replayed from the md5-chain generation rule
+    "mm9_png_decode" -> graft.multimodal.PngCodec.oracleSql,
     // the stream computes the SAME decision record as the batch p35, so
     // the same replay SQL gates both halves of the continual-ingestion story
     "s8_stream_incr_dedup" -> graft.dedup.IncrementalDedup.oracleSql,
