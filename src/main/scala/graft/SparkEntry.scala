@@ -68,6 +68,7 @@ object SparkEntry {
     "p56_train_order"      -> ((s, d) => graft.pipeline.TrainingOps.trainOrderQuery(s, d)),
     "p33_dup_spans"        -> ((s, d) => graft.dedup.SpanDedup.duplicatedSpansQuery(s, d)),
     "p33b_dup_spans_bytes" -> ((s, d) => graft.dedup.SpanDedup.byteSpansQuery(s, d)),
+    "p33c_sa_repeats"      -> (graft.dedup.SaRepeats.query _),
     "p34_quality_clf"      -> (graft.text.QualityClassifier.query _),
     "p54_lang_clf"         -> (graft.text.LangClassifier.query _),
     "p35_incr_dedup"       -> (graft.dedup.IncrementalDedup.query _),
@@ -1181,6 +1182,9 @@ object SparkEntry {
     "p56_train_order" -> graft.pipeline.TrainingOps.trainOrderOracleSql,
     "p33_dup_spans" -> graft.dedup.SpanDedup.oracleSql,
     "p33b_dup_spans_bytes" -> graft.dedup.SpanDedup.byteOracleSql,
+    // p33c: prefix-doubling rank recurrence replayed with dense_rank —
+    // label values differ by engine, equality-class COUNTS are identical
+    "p33c_sa_repeats" -> graft.dedup.SaRepeats.oracleSql,
     "p34_quality_clf" -> graft.text.QualityClassifier.oracleSql,
     "p54_lang_clf" -> graft.text.LangClassifier.oracleSql,
     // s9 emits p34's exact decision record — one replay SQL gates both
