@@ -99,6 +99,7 @@ object SparkEntry {
     "s8_stream_incr_dedup" -> (graft.streaming.EventStreams.s8StreamIncrDedup _),
     "s9_stream_score"      -> (graft.streaming.EventStreams.s9StreamQualityScore _),
     "s11_stream_trending"  -> (graft.streaming.EventStreams.s11StreamTrending _),
+    "s12_stream_ann_upsert" -> (graft.streaming.EventStreams.s12StreamAnnUpsert _),
     "s7_stream_ann_serve"  -> (graft.streaming.EventStreams.s7StreamAnnServe _),
     "m11_platt_probs"      -> (graft.ml.ModelOracles.m11PlattProbs _),
     "m12_cv_grid"          -> ((s, d) => graft.ml.CrossVal.cvGridQuery(s, d)),
@@ -1255,6 +1256,9 @@ object SparkEntry {
     "u18_ann_upsert" -> graft.operators.AnnUpsert.oracleSql,
     "s10_stream_outer_join" -> graft.streaming.EventStreams.s10OracleSql,
     "s11_stream_trending" -> graft.streaming.EventStreams.s11OracleSql,
+    // s12: same replay as u18, from the s12 files — stream-side index
+    // maintenance must leave the index in exactly the batch state
+    "s12_stream_ann_upsert" -> graft.operators.AnnUpsert.oracleSqlFor("s12"),
     "mm3_phash_dedup" -> graft.multimodal.PHashDedup.oracleSql,
     "mm4_audio_features" -> graft.multimodal.AudioOps.oracleSql,
     "mm5_video_frames" -> graft.multimodal.VideoOps.oracleSql,

@@ -26,75 +26,155 @@ import graft.Tables
   * equals an independently computed sliding 16-gram duplicate count
   * (spec-pinned — the p33b equivalence, now BOTH directions).
   *
-  * Exactness: rank labels are engine-local (Spark assigns them by
-  * sorted zipWithIndex, DuckDB by dense_rank), but every output is a
-  * COUNT over rank-equality classes — invariant under any injective
-  * relabeling — so the hash gate is exact with no collision caveat
-  * (unlike hashed k-gram counting, a rank is never lossy).
+  * Exactness: rank labels are engine-local (Spark packs or densifies,
+  * DuckDB uses dense_rank), but every output is a COUNT over
+  * rank-equality classes — invariant under any injective relabeling —
+  * so the hash gate is exact with no collision caveat (unlike hashed
+  * k-gram counting, a rank is never lossy).
   *
-  * Scale shape: each round is one distinct + one range-sort of the
-  * DISTINCT pair table (vocabulary of k-prefixes, shrinking-or-equal
-  * per round... bounded by position count) + two position-keyed
-  * equi-joins — all shuffles keyed on (doc, pos) or the rank pair; no
-  * window function ever sees a single global partition. zipWithIndex
-  * over the range-sorted distinct keys is the standard distributed
-  * dense-ranking primitive (partition-contiguous ids after a range
-  * exchange — O(1) driver state).
+  * Scale shape: see [[repLadder]] — pairs come from a positional
+  * `lead()` window (one shuffle, never a self-join), labels pack as
+  * r1·bound+r2 (a narrow map) on most rounds and densify contiguously
+  * only when the packed range would overflow (2 of 7 rounds at the
+  * measured decade), and levels round-trip through temp parquet so
+  * heap residency is sort buffers only. No window ever sees a single
+  * global partition (docs key the lead; labels key the dup counts;
+  * null labels split off so they can't form one skewed partition).
   */
 object SaRepeats {
 
   val MaxLevel = 128 // levels 1,2,4,...,128
 
-  /** Injective, deterministic integer label per distinct key pair:
-    * range-sort the DISTINCT pairs, zipWithIndex (contiguous ids in
-    * global sorted order). Only EQUALITY of labels is consumed
-    * downstream, so any injective labeling yields identical counts —
-    * determinism here just keeps reruns bit-stable. */
-  private def rankPairs(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    val distinctKeys = pairs.select($"r1", $"r2").distinct()
-      .repartitionByRange(col("r1"), col("r2"))
-      .sortWithinPartitions(col("r1"), col("r2"))
-    val ranked = distinctKeys.select($"r1", $"r2").as[(Long, Long)].rdd
-      .zipWithIndex().map { case ((a, b), i) => (a, b, i) }
-    spark.createDataFrame(ranked).toDF("r1", "r2", "r")
-  }
+  /** Per-doc repeat-start counts from a stored level: positions whose
+    * label is duplicated corpus-wide. Doc-sized; materialized eagerly so
+    * level files can be dropped. */
+  private def repCounts(level: DataFrame, k: Int): DataFrame =
+    level.filter(col("dup"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as(s"rep_$k"))
+      .localCheckpoint(true)
 
-  /** Per-position rank tables for levels 1,2,4,…,maxLevel over a
-    * (doc_id, pos, ch) frame; returns (level → (doc_id, pos, r)). */
-  private[graft] def doublingRanks(chars: DataFrame, maxLevel: Int): Seq[(Int, DataFrame)] = {
+  /** The repeat ladder: (level -> per-doc rep counts) for levels
+    * 1,2,4,...,maxLevel over a (doc_id, pos, ch) frame.
+    *
+    * Round shape (all measured at the 100x decade, 178M positions):
+    *
+    *   - PAIRS BY WINDOW, NOT SELF-JOIN: rank_k(p+k) is `lead(r, k)`
+    *     over (doc, pos) -- position rows are kept COMPLETE per doc
+    *     (tail positions carry null labels), so the lead is positional.
+    *     One shuffle+sort instead of the two-sort sort-merge self-join
+    *     the first implementation paid twice per round (the probe
+    *     showed ~50s/round of pure pair-join recompute).
+    *
+    *   - PACKED LABELS when they fit: with labels contiguous in
+    *     [0, bound), the pair relabels as r1*bound + r2 -- a NARROW
+    *     map, exactly injective, no distinct/join-back at all -- as
+    *     long as bound^2 < 2^63. Labels grow quadratically, so every
+    *     other round DENSIFIES: contiguous labels over the distinct
+    *     pair table (range-partition, per-partition row_number + a
+    *     collected offset vector -- O(#partitions) driver state), then
+    *     one join-back (broadcast when the pair vocabulary is small,
+    *     as it is in early rounds: 257 -> 5k -> 183k distinct). Only
+    *     2 of 7 rounds pay the densify at the decade.
+    *
+    *   - DUP FLAG IN-PASS: each level stores (doc_id, pos, r, dup)
+    *     where dup = this label occurs >= 2 times (a count window over
+    *     the label, null rows split off so the null "group" never
+    *     becomes one skewed window partition). rep_k is then a plain
+    *     doc-keyed count over the stored level.
+    *
+    *   - TEMP PARQUET between rounds: level tables are position-sized;
+    *     holding them on-heap OOMed a 16 GB heap at the decade (and
+    *     lineage doubles per round without a cut -- measured OOM in
+    *     plan stringification). Columnar temp storage is also what a
+    *     real distributed SA build does between rounds at 100 TB.
+    *
+    * The final level never feeds another round, so it skips labeling
+    * entirely: dup comes straight off a count window over the raw pair.
+    *
+    * `densifyAbove` exists for the spec: forcing it low exercises the
+    * densify path on fixtures that would otherwise always pack. */
+  private[graft] def repLadder(chars: DataFrame, maxLevel: Int,
+                               densifyAbove: Long = 3000000000L): Seq[(Int, DataFrame)] = {
     val spark = chars.sparkSession
     import spark.implicits._
-    // level 1: rank = label of the character itself
-    val charRanks = chars.select($"ch").distinct()
-      .repartitionByRange($"ch").sortWithinPartitions($"ch")
-      .as[String].rdd.zipWithIndex()
-      .toDF("ch", "r")
-    // every round references the previous level TWICE (the p and p+k
-    // branches) and the pair table twice (rank build + join-back):
-    // carried as lineage that doubles per round — an exponential plan
-    // tree by level 128 (OOMs in plan stringification long before any
-    // data moves). localCheckpoint truncates each level to a LogicalRDD,
-    // so plan size stays O(1) per round — the BpeVocab.learn lesson.
-    var cur = chars.join(charRanks, "ch").select($"doc_id", $"pos", $"r")
-      .localCheckpoint(true)
-    val out = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)]((1, cur))
-    var k = 1
-    while (2 * k <= maxLevel) {
-      val a = cur.select($"doc_id", $"pos", $"r".as("r1"))
-      val b = cur.select($"doc_id", ($"pos" - k).as("pos"), $"r".as("r2"))
-      // inner join: the (pos+k) row exists iff pos+2k ≤ doc length —
-      // exactly the positions that can start a 2k-prefix
-      val pairs = a.join(b, Seq("doc_id", "pos")).localCheckpoint(true)
-      val next = pairs.join(rankPairs(pairs), Seq("r1", "r2"))
-        .select($"doc_id", $"pos", $"r")
-        .localCheckpoint(true)
-      k = 2 * k
-      out += ((k, next))
-      cur = next
+    import org.apache.spark.sql.expressions.Window
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p33c").toString
+    def store(df: DataFrame, k: Int): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$tmp/lvl_$k")
+      spark.read.parquet(s"$tmp/lvl_$k")
     }
-    out.toSeq
+    try {
+      // level 1: contiguous vocabulary labels -- the char vocabulary is
+      // model-sized (all distinct code points), one tiny collect
+      val vocab = chars.groupBy($"ch").agg(count(lit(1)).as("nr"))
+        .orderBy($"ch").as[(String, Long)].collect()
+      val labelDf = broadcast(
+        vocab.zipWithIndex.map { case ((c, nr), i) => (c, i.toLong, nr >= 2L) }
+          .toSeq.toDF("ch", "r", "dup"))
+      var bound = vocab.length.toLong
+      var cur = store(
+        chars.join(labelDf, "ch").select($"doc_id", $"pos", $"r", $"dup"), 1)
+      val out = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)]((1, repCounts(cur, 1)))
+      var k = 1
+      val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+      while (2 * k <= maxLevel) {
+        val paired = cur.select($"doc_id", $"pos", $"r".as("r1"),
+          lead($"r", k).over(wDoc).as("r2"))
+        var release: () => Unit = () => ()
+        val labeled: DataFrame =
+          if (4 * k > maxLevel) {
+            // last level: labels never consumed again -- dup straight
+            // off a count window over the raw pair
+            val wP = Window.partitionBy($"r1", $"r2")
+            paired.filter($"r1".isNotNull && $"r2".isNotNull)
+              .withColumn("dup", count(lit(1)).over(wP) >= 2)
+              .select($"doc_id", $"pos", lit(null).cast("long").as("r"), $"dup")
+          } else if (bound <= densifyAbove) {
+            // packed: narrow relabel, dup via one count window by label
+            val packed = paired
+              .withColumn("r", $"r1" * lit(bound) + $"r2")
+              .select($"doc_id", $"pos", $"r")
+            bound = bound * bound
+            val wR = Window.partitionBy($"r")
+            packed.filter($"r".isNotNull)
+              .withColumn("dup", count(lit(1)).over(wR) >= 2)
+              .unionByName(packed.filter($"r".isNull)
+                .withColumn("dup", lit(false)))
+          } else {
+            // densify: contiguous labels over the distinct pair table
+            val dist = paired.filter($"r1".isNotNull && $"r2".isNotNull)
+              .groupBy($"r1", $"r2").agg(count(lit(1)).as("nr"))
+              .repartitionByRange($"r1", $"r2")
+              .withColumn("pid", spark_partition_id())
+              .persist() // pid must agree between the offsets job and the join
+            release = () => { dist.unpersist(false); () }
+            val cnts = dist.groupBy($"pid").agg(count(lit(1)).as("n"))
+              .orderBy($"pid").as[(Int, Long)].collect()
+            var acc = 0L
+            val offs = cnts.map { case (pid, n) => val o = (pid, acc); acc += n; o }
+            bound = math.max(acc, 1L)
+            val offDf = broadcast(offs.toSeq.toDF("pid", "off"))
+            val wPid = Window.partitionBy($"pid").orderBy($"r1", $"r2")
+            val ranks = dist.join(offDf, "pid")
+              .withColumn("r", $"off" + row_number().over(wPid) - 1)
+              .select($"r1", $"r2", $"r", ($"nr" >= 2).as("dup"))
+            paired.join(ranks, Seq("r1", "r2"), "left")
+              .select($"doc_id", $"pos", $"r",
+                coalesce($"dup", lit(false)).as("dup"))
+          }
+        val next = store(labeled, 2 * k)
+        release()
+        graft.operators.ScaleOps.deleteRecursively(s"$tmp/lvl_$k")
+        k = 2 * k
+        out += ((k, repCounts(next, k)))
+        cur = next
+      }
+      out.toSeq
+    } finally {
+      // every rep frame is eagerly materialized (localCheckpoint), so
+      // no caller ever re-reads the level files -- drop them all
+      graft.operators.ScaleOps.deleteRecursively(tmp)
+    }
   }
 
   /** p33c: per-doc repeat-start counts at every power-of-two length —
@@ -107,15 +187,10 @@ object SaRepeats {
         posexplode(filter(split($"text", ""), x => x =!= lit(""))))
       .withColumnRenamed("col", "ch")
       .persist()
-    val levels = doublingRanks(chars, MaxLevel)
+    val levels = repLadder(chars, MaxLevel)
     val perDoc = chars.groupBy($"doc_id").agg(count(lit(1)).as("n_chars"))
-    val reps = levels.map { case (k, t) =>
-      val dupRanks = t.groupBy($"r").agg(count(lit(1)).as("nr"))
-        .filter($"nr" >= 2).select($"r")
-      t.join(dupRanks, "r")
-        .groupBy($"doc_id").agg(count(lit(1)).as(s"rep_$k"))
-    }
-    val joined = reps.foldLeft(perDoc)((acc, r) => acc.join(r, Seq("doc_id"), "left"))
+    val joined = levels.map(_._2)
+      .foldLeft(perDoc)((acc, r) => acc.join(r, Seq("doc_id"), "left"))
     val out = levels.map(_._1).foldLeft(joined) { (df, k) =>
       df.withColumn(s"rep_$k", coalesce(col(s"rep_$k"), lit(0L)))
     }.orderBy($"doc_id")

@@ -42,7 +42,7 @@ object AnnUpsert {
   val NProbe = 3
 
   /** Hash-bucket insert split (the m6 lesson: never raw id modulo). */
-  private[operators] def isInsert(vecId: Column): Column =
+  private[graft] def isInsert(vecId: Column): Column =
     conv(substring(md5(vecId.cast("string")), 1, 8), 16, 10)
       .cast("long") % 10 === 7
 
@@ -58,7 +58,7 @@ object AnnUpsert {
   /** Assign cells with centroids and upsert `arrivals` into the postings
     * layout at `path`: read ONLY the touched cells, union, rewrite those
     * partitions (dynamic overwrite + per-cell compaction). */
-  private[operators] def upsertVectors(spark: SparkSession, path: String,
+  private[graft] def upsertVectors(spark: SparkSession, path: String,
                                        centroids: Array[Array[Double]],
                                        arrivals: DataFrame): Unit = {
     val routed = arrivals
@@ -94,34 +94,48 @@ object AnnUpsert {
     * aggregates + the routing invariant (n_misrouted re-derives every
     * candidate's argmin cell from the persisted centroids; must be 0).
     * Fails fast if no arrival is visible to any probe. */
-  def u18AnnUpsertQuery(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.ml.ModelOracles.modelRoot(dir)
-    val e = graft.Tables.embeddings(spark, dir)
+  /** (vec_id, v) frame of the whole embeddings table. */
+  private[graft] def vectors(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
-    val base = e.filter(!isInsert(col("vec_id")))
+
+  /** Build the BASE index under `root`/`prefix`: fit centroids on the
+    * 90% hash split only (the model predates the arrivals), persist
+    * them, write the base postings. Returns the centroids READ BACK
+    * from the persisted file — routing must use the index's model as
+    * written, not the in-memory fit. Rebuilt per invocation so the
+    * subsequent upsert is idempotent across Verify/Bench runs. */
+  private[graft] def buildBase(spark: SparkSession, dir: String,
+                               prefix: String): Array[Array[Double]] = {
+    val root = graft.ml.ModelOracles.modelRoot(dir)
+    val base = vectors(spark, dir).filter(!isInsert(col("vec_id")))
       .withColumn("src", lit("base"))
-    val arrivals = e.filter(isInsert(col("vec_id")))
-      .withColumn("src", lit("upsert"))
-    // fit on the BASE corpus only (the model predates the arrivals),
-    // persist it — routing reads the PERSISTED model, not the fit
     val fitted = IvfAnn.fitCentroids(base, "v", NList)
-    saveCentroids(spark, fitted, s"$root/u18_centroids")
-    val centroids = loadCentroids(spark, s"$root/u18_centroids")
+    saveCentroids(spark, fitted, s"$root/${prefix}_centroids")
+    val centroids = loadCentroids(spark, s"$root/${prefix}_centroids")
     writePostings(
       base.withColumn("cell", IvfAnn.cellOf(col("v"), centroids))
         .select(col("vec_id"), col("v"), col("src"), col("cell")),
-      s"$root/u18_postings", dynamic = false)
-    upsertVectors(spark, s"$root/u18_postings", centroids, arrivals)
-    // probes: the first 5 arrivals; their nprobe nearest cells
-    val probes = arrivals.orderBy(col("vec_id")).limit(5)
+      s"$root/${prefix}_postings", dynamic = false)
+    centroids
+  }
+
+  /** Serve probes (the first 5 arrivals) against the post-insert
+    * postings at `root`/`prefix` via the pruned read; aggregate + gate
+    * (arrivals visible, zero misrouted). Shared by u18 and s12. */
+  private[graft] def probeAndAggregate(spark: SparkSession, dir: String, prefix: String,
+                                       centroids: Array[Array[Double]]): DataFrame = {
+    val root = graft.ml.ModelOracles.modelRoot(dir)
+    val probes = vectors(spark, dir).filter(isInsert(col("vec_id")))
+      .orderBy(col("vec_id")).limit(5)
       .select(col("vec_id").as("query_id"),
         explode(IvfAnn.probeCellsCol(
           IvfAnn.distances(col("v"), centroids), NList, NProbe)).as("cell"))
-    probes.coalesce(1).write.mode("overwrite").parquet(s"$root/u18_probes")
-    val probesR = spark.read.parquet(s"$root/u18_probes")
+    probes.coalesce(1).write.mode("overwrite").parquet(s"$root/${prefix}_probes")
+    val probesR = spark.read.parquet(s"$root/${prefix}_probes")
     val probedCells = probesR.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val res = ScaleOps.prunedPostingsScan(spark, s"$root/u18_postings", probedCells)
+    val res = ScaleOps.prunedPostingsScan(spark, s"$root/${prefix}_postings", probedCells)
       .join(probesR, Seq("cell"))
       .withColumn("argc", IvfAnn.cellOf(col("v"), centroids))
       .groupBy(col("query_id"))
@@ -136,10 +150,19 @@ object AnnUpsert {
     val out = ScaleOps.materializeThen(res) { () } // files stay: oracle replays them
     val rows = out.collect()
     require(rows.map(_.getAs[Long]("n_new_candidates")).sum > 0,
-      "u18 gate: no upserted vector visible to any probe — the upsert is invisible")
+      s"$prefix gate: no upserted vector visible to any probe — the upsert is invisible")
     require(rows.map(_.getAs[Long]("n_misrouted")).sum == 0,
-      "u18 gate: a candidate sits in a cell that is not its argmin centroid")
+      s"$prefix gate: a candidate sits in a cell that is not its argmin centroid")
     out
+  }
+
+  def u18AnnUpsertQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.ml.ModelOracles.modelRoot(dir)
+    val centroids = buildBase(spark, dir, "u18")
+    val arrivals = vectors(spark, dir).filter(isInsert(col("vec_id")))
+      .withColumn("src", lit("upsert"))
+    upsertVectors(spark, s"$root/u18_postings", centroids, arrivals)
+    probeAndAggregate(spark, dir, "u18", centroids)
   }
 
   /** DuckDB replay from the post-insert files: per-query candidate
@@ -147,17 +170,17 @@ object AnnUpsert {
     * cell re-derived from the persisted centroids (first-index-of-min,
     * the m3 argmax convention; distances in index order so the double
     * math is bit-identical to the fused sq_distance). */
-  val oracleSql: String =
-    """WITH cents AS (
+  def oracleSqlFor(prefix: String): String =
+    s"""WITH cents AS (
          SELECT array_agg(centroid ORDER BY idx) AS C
-         FROM read_parquet('/tmp/graft_models/sf0.01/u18_centroids/*.parquet')),
+         FROM read_parquet('/tmp/graft_models/sf0.01/${prefix}_centroids/*.parquet')),
        p AS (
          SELECT cell, vec_id, v, src
-         FROM read_parquet('/tmp/graft_models/sf0.01/u18_postings/*/*.parquet',
+         FROM read_parquet('/tmp/graft_models/sf0.01/${prefix}_postings/*/*.parquet',
                            hive_partitioning=1)),
        q AS (
          SELECT query_id, cell
-         FROM read_parquet('/tmp/graft_models/sf0.01/u18_probes/*.parquet')),
+         FROM read_parquet('/tmp/graft_models/sf0.01/${prefix}_probes/*.parquet')),
        cand AS (
          SELECT q.query_id, p.cell, p.vec_id, p.v, p.src,
            [list_sum([(p.v[j] - cents.C[i][j]) * (p.v[j] - cents.C[i][j])
@@ -174,4 +197,6 @@ object AnnUpsert {
          CAST(sum(CASE WHEN list_position(dl, list_min(dl)) - 1 <> cell
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_misrouted
        FROM cand GROUP BY query_id ORDER BY query_id"""
+
+  val oracleSql: String = oracleSqlFor("u18")
 }

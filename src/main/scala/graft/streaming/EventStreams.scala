@@ -523,6 +523,54 @@ object EventStreams {
       .orderBy(col("doc_id"))
   }
 
+  // ---- S12: streaming maintenance of the persisted ANN index ----
+
+  /** S12: arrivals flow THROUGH the streaming engine into the u18
+    * upsert path — the continuous-ingestion closure of the ANN story
+    * (u10 write-once layout → s7 read-only serving → u18 batch upsert →
+    * THIS: a checkpointed file-source stream whose every micro-batch
+    * routes its vectors with the persisted centroids and dynamically
+    * overwrites only the touched cell partitions via foreachBatch, the
+    * standard Structured-Streaming writer for sinks with their own
+    * transactional semantics). The base index is rebuilt per invocation
+    * (static overwrite) so the stream upsert is idempotent across
+    * Verify/Bench runs; the read side and the in-query gates are
+    * u18's, byte for byte, and the oracle replays the same candidate
+    * aggregates + routing invariant from the s12 files — so a green
+    * row certifies that STREAM-side maintenance leaves the index in
+    * exactly the state batch maintenance would.
+    *
+    * Scale shape: each micro-batch's write touches only the cells its
+    * arrivals route to (dynamic overwrite + per-cell compaction —
+    * at 100 TB a batch of arrivals rewrites a few cell directories,
+    * never the index); routing is a narrow map against the broadcast
+    * centroid matrix. */
+  def s12StreamAnnUpsert(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame = {
+    import graft.operators.AnnUpsert
+    import graft.functions.VectorOps
+    import org.apache.spark.sql.streaming.Trigger
+    val root = graft.ml.ModelOracles.modelRoot(dir)
+    val centroids = AnnUpsert.buildBase(spark, dir, "s12")
+    val arrivals = tableStream(spark, dir, "embeddings")
+      .filter(AnnUpsert.isInsert(col("vec_id")))
+      .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"),
+              lit("upsert").as("src"))
+    val ck = java.nio.file.Files.createTempDirectory("graft_s12_ck")
+    ck.toFile.deleteOnExit()
+    val t0 = System.nanoTime()
+    val q = arrivals.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        AnnUpsert.upsertVectors(spark, s"$root/s12_postings", centroids, batch)
+      }
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    StreamMeters.record("s12_stream_ann_upsert",
+      (System.nanoTime() - t0) / 1e9, StreamMeters.batchSeconds(q))
+    AnnUpsert.probeAndAggregate(spark, dir, "s12", centroids)
+  }
+
   /** s9: streaming model scoring (online inference over the persisted
     * p34 quality classifier) — documents arrive as a file-source stream
     * and are scored per-row with `marginMicrosNarrow`: the entire

@@ -38,13 +38,17 @@ class SaRepeatsSpec extends SparkSpec {
     // multibyte (𝄞 pair shared across docs)
     val docs = Seq[(Long, String)](
       (1L, "abcdefgh𝄞xy"), (2L, "zzabcdzz𝄞xy"), (3L, "qqqqqq"), (4L, "unique1"))
-    val levels = SaRepeats.doublingRanks(charsOf(docs).persist(), 8)
-    levels.foreach { case (k, t) =>
-      val dup = t.groupBy($"r").agg(count(lit(1)).as("n")).filter($"n" >= 2).select($"r")
-      val got = t.join(dup, "r").groupBy($"doc_id").agg(count(lit(1)).as("c"))
-        .as[(Long, Long)].collect().toMap
-      val want = bruteReps(docs, k).filter(_._2 > 0)
-      assert(got == want, s"level $k: got $got want $want")
+    val chars = charsOf(docs).persist()
+    // both label strategies must agree with brute force: the default
+    // schedule packs on a corpus this small; densifyAbove = 1 forces
+    // the contiguous-relabel path on every round
+    for (densifyAbove <- Seq(3000000000L, 1L)) {
+      val levels = SaRepeats.repLadder(chars, 8, densifyAbove)
+      levels.foreach { case (k, t) =>
+        val got = t.as[(Long, Long)].collect().toMap
+        val want = bruteReps(docs, k).filter(_._2 > 0)
+        assert(got == want, s"level $k (densifyAbove=$densifyAbove): got $got want $want")
+      }
     }
   }
 
