@@ -64,6 +64,8 @@ object SparkEntry {
     "p29_lm_quality"       -> (graft.text.LmQuality.query _),
     "p57_kn_trigram"       -> (graft.text.KnTrigramLm.query _),
     "p59_unigram_lm"       -> (graft.text.UnigramLm.query _),
+    "p62_fim_transform"    -> (graft.pipeline.FimTransform.query _),
+    "p63_kl_mixture"       -> (graft.pipeline.MixtureDivergence.query _),
     "p32_sequences"        -> ((s, d) => graft.pipeline.TrainingOps.sequenceQuery(s, d)),
     "p56_train_order"      -> ((s, d) => graft.pipeline.TrainingOps.trainOrderQuery(s, d)),
     "p33_dup_spans"        -> ((s, d) => graft.dedup.SpanDedup.duplicatedSpansQuery(s, d)),
@@ -1179,6 +1181,9 @@ object SparkEntry {
     // seed counts, per-round unrolled Viterbi DP, usage, re-costing,
     // final per-doc render
     "p59_unigram_lm" -> graft.text.UnigramLm.oracleSql,
+    // p62: md5 buckets, cuts and PSM render replayed via list slicing
+    "p62_fim_transform" -> graft.pipeline.FimTransform.oracleSql,
+    "p63_kl_mixture" -> graft.pipeline.MixtureDivergence.oracleSql,
     "p32_sequences" -> graft.pipeline.TrainingOps.sequenceOracleSql,
     "p56_train_order" -> graft.pipeline.TrainingOps.trainOrderOracleSql,
     "p33_dup_spans" -> graft.dedup.SpanDedup.oracleSql,
