@@ -78,6 +78,22 @@ class PlanShapeSpec extends SparkSpec {
     } finally ScaleOps.deleteRecursively(tmp)
   }
 
+  test("p62 fim: the transform is one narrow pass — the only exchange is the output sort") {
+    val out = graft.pipeline.FimTransform.query(spark, dir)
+    val phys = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(phys).length
+    assert(exchanges == 1, s"expected exactly one exchange (the orderBy's):\n$phys")
+    assert(phys.contains("rangepartitioning"),
+      s"the one exchange must be the output sort, not a shuffle:\n$phys")
+  }
+
+  test("p63 kl: the (source, word) count tables combine map-side before their shuffles") {
+    val out = graft.pipeline.MixtureDivergence.query(spark, dir)
+    val phys = out.queryExecution.executedPlan.toString
+    assert(phys.contains("partial_count") || phys.contains("partial"),
+      s"count tables must partial-aggregate:\n$phys")
+  }
+
   test("p57 kn model: count aggregations carry partial (map-side) aggregation") {
     val occ = Seq(("a", "b", "c"), ("b", "c", "a"), ("a", "b", "d"))
       .toDF("w1", "w2", "w3")
