@@ -150,6 +150,7 @@ object SparkEntry {
     "u16_write_audit_publish" -> (graft.operators.WriteAuditPublish.u16WapQuery _),
     "u17_dynamic_overwrite" -> (graft.operators.DynamicPartitionOverwrite.u17DynamicOverwriteQuery _),
     "u18_ann_upsert"        -> (graft.operators.AnnUpsert.u18AnnUpsertQuery _),
+    "u19_cdc_tombstones"    -> (graft.operators.CdcTombstones.u19CdcTombstonesQuery _),
     "s4_stream_join"       -> (graft.streaming.EventStreams.s4StreamJoin _),
     "s10_stream_outer_join" -> (graft.streaming.EventStreams.s10StreamOuterJoin _),
     "s5_stream_upsert"     -> (graft.streaming.EventStreams.s5StreamUpsert _),
@@ -1259,6 +1260,7 @@ object SparkEntry {
     // u18: candidate aggregates + the routing invariant replayed from
     // the POST-INSERT files (centroids, postings, probes all persisted)
     "u18_ann_upsert" -> graft.operators.AnnUpsert.oracleSql,
+    "u19_cdc_tombstones" -> graft.operators.CdcTombstones.oracleSql,
     "s10_stream_outer_join" -> graft.streaming.EventStreams.s10OracleSql,
     "s11_stream_trending" -> graft.streaming.EventStreams.s11OracleSql,
     // s12: same replay as u18, from the s12 files — stream-side index
