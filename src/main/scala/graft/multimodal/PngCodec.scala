@@ -127,6 +127,11 @@ object PngCodec {
       require(pos + 8 <= payload.length, "png: truncated chunk header")
       val len = ((payload(pos) & 0xff) << 24) | ((payload(pos + 1) & 0xff) << 16) |
                 ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+      // PNG caps chunk lengths at 2^31-1; a corrupt length with the top
+      // bit set parses negative here and would otherwise slip past the
+      // truncation check below and crash inside CRC32 instead of failing
+      // the documented contract
+      require(len >= 0, "png: bad chunk length")
       val typ = new String(payload, pos + 4, 4, "US-ASCII")
       require(pos + 8 + len + 4 <= payload.length, s"png: truncated $typ chunk")
       val crc = new java.util.zip.CRC32()
@@ -158,7 +163,17 @@ object PngCodec {
     inflater.setInput(idat.toByteArray)
     val stride = W * Bpp
     val filtered = new Array[Byte](H * (1 + stride))
-    val n = try inflater.inflate(filtered) catch {
+    // loop until finished(): a valid stream may need multiple inflate
+    // calls (one call sufficing is an implementation detail, not a
+    // zlib contract); a zero-byte round before finished() is a stall
+    var n = 0
+    try {
+      var stalled = false
+      while (!inflater.finished() && n < filtered.length && !stalled) {
+        val got = inflater.inflate(filtered, n, filtered.length - n)
+        if (got == 0 && !inflater.finished()) stalled = true else n += got
+      }
+    } catch {
       case e: java.util.zip.DataFormatException =>
         throw new IllegalArgumentException(s"png: bad zlib stream: ${e.getMessage}")
     }

@@ -67,8 +67,19 @@ object AnnUpsert {
       .localCheckpoint(true) // route once; the write must not re-plan it
     val touched = routed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
+    // Eagerly materialize the touched-cell rows BEFORE the overwrite:
+    // the write below dynamically overwrites the SAME path the scan
+    // reads, and "scan fully drains before the commit deletes touched
+    // partitions" is not a contract Spark guarantees (a static-mode
+    // override or a mid-commit crash would delete the pre-upsert rows
+    // while/before they are read — silent index data loss). The
+    // checkpoint pins the old rows in memory/disk first, so the
+    // overwrite never races its own input. Touched cells are a bounded
+    // slice (arrival-sized, not index-sized), so this stays cheap at
+    // any index size.
     val existing = ScaleOps.prunedPostingsScan(spark, path, touched)
       .select(col("vec_id"), col("v"), col("src"), col("cell"))
+      .localCheckpoint(true)
     writePostings(existing.unionByName(routed), path, dynamic = true)
   }
 

@@ -31,8 +31,16 @@ object CdcTombstones {
                            keyCols: Seq[String], versionCol: String,
                            opCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Deterministic tie-break for same-version collisions (a 'D' and a
+    // 'U' in one feed batch): op precedence D > U > I — the conservative
+    // Debezium/Delta reading (a delete co-versioned with an upsert wins,
+    // so a tombstone is never silently resurrected by an arbitrary
+    // row_number pick). Feeds carrying a change-sequence id should order
+    // by it instead; absent one, precedence is the deterministic floor.
+    val opRank = when(col(opCol) === "D", 2)
+      .when(col(opCol) === "U", 1).otherwise(0)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc)
+      .orderBy(col(versionCol).desc, opRank.desc)
     base.unionByName(changes)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(opCol) =!= "D")
@@ -93,7 +101,9 @@ object CdcTombstones {
          UNION ALL
          SELECT o_orderkey, 'R', o_totalprice + 500.0, 2, 'I' FROM b WHERE bk = 3),
        win AS (
-         SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+         SELECT *, row_number() OVER (PARTITION BY o_orderkey
+           ORDER BY version DESC,
+                    CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END DESC) AS rn
          FROM allrows)
        SELECT o_orderstatus, count(*) AS n_orders,
               round(sum(o_totalprice), 2) AS sum_price

@@ -46,15 +46,24 @@ object FimTransform {
   /** p62: per-doc FIM record — eligibility, cut positions, span word
     * counts, and the md5 of the rendered PSM document (or of the
     * unchanged text for pass-through docs). */
-  def query(spark: SparkSession, dir: String): DataFrame = {
+  def query(spark: SparkSession, dir: String): DataFrame =
+    transform(Tables.documents(spark, dir))
+
+  /** Frame-based core of [[query]] over a (doc_id, text) frame —
+    * separated so specs can inject edge docs (empty text). */
+  private[graft] def transform(docsIn: DataFrame): DataFrame = {
+    val spark = docsIn.sparkSession
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+    val docs = docsIn
       .select($"doc_id", graft.text.TextAnalysis.tokens($"text").as("w"))
       .withColumn("n", size($"w"))
-      .withColumn("fim", bucket("fim?") % 2 === 0)
+      // n >= 1 always (split of "" is [""]) — the n > 0 guards make the
+      // zero-word contract explicit rather than relying on null-propagation
+      .withColumn("fim", bucket("fim?") % 2 === 0 && $"n" > 0)
       // a ∈ [0, n), b ∈ (a, n]: middle never empty
-      .withColumn("a", (bucket("fim-a") % $"n").cast("int"))
-      .withColumn("b", ($"a" + lit(1) + bucket("fim-b") % ($"n" - $"a")).cast("int"))
+      .withColumn("a", when($"n" > 0, bucket("fim-a") % $"n").cast("int"))
+      .withColumn("b", when($"n" > 0,
+        $"a" + lit(1) + bucket("fim-b") % ($"n" - $"a")).cast("int"))
     docs.select($"doc_id", $"fim", $"n".cast("long").as("n_words"),
         when($"fim", $"a".cast("long")).as("cut_a"),
         when($"fim", $"b".cast("long")).as("cut_b"),

@@ -168,10 +168,21 @@ object UnigramLm {
 
   /** The fitted piece-cost map after EmRounds of Viterbi-EM, plus the
     * intermediate frames the query needs. */
-  private[graft] def fit(spark: SparkSession, dir: String): (DataFrame, DataFrame, Map[String, Long]) = {
+  private[graft] def fit(spark: SparkSession, dir: String): (DataFrame, DataFrame, Map[String, Long]) =
+    fitFrom(Tables.documents(spark, dir))
+
+  private[graft] def fitFrom(docs: DataFrame): (DataFrame, DataFrame, Map[String, Long]) = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val docWords = Tables.documents(spark, dir)
+    // Zero-length words (whitespace-edged or empty docs) are dropped
+    // IDENTICALLY on both engines: the oracle's chunk comprehension
+    // range(0, ceil(len/16)) is empty for len=0, which would silently
+    // drop such words from its render while Spark kept them (n_words
+    // divergence). Filtering after posexplode keeps original positions
+    // for the ordered render on both sides.
+    val docWords = docs
       .select($"doc_id", posexplode(split($"text", "\\s+")).as(Seq("pos", "word")))
+      .filter(length($"word") > 0)
     val wordCnt = docWords.groupBy($"word").agg(count(lit(1)).as("wcnt")).persist()
     val wordChunks = wordCnt.select($"word").as[String].mapPartitions { it =>
       it.flatMap(w => chunksOf(w).iterator.zipWithIndex.map { case (c, k) => (w, k, c) })
@@ -201,9 +212,13 @@ object UnigramLm {
     * rendered piece stream in document order (the p39b render), so the
     * hash gate certifies every piece of every document and, through
     * the fitted costs, the entire EM trajectory. */
-  def query(spark: SparkSession, dir: String): DataFrame = {
+  def query(spark: SparkSession, dir: String): DataFrame =
+    queryFrom(Tables.documents(spark, dir))
+
+  private[graft] def queryFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val (docWords, _, costMap) = fit(spark, dir)
+    val (docWords, _, costMap) = fitFrom(docs)
     val bc = spark.sparkContext.broadcast(costMap)
     val wordPieces = docWords.select($"word").distinct().as[String].mapPartitions { it =>
       val c = bc.value
@@ -314,7 +329,7 @@ object UnigramLm {
     s"""WITH w0 AS MATERIALIZED (
          SELECT word, count(*) AS wcnt FROM (
            SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
-           FROM documents) t GROUP BY 1),
+           FROM documents) t WHERE len(word) > 0 GROUP BY 1),
        ch0 AS (
          SELECT word,
            [{'k': k, 'chunk': substr(word, $w * k + 1, $w)}
@@ -346,7 +361,8 @@ object UnigramLm {
        dw0 AS (
          SELECT doc_id, [{'pos': i, 'word': wl[i]} for i in range(1, len(wl) + 1)] AS ws
          FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS wl FROM documents)),
-       dw AS (SELECT doc_id, unnest(ws, recursive := true) FROM dw0)
+       dw AS (SELECT * FROM (SELECT doc_id, unnest(ws, recursive := true) FROM dw0)
+              WHERE len(word) > 0)
        SELECT dw.doc_id, count(*) AS n_words,
          CAST(sum(len(w.wp)) AS BIGINT) AS n_pieces,
          md5(string_agg(array_to_string(w.wp, ' '), ' ' ORDER BY dw.pos)) AS pieces_md5

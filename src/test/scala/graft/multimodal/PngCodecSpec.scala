@@ -62,6 +62,16 @@ class PngCodecSpec extends SparkSpec {
     assert(e.getMessage.contains("CRC mismatch in IHDR"))
   }
 
+  test("png rejects a negative (top-bit-set) chunk length via the documented contract") {
+    val png = PngCodec.encodePng(raster(13), 0)
+    val idatStart = 8 + 25 // chunk header offset of IDAT
+    val bad = png.clone()
+    bad(idatStart) = (bad(idatStart) | 0x80).toByte // length >= 2^31 → negative int
+    val e = intercept[IllegalArgumentException](PngCodec.decodePng(bad))
+    assert(e.getMessage.contains("bad chunk length"),
+      s"expected the loud length contract, got: ${e.getMessage}")
+  }
+
   test("mm9 generation is shuffle-free and the query matches the generated chain on sf0.001") {
     val media = PngCodec.pngFromDocuments(spark, "/root/testdata/sf0.001")
     val phys = media.queryExecution.executedPlan.toString

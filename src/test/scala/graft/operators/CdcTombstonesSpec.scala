@@ -24,6 +24,22 @@ class CdcTombstonesSpec extends SparkSpec {
       s"merge produced $got")
   }
 
+  test("u19: same-version ties break deterministically — the co-versioned tombstone wins") {
+    val base = Seq((1L, "A", 10.0), (2L, "B", 20.0))
+      .toDF("k", "s", "v").withColumn("version", lit(0L)).withColumn("op", lit("I"))
+    val changes = Seq(
+      (1L, "U", 11.0, 1L, "U"),  // a 'U' and a 'D' in ONE batch at v=1:
+      (1L, "A", 10.0, 1L, "D"),  // precedence D > U — key 1 vanishes
+      (2L, "B", 20.0, 1L, "D"),  // a 'D' and an 'I' at v=1:
+      (2L, "R", 22.0, 1L, "I")   // D wins the tie — key 2 vanishes too
+    ).toDF("k", "s", "v", "version", "op")
+    for (shuffled <- Seq(changes, changes.orderBy($"op"), changes.orderBy($"op".desc))) {
+      val got = CdcTombstones.upsertWithTombstones(base, shuffled, Seq("k"), "version", "op")
+        .select($"k").as[Long].collect().toSet
+      assert(got.isEmpty, s"co-versioned tombstones must win every tie, got survivors $got")
+    }
+  }
+
   test("u19 query: bucket-2 keys are gone, bucket-3 keys carry the re-inserted status") {
     val dir = "/root/testdata/sf0.001"
     val orders = graft.Tables.orders(spark, dir)

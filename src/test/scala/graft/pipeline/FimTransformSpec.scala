@@ -22,6 +22,27 @@ class FimTransformSpec extends SparkSpec {
     }
   }
 
+  test("p62: empty and whitespace-only docs pass through without nulling the record") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // split("") is [""] so n >= 1 always; the n > 0 guard makes the
+    // contract explicit — no row may throw or null out rendered_md5
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = FimTransform.transform(docs).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("rendered_md5")),
+        s"doc ${r.getLong(0)}: rendered_md5 must never be null")
+      val n = r.getAs[Long]("n_words")
+      assert(n >= 1, s"split semantics give n >= 1, got $n")
+      if (r.getAs[Boolean]("fim")) {
+        val a = r.getAs[Long]("cut_a"); val b = r.getAs[Long]("cut_b")
+        assert(0 <= a && a < b && b <= n, s"cuts out of range: a=$a b=$b n=$n")
+      }
+    }
+  }
+
   test("p62: the PSM render is the exact reorder (hand-checked fixture)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

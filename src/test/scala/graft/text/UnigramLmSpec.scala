@@ -57,6 +57,23 @@ class UnigramLmSpec extends SparkSpec {
     assert(!ps.contains("")) // no empty pieces
   }
 
+  test("p59: whitespace-edged and empty docs — zero-length words dropped, all-empty docs absent") {
+    import spark.implicits._
+    // split("\\s+") yields empty tokens at whitespace edges; both the
+    // Spark side and the oracle drop them identically, and a doc whose
+    // every token is empty drops out of the render entirely
+    val docs = Seq((1L, "  ab ab  "), (2L, "ab"), (3L, ""), (4L, "   "))
+      .toDF("doc_id", "text")
+    val out = UnigramLm.queryFrom(docs).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_words")).toMap
+    assert(byId.keySet == Set(1L, 2L), s"all-empty docs must be absent, got ${byId.keySet}")
+    assert(byId(1L) == 2L, s"edge whitespace must not inflate n_words: ${byId(1L)}")
+    assert(byId(2L) == 1L)
+    // identical word stream → identical render hash regardless of edges
+    val md = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pieces_md5")).toMap
+    assert(md(1L) != null && md(2L) != null)
+  }
+
   test("p59 fit: every corpus word round-trips through its segmentation, pieces respect MaxPieceLen") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
