@@ -64,6 +64,8 @@ object SparkEntry {
     "p29_lm_quality"       -> (graft.text.LmQuality.query _),
     "p57_kn_trigram"       -> (graft.text.KnTrigramLm.query _),
     "p59_unigram_lm"       -> (graft.text.UnigramLm.query _),
+    "p59b_unigram_prune"   -> (graft.text.UnigramPrune.query _),
+    "p39d_byte_bpe"        -> (graft.text.ByteBpe.query _),
     "p62_fim_transform"    -> (graft.pipeline.FimTransform.query _),
     "p63_kl_mixture"       -> (graft.pipeline.MixtureDivergence.query _),
     "p32_sequences"        -> ((s, d) => graft.pipeline.TrainingOps.sequenceQuery(s, d)),
@@ -151,6 +153,8 @@ object SparkEntry {
     "u17_dynamic_overwrite" -> (graft.operators.DynamicPartitionOverwrite.u17DynamicOverwriteQuery _),
     "u18_ann_upsert"        -> (graft.operators.AnnUpsert.u18AnnUpsertQuery _),
     "u19_cdc_tombstones"    -> (graft.operators.CdcTombstones.u19CdcTombstonesQuery _),
+    "u20_change_feed"       -> (graft.operators.ChangeFeed.u20ChangeFeedQuery _),
+    "u21_occ_commit"        -> (graft.operators.OptimisticCommit.u21OccQuery _),
     "s4_stream_join"       -> (graft.streaming.EventStreams.s4StreamJoin _),
     "s10_stream_outer_join" -> (graft.streaming.EventStreams.s10StreamOuterJoin _),
     "s5_stream_upsert"     -> (graft.streaming.EventStreams.s5StreamUpsert _),
@@ -1182,6 +1186,13 @@ object SparkEntry {
     // seed counts, per-round unrolled Viterbi DP, usage, re-costing,
     // final per-doc render
     "p59_unigram_lm" -> graft.text.UnigramLm.oracleSql,
+    // p59b: the prune loop too — capped seed, per-round leave-one-out
+    // losses, ranked drops, and the final render under the target-size
+    // vocabulary all replayed
+    "p59b_unigram_prune" -> graft.text.UnigramPrune.oracleSql,
+    // p39d: byte-level BPE — byte→unicode map via hex(encode(.)), the
+    // p39 merge chains over byte symbols, inverse-map decode roundtrip
+    "p39d_byte_bpe" -> graft.text.ByteBpe.oracleSql,
     // p62: md5 buckets, cuts and PSM render replayed via list slicing
     "p62_fim_transform" -> graft.pipeline.FimTransform.oracleSql,
     "p63_kl_mixture" -> graft.pipeline.MixtureDivergence.oracleSql,
@@ -1261,6 +1272,8 @@ object SparkEntry {
     // the POST-INSERT files (centroids, postings, probes all persisted)
     "u18_ann_upsert" -> graft.operators.AnnUpsert.oracleSql,
     "u19_cdc_tombstones" -> graft.operators.CdcTombstones.oracleSql,
+    "u20_change_feed" -> graft.operators.ChangeFeed.oracleSql,
+    "u21_occ_commit" -> graft.operators.OptimisticCommit.oracleSql,
     "s10_stream_outer_join" -> graft.streaming.EventStreams.s10OracleSql,
     "s11_stream_trending" -> graft.streaming.EventStreams.s11OracleSql,
     // s12: same replay as u18, from the s12 files — stream-side index

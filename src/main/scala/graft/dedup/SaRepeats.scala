@@ -88,13 +88,24 @@ object SaRepeats {
     *     plan stringification). Columnar temp storage is also what a
     *     real distributed SA build does between rounds at 100 TB.
     *
+    *   - SINGLETON PRUNING: dup at 2k requires both halves dup at k
+    *     (dup is a label property, so pair counts over dup rows alone
+    *     are exact). Complete rounds restrict the count window to
+    *     candidate rows and null non-dup labels; once the dup fraction
+    *     falls below `pruneBelow`, levels store ONLY dup rows and pair
+    *     via a union-shift groupBy — on natural text most positions go
+    *     unique within 2-3 rounds, so late rounds shuffle a remnant.
+    *
     * The final level never feeds another round, so it skips labeling
     * entirely: dup comes straight off a count window over the raw pair.
     *
     * `densifyAbove` exists for the spec: forcing it low exercises the
-    * densify path on fixtures that would otherwise always pack. */
+    * densify path on fixtures that would otherwise always pack;
+    * `pruneBelow` = 0 pins complete mode, > 1 prunes from round one
+    * (the spec drives both and equality with the default). */
   private[graft] def repLadder(chars: DataFrame, maxLevel: Int,
-                               densifyAbove: Long = 3000000000L): Seq[(Int, DataFrame)] = {
+                               densifyAbove: Long = 3000000000L,
+                               pruneBelow: Double = 0.5): Seq[(Int, DataFrame)] = {
     val spark = chars.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -103,46 +114,110 @@ object SaRepeats {
       df.write.mode("overwrite").parquet(s"$tmp/lvl_$k")
       spark.read.parquet(s"$tmp/lvl_$k")
     }
+    // SINGLETON PRUNING (the classic prefix-doubling optimization): a
+    // pair is dup at level 2k only if BOTH halves are dup at level k --
+    // dup is a property of the LABEL (count >= 2), so every occurrence
+    // of a dup pair has both positions flagged, and counting pairs over
+    // dup-flagged rows alone is EXACT. Consequences exploited below:
+    //   (1) complete mode: the label-count window runs over CANDIDATE
+    //       rows only (dup(p) && dup(p+k)); non-candidates are provably
+    //       non-dup and their labels are nulled -- a future candidate
+    //       never consumes a non-dup label (its halves must be dup), so
+    //       injectivity is only required among dup labels;
+    //   (2) once the dup fraction drops below `pruneBelow`, the level
+    //       table keeps ONLY dup rows -- on natural text most of the
+    //       corpus becomes unique within 2-3 rounds, so late rounds
+    //       shuffle a small remnant instead of all positions. Pairing
+    //       then uses a union-shift groupBy on (doc, pos) (rows are
+    //       sparse, so the positional lead() no longer applies).
     try {
       // level 1: contiguous vocabulary labels -- the char vocabulary is
-      // model-sized (all distinct code points), one tiny collect
+      // model-sized (all distinct code points), one tiny collect. Level
+      // 1 is NEVER stored: it is a narrow pipe (scan + split + explode
+      // + broadcast label join, no shuffle) cheaper to recompute for
+      // its two consumers (rep1, round-1 window) than to round-trip
+      // 178M rows through parquet.
       val vocab = chars.groupBy($"ch").agg(count(lit(1)).as("nr"))
         .orderBy($"ch").as[(String, Long)].collect()
       val labelDf = broadcast(
         vocab.zipWithIndex.map { case ((c, nr), i) => (c, i.toLong, nr >= 2L) }
           .toSeq.toDF("ch", "r", "dup"))
       var bound = vocab.length.toLong
-      var cur = store(
-        chars.join(labelDf, "ch").select($"doc_id", $"pos", $"r", $"dup"), 1)
-      val out = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)]((1, repCounts(cur, 1)))
+      var cur = chars.join(labelDf, "ch")
+        .select($"doc_id", $"pos", when($"dup", $"r").as("r"), $"dup")
+      val total = math.max(vocab.map(_._2).sum, 1L) // Σ char counts = positions
+      var pruned = false
+      def dupTotal(rep: DataFrame, k: Int): Long =
+        rep.agg(coalesce(sum(col(s"rep_$k")), lit(0L))).head().getLong(0)
+      val rep1 = repCounts(cur, 1)
+      if (dupTotal(rep1, 1).toDouble / total < pruneBelow) pruned = true
+      val out = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)]((1, rep1))
       var k = 1
       val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
       while (2 * k <= maxLevel) {
-        val paired = cur.select($"doc_id", $"pos", $"r".as("r1"),
-          lead($"r", k).over(wDoc).as("r2"))
+        val kk = k
+        // Candidate pairs: (doc_id, pos, r1, r2), both halves dup. In
+        // complete mode non-candidate rows ride along (cand = false)
+        // because the NEXT round's lead() needs complete rows; in pruned
+        // mode only candidates exist.
+        val paired: DataFrame =
+          if (!pruned) {
+            cur.select($"doc_id", $"pos", $"r".as("r1"),
+              lead($"r", kk).over(wDoc).as("r2"),
+              coalesce($"dup" && lead($"dup", kk).over(wDoc), lit(false)).as("cand"))
+          } else {
+            val a = cur.filter($"dup").select($"doc_id", $"pos",
+              $"r".as("r1"), lit(null).cast("long").as("r2"))
+            val b = cur.filter($"dup").select($"doc_id",
+              ($"pos" - kk).cast("int").as("pos"),
+              lit(null).cast("long").as("r1"), $"r".as("r2"))
+            a.unionByName(b).groupBy($"doc_id", $"pos")
+              .agg(max($"r1").as("r1"), max($"r2").as("r2"))
+              .filter($"r1".isNotNull && $"r2".isNotNull)
+              .withColumn("cand", lit(true))
+          }
         var release: () => Unit = () => ()
+        // Every branch below consumes `paired` EXACTLY ONCE (the lead
+        // window over all positions is the round's dominant cost — a
+        // branch-and-union shape would re-execute it per branch):
+        //   final  → one count window over candidates, dup-only store;
+        //   packed → ONE pass: candidates key by the packed pair,
+        //            non-candidates by a unique negative salt (their
+        //            count is 1 → dup=false, no union, no skewed null
+        //            partition);
+        //   densify→ `paired` is materialized to parquet first, so the
+        //            dist/join-back/ballast consumers re-read a column
+        //            file instead of re-running the window.
         val labeled: DataFrame =
           if (4 * k > maxLevel) {
             // last level: labels never consumed again -- dup straight
-            // off a count window over the raw pair
+            // off a count window over the raw pair (candidates only;
+            // non-candidates are non-dup by the lemma and rep-counting
+            // ignores them)
             val wP = Window.partitionBy($"r1", $"r2")
-            paired.filter($"r1".isNotNull && $"r2".isNotNull)
+            (if (pruned) paired else paired.filter($"cand"))
               .withColumn("dup", count(lit(1)).over(wP) >= 2)
               .select($"doc_id", $"pos", lit(null).cast("long").as("r"), $"dup")
           } else if (bound <= densifyAbove) {
-            // packed: narrow relabel, dup via one count window by label
-            val packed = paired
-              .withColumn("r", $"r1" * lit(bound) + $"r2")
-              .select($"doc_id", $"pos", $"r")
+            // packed: narrow relabel, dup via one count window (packed
+            // labels never span the cand/non-cand boundary: equal
+            // labels share dup flags, so candidate-only counting is
+            // exact and each non-candidate is alone under its salt)
+            val wK = Window.partitionBy($"key")
+            val lab = paired
+              .withColumn("key", when($"cand", $"r1" * lit(bound) + $"r2")
+                .otherwise(-monotonically_increasing_id() - 1))
+              .withColumn("dup", $"cand" && count(lit(1)).over(wK) >= 2)
+              .select($"doc_id", $"pos", when($"dup", $"key").as("r"), $"dup")
             bound = bound * bound
-            val wR = Window.partitionBy($"r")
-            packed.filter($"r".isNotNull)
-              .withColumn("dup", count(lit(1)).over(wR) >= 2)
-              .unionByName(packed.filter($"r".isNull)
-                .withColumn("dup", lit(false)))
+            lab
           } else {
-            // densify: contiguous labels over the distinct pair table
-            val dist = paired.filter($"r1".isNotNull && $"r2".isNotNull)
+            // densify: contiguous labels over the distinct CANDIDATE
+            // pair table (non-candidates need no label at all)
+            paired.write.mode("overwrite").parquet(s"$tmp/pair_$k")
+            val src = spark.read.parquet(s"$tmp/pair_$k")
+            val candPairs = src.filter($"cand")
+            val dist = candPairs
               .groupBy($"r1", $"r2").agg(count(lit(1)).as("nr"))
               .repartitionByRange($"r1", $"r2")
               .withColumn("pid", spark_partition_id())
@@ -158,15 +233,30 @@ object SaRepeats {
             val ranks = dist.join(offDf, "pid")
               .withColumn("r", $"off" + row_number().over(wPid) - 1)
               .select($"r1", $"r2", $"r", ($"nr" >= 2).as("dup"))
-            paired.join(ranks, Seq("r1", "r2"), "left")
-              .select($"doc_id", $"pos", $"r",
+            val labCand = candPairs.join(ranks, Seq("r1", "r2"), "left")
+              .select($"doc_id", $"pos",
+                when($"dup", $"r").as("r"),
                 coalesce($"dup", lit(false)).as("dup"))
+            if (pruned) labCand
+            else labCand.unionByName(src.filter(!$"cand")
+              .select($"doc_id", $"pos",
+                lit(null).cast("long").as("r"), lit(false).as("dup")))
           }
-        val next = store(labeled, 2 * k)
+        val stored =
+          if (pruned || 4 * k > maxLevel) labeled.filter($"dup") // dup-only
+          else labeled
+        val t0 = System.nanoTime()
+        val next = store(stored, 2 * k)
         release()
         graft.operators.ScaleOps.deleteRecursively(s"$tmp/lvl_$k")
+        graft.operators.ScaleOps.deleteRecursively(s"$tmp/pair_$k")
         k = 2 * k
-        out += ((k, repCounts(next, k)))
+        val rep = repCounts(next, k)
+        out += ((k, rep))
+        if (sys.env.contains("SPARK_GRAFT_P33C_DEBUG"))
+          System.err.println(f"[p33c] level $k%3d pruned=$pruned%-5s bound=$bound%14d ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+        if (!pruned && dupTotal(rep, k).toDouble / total < pruneBelow)
+          pruned = true
         cur = next
       }
       out.toSeq
@@ -182,21 +272,26 @@ object SaRepeats {
     * corpus (any doc, raw suffix-array semantics). */
   def query(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // chars stays UNPERSISTED: each consumer is a narrow recompute
+    // (scan+split+explode, no shuffle) — caching 178M row objects cost
+    // more in memory churn than the rescans (measured at the decade)
     val chars = Tables.documents(spark, dir)
       .select($"doc_id",
         posexplode(filter(split($"text", ""), x => x =!= lit(""))))
       .withColumnRenamed("col", "ch")
-      .persist()
     val levels = repLadder(chars, MaxLevel)
-    val perDoc = chars.groupBy($"doc_id").agg(count(lit(1)).as("n_chars"))
+    // n_chars narrowly from the doc table (≡ chars-count per doc); docs
+    // with no characters stay absent, matching the oracle's grouped ch
+    val perDoc = Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(filter(split($"text", ""), x => x =!= lit(""))).cast("long").as("n_chars"))
+      .filter($"n_chars" > 0)
     val joined = levels.map(_._2)
       .foldLeft(perDoc)((acc, r) => acc.join(r, Seq("doc_id"), "left"))
-    val out = levels.map(_._1).foldLeft(joined) { (df, k) =>
+    levels.map(_._1).foldLeft(joined) { (df, k) =>
       df.withColumn(s"rep_$k", coalesce(col(s"rep_$k"), lit(0L)))
     }.orderBy($"doc_id")
-    val materialized = out.localCheckpoint(true)
-    chars.unpersist(false)
-    materialized
+      .localCheckpoint(true)
   }
 
   /** DuckDB replay: the same doubling recurrence with dense_rank (label

@@ -49,7 +49,7 @@ object VersionedTable {
     * v3 = re-inserts of half the deleted keys (k%7=0 ∧ k%2=0) +
     * updates (k%11=0 ∧ k%7≠0). Sets within a version are disjoint so
     * last-writer-wins needs no intra-version tie-break. */
-  private def commits(spark: SparkSession, dir: String): Seq[DataFrame] = {
+  private[operators] def commits(spark: SparkSession, dir: String): Seq[DataFrame] = {
     val base = Tables.orders(spark, dir)
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
     Seq(

@@ -128,12 +128,20 @@ object BpeVocab {
   def learn(wordCounts: DataFrame, merges: Int = Merges): DataFrame = {
     val spark = wordCounts.sparkSession
     import spark.implicits._
-    var words = wordCounts
+    learnSym(wordCounts
       // Spark's split(limit=-1) keeps a trailing "" on the empty pattern;
       // DuckDB's regexp_split_to_array does not — drop it
       .select(concat(filter(split($"word", ""), x => x =!= lit("")),
-                     array(lit("</w>"))).as("sym"), $"cnt")
-      .persist()
+                     array(lit("</w>"))).as("sym"), $"cnt"), merges)
+  }
+
+  /** Merge learning over a prepared (sym, cnt) table — the loop behind
+    * [[learn]], reused by the byte-level variant (p39d) whose initial
+    * symbols are byte-mapped rather than code points + marker. */
+  def learnSym(symCounts: DataFrame, merges: Int = Merges): DataFrame = {
+    val spark = symCounts.sparkSession
+    import spark.implicits._
+    var words = symCounts.persist()
     words.count()
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     for (step <- 1 to merges) {

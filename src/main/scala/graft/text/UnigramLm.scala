@@ -89,7 +89,7 @@ object UnigramLm {
     } yield chunk.substring(off(s), off(s + l))
   }
 
-  private def cpOffsets(chunk: String, cps: Array[String]): Array[Int] = {
+  private[text] def cpOffsets(chunk: String, cps: Array[String]): Array[Int] = {
     val off = new Array[Int](cps.length + 1)
     var i = 0
     while (i < cps.length) { off(i + 1) = off(i) + cps(i).length; i += 1 }
@@ -246,9 +246,9 @@ object UnigramLm {
   /** Forward DP position j of pass r (costs from cost{r-1}): candidate
     * costs (up to MaxPieceLen predecessors), then min + backpointer
     * with the ties→longest-piece CASE (tests the largest i first). */
-  private def fwdCte(r: Int, j: Int): String = {
+  private[text] def fwdCte(r: Int, j: Int, costName: String = null): String = {
     val prev = if (j == 1) s"f${r}_0" else s"f${r}_${j - 1}"
-    val ct = s"cost${r - 1}"
+    val ct = if (costName != null) costName else s"cost${r - 1}"
     val is = 1 to math.min(MaxPieceLen, j)
     val cands = is.map { i =>
       val cPrev = if (j - i == 0) "CAST(0 AS BIGINT)" else s"d.c${j - i}"
@@ -280,7 +280,7 @@ object UnigramLm {
 
   /** Backtrack step s of pass r: walk p ← p − bl[p], prepending each
     * emitted piece so seg ends in forward order. */
-  private def backCte(r: Int, s: Int): String = {
+  private[text] def backCte(r: Int, s: Int): String = {
     val prev = if (s == 1) s"g${r}_0" else s"g${r}_${s - 1}"
     s"""g${r}_$s AS (
          SELECT chunk, bl,
@@ -291,9 +291,10 @@ object UnigramLm {
          FROM $prev)"""
   }
 
-  /** One full Viterbi pass r (under cost{r-1}) → seg$r(chunk, seg). */
-  private def passCtes(r: Int): String = {
-    val fwd = (1 to MaxChunkLen).map(fwdCte(r, _)).mkString(",\n       ")
+  /** One full Viterbi pass r (under `costName`, default cost{r-1})
+    * → seg$r(chunk, seg). */
+  private[text] def passCtes(r: Int, costName: String = null): String = {
+    val fwd = (1 to MaxChunkLen).map(fwdCte(r, _, costName)).mkString(",\n       ")
     val blList = (1 to MaxChunkLen).map(j => s"b$j").mkString(", ")
     val back = (1 to MaxChunkLen).map(backCte(r, _)).mkString(",\n       ")
     s"""f${r}_0 AS (SELECT chunk, len(chunk) AS L FROM dch),

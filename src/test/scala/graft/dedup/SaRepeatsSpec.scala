@@ -42,14 +42,40 @@ class SaRepeatsSpec extends SparkSpec {
     // both label strategies must agree with brute force: the default
     // schedule packs on a corpus this small; densifyAbove = 1 forces
     // the contiguous-relabel path on every round
-    for (densifyAbove <- Seq(3000000000L, 1L)) {
-      val levels = SaRepeats.repLadder(chars, 8, densifyAbove)
+    // every (label strategy × pruning schedule) combination must agree
+    // with brute force: packed vs forced-densify, and never-prune (0)
+    // vs default vs prune-from-round-one (2.0)
+    for (densifyAbove <- Seq(3000000000L, 1L); pruneBelow <- Seq(0.0, 0.5, 2.0)) {
+      val levels = SaRepeats.repLadder(chars, 8, densifyAbove, pruneBelow)
       levels.foreach { case (k, t) =>
         val got = t.as[(Long, Long)].collect().toMap
         val want = bruteReps(docs, k).filter(_._2 > 0)
-        assert(got == want, s"level $k (densifyAbove=$densifyAbove): got $got want $want")
+        assert(got == want,
+          s"level $k (densifyAbove=$densifyAbove pruneBelow=$pruneBelow): got $got want $want")
       }
     }
+  }
+
+  test("singleton pruning is invisible: pruned and unpruned ladders agree level-for-level") {
+    // a corpus where pruning bites mid-ladder: heavy short repeats that
+    // die out by level 4 plus one long cross-doc repeat that must
+    // survive pruning all the way to level 8
+    val long = "thequickbrownfox" // 16 chars, shared by docs 1 and 2
+    val docs = Seq[(Long, String)](
+      (1L, long + "aaaaabbbbb"), (2L, "ccddcc" + long),
+      (3L, "aabbccddee0123456789"), (4L, "xyxyxyxy"))
+    val chars = charsOf(docs).persist()
+    val unpruned = SaRepeats.repLadder(chars, 16, pruneBelow = 0.0)
+      .map { case (k, t) => k -> t.as[(Long, Long)].collect().toMap }.toMap
+    val pruned = SaRepeats.repLadder(chars, 16, pruneBelow = 2.0)
+      .map { case (k, t) => k -> t.as[(Long, Long)].collect().toMap }.toMap
+    assert(unpruned.keySet == pruned.keySet)
+    unpruned.foreach { case (k, want) =>
+      assert(pruned(k) == want, s"level $k: pruned ${pruned(k)} != unpruned $want")
+      assert(want == bruteReps(docs, k).filter(_._2 > 0), s"level $k vs brute force")
+    }
+    // the 16-char repeat must be visible at the top level from both paths
+    assert(pruned(16).getOrElse(1L, 0L) >= 1, "long repeat lost by pruning")
   }
 
   test("p33c query: rep counts are monotone non-increasing in level and match brute force at level 16") {
