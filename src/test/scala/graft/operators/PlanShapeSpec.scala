@@ -94,6 +94,30 @@ class PlanShapeSpec extends SparkSpec {
       s"count tables must partial-aggregate:\n$phys")
   }
 
+  test("u20 change feed: classification is ONE keyed window — no second shuffle for the images") {
+    val root = java.nio.file.Files.createTempDirectory("u20_planshape").toString
+    try {
+      VersionedTable.commit(
+        Seq((1L, 1.0, "A", false)).toDF("k", "price", "status", "deleted"), root, 1)
+      val out = ChangeFeed.changesBetween(spark, root, 0, 1)
+      val phys = out.queryExecution.executedPlan.toString
+      // one hash exchange (the key window); the four change images must
+      // explode row-locally after it, never re-shuffle
+      val exchanges = "Exchange".r.findAllIn(phys).length
+      assert(exchanges == 1, s"expected exactly the window's exchange:\n$phys")
+      assert(phys.contains("hashpartitioning(k"),
+        s"the one exchange must key on k:\n$phys")
+      assert(phys.contains("Generate"), s"images must explode row-locally:\n$phys")
+    } finally ScaleOps.deleteRecursively(root)
+  }
+
+  test("p39d byte bpe: pretokenization is one narrow codegen pass (no exchange)") {
+    val pt = graft.text.ByteBpe.pretokens(graft.Tables.documents(spark, dir))
+    val phys = pt.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"pretokenize must be shuffle-free:\n$phys")
+    assert(phys.contains("Generate"), s"pretokens explode row-locally:\n$phys")
+  }
+
   test("p57 kn model: count aggregations carry partial (map-side) aggregation") {
     val occ = Seq(("a", "b", "c"), ("b", "c", "a"), ("a", "b", "d"))
       .toDF("w1", "w2", "w3")
