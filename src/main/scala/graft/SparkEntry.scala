@@ -104,6 +104,7 @@ object SparkEntry {
     "s9_stream_score"      -> (graft.streaming.EventStreams.s9StreamQualityScore _),
     "s11_stream_trending"  -> (graft.streaming.EventStreams.s11StreamTrending _),
     "s12_stream_ann_upsert" -> (graft.streaming.EventStreams.s12StreamAnnUpsert _),
+    "s13_stream_change_feed" -> (graft.streaming.ChangeFeedStream.s13StreamChangeFeed _),
     "s7_stream_ann_serve"  -> (graft.streaming.EventStreams.s7StreamAnnServe _),
     "m11_platt_probs"      -> (graft.ml.ModelOracles.m11PlattProbs _),
     "m12_cv_grid"          -> ((s, d) => graft.ml.CrossVal.cvGridQuery(s, d)),
@@ -155,6 +156,7 @@ object SparkEntry {
     "u19_cdc_tombstones"    -> (graft.operators.CdcTombstones.u19CdcTombstonesQuery _),
     "u20_change_feed"       -> (graft.operators.ChangeFeed.u20ChangeFeedQuery _),
     "u21_occ_commit"        -> (graft.operators.OptimisticCommit.u21OccQuery _),
+    "u22_snapshot_expiry"   -> (graft.operators.SnapshotExpiry.u22ExpiryQuery _),
     "s4_stream_join"       -> (graft.streaming.EventStreams.s4StreamJoin _),
     "s10_stream_outer_join" -> (graft.streaming.EventStreams.s10StreamOuterJoin _),
     "s5_stream_upsert"     -> (graft.streaming.EventStreams.s5StreamUpsert _),
@@ -1274,11 +1276,14 @@ object SparkEntry {
     "u19_cdc_tombstones" -> graft.operators.CdcTombstones.oracleSql,
     "u20_change_feed" -> graft.operators.ChangeFeed.oracleSql,
     "u21_occ_commit" -> graft.operators.OptimisticCommit.oracleSql,
+    "u22_snapshot_expiry" -> graft.operators.SnapshotExpiry.oracleSql,
     "s10_stream_outer_join" -> graft.streaming.EventStreams.s10OracleSql,
     "s11_stream_trending" -> graft.streaming.EventStreams.s11OracleSql,
     // s12: same replay as u18, from the s12 files — stream-side index
     // maintenance must leave the index in exactly the batch state
     "s12_stream_ann_upsert" -> graft.operators.AnnUpsert.oracleSqlFor("s12"),
+    // s13: the incremental consumer must land on u11's resolved v3
+    "s13_stream_change_feed" -> graft.streaming.ChangeFeedStream.oracleSql,
     "mm3_phash_dedup" -> graft.multimodal.PHashDedup.oracleSql,
     "mm4_audio_features" -> graft.multimodal.AudioOps.oracleSql,
     "mm5_video_frames" -> graft.multimodal.VideoOps.oracleSql,

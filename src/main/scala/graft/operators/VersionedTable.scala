@@ -32,12 +32,24 @@ object VersionedTable {
     rows.withColumn("version", lit(version))
       .write.partitionBy("version").mode("append").parquet(root)
 
+  /** Retention floor written by U22's expiry (0 = nothing expired). */
+  def expiryFloor(root: String): Int = {
+    val p = java.nio.file.Paths.get(root, "_expiry")
+    if (!java.nio.file.Files.exists(p)) 0
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toInt
+  }
+
   /** Merge-on-read as-of `v`: partition-pruned scan + last-writer-wins
-    * per key, tombstones drop the key. */
+    * per key, tombstones drop the key. Versions below U22's expiry
+    * floor are GONE — asking for one fails loudly, never silently
+    * returns a partial state. */
   def readAsOf(spark: SparkSession, root: String, v: Int): DataFrame = {
+    val floor = expiryFloor(root)
+    require(v >= floor,
+      s"time travel to v$v: versions below v$floor were expired (u22 retention)")
     val w = Window.partitionBy(col("k")).orderBy(col("version").desc)
     spark.read.parquet(root)
-      .filter(col("version") <= v)
+      .filter(col("version") <= v && col("version") >= floor)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && !col("deleted"))
       .drop("rn")
@@ -49,7 +61,7 @@ object VersionedTable {
     * v3 = re-inserts of half the deleted keys (k%7=0 ∧ k%2=0) +
     * updates (k%11=0 ∧ k%7≠0). Sets within a version are disjoint so
     * last-writer-wins needs no intra-version tie-break. */
-  private[operators] def commits(spark: SparkSession, dir: String): Seq[DataFrame] = {
+  private[graft] def commits(spark: SparkSession, dir: String): Seq[DataFrame] = {
     val base = Tables.orders(spark, dir)
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
     Seq(
