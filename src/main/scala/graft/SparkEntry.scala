@@ -66,6 +66,7 @@ object SparkEntry {
     "p59_unigram_lm"       -> (graft.text.UnigramLm.query _),
     "p59b_unigram_prune"   -> (graft.text.UnigramPrune.query _),
     "p39d_byte_bpe"        -> (graft.text.ByteBpe.query _),
+    "p64_blocklist_scrub"  -> (graft.text.BlocklistScrub.query _),
     "p62_fim_transform"    -> (graft.pipeline.FimTransform.query _),
     "p63_kl_mixture"       -> (graft.pipeline.MixtureDivergence.query _),
     "p32_sequences"        -> ((s, d) => graft.pipeline.TrainingOps.sequenceQuery(s, d)),
@@ -1195,6 +1196,9 @@ object SparkEntry {
     // p39d: byte-level BPE — byte→unicode map via hex(encode(.)), the
     // p39 merge chains over byte symbols, inverse-map decode roundtrip
     "p39d_byte_bpe" -> graft.text.ByteBpe.oracleSql,
+    // p64: blocklist selection + brute-force occurrence scan + set-cover
+    // mask replayed per position (the spec pins automaton ≡ brute force)
+    "p64_blocklist_scrub" -> graft.text.BlocklistScrub.oracleSql,
     // p62: md5 buckets, cuts and PSM render replayed via list slicing
     "p62_fim_transform" -> graft.pipeline.FimTransform.oracleSql,
     "p63_kl_mixture" -> graft.pipeline.MixtureDivergence.oracleSql,
