@@ -121,6 +121,7 @@ object SparkEntry {
     "p1_dedup_exact"       -> (ExactDedup.query _),
     "p1b_dedup_summary"    -> (ExactDedup.summaryQuery _),
     "p2_minhash_pairs"     -> (MinHashDedup.query _),
+    "p2b_lsh_tuning"       -> (graft.dedup.LshTuning.query _),
     "p3_simhash_pairs"     -> (SimHashDedup.query _),
     "p4_ngram_jaccard"     -> (NgramJaccard.query _),
     "p5_embedding_dedup"   -> (EmbeddingDedup.query _),
@@ -419,6 +420,8 @@ object SparkEntry {
     // algorithm's output equals the exact answer on this corpus.
     // p7 (ANN): rows-only; the spec measures recall vs brute force.
     "p2_minhash_pairs" -> graft.dedup.MinHashDedup.oracleSql,
+    // p2b: the banding tuner's integrals + argmin replayed bit-exactly
+    "p2b_lsh_tuning" -> graft.dedup.LshTuning.oracleSql,
     "p14_dedup_clusters" -> graft.dedup.DedupClusters.oracleSql,
     "p25_keep_best" -> graft.dedup.DedupClusters.keepBestOracleSql,
     "p26_sim_join" -> graft.dedup.SimilarityJoin.oracleSql,
