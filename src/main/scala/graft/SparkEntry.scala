@@ -195,6 +195,7 @@ object SparkEntry {
     "mm7_crossmodal_filter" -> (graft.multimodal.CrossModal.query _),
     "mm8_scene_cuts"       -> (graft.multimodal.SceneCuts.query _),
     "mm9_png_decode"       -> (graft.multimodal.PngCodec.query _),
+    "mm10_jpeg_decode"     -> (graft.multimodal.JpegCodec.query _),
     "q22_sessions"         -> (Sessionization.sessionsBatch _),
     "u1_bucketed_join"     -> (graft.operators.ScaleOps.u1BucketedJoinQuery _),
     "u2_salted_join"       -> (graft.operators.ScaleOps.u2SaltedJoinQuery _),
@@ -1300,6 +1301,10 @@ object SparkEntry {
     // mm9: features of the hand-decoded (Inflater + defilter) PNG raster
     // replayed from the md5-chain generation rule
     "mm9_png_decode" -> graft.multimodal.PngCodec.oracleSql,
+    // mm10: lossy format, LOSSLESS fixture — constant even-offset blocks
+    // round-trip the quantizer exactly, so the oracle regenerates the
+    // decode; generality is the imageio byte-parity fuzz in the spec
+    "mm10_jpeg_decode" -> graft.multimodal.JpegCodec.oracleSql,
     // the stream computes the SAME decision record as the batch p35, so
     // the same replay SQL gates both halves of the continual-ingestion story
     "s8_stream_incr_dedup" -> graft.dedup.IncrementalDedup.oracleSql,
