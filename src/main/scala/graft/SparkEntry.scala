@@ -196,6 +196,7 @@ object SparkEntry {
     "mm8_scene_cuts"       -> (graft.multimodal.SceneCuts.query _),
     "mm9_png_decode"       -> (graft.multimodal.PngCodec.query _),
     "mm10_jpeg_decode"     -> (graft.multimodal.JpegCodec.query _),
+    "mm11_gif_decode"      -> (graft.multimodal.GifCodec.query _),
     "q22_sessions"         -> (Sessionization.sessionsBatch _),
     "u1_bucketed_join"     -> (graft.operators.ScaleOps.u1BucketedJoinQuery _),
     "u2_salted_join"       -> (graft.operators.ScaleOps.u2SaltedJoinQuery _),
@@ -1305,6 +1306,8 @@ object SparkEntry {
     // round-trip the quantizer exactly, so the oracle regenerates the
     // decode; generality is the imageio byte-parity fuzz in the spec
     "mm10_jpeg_decode" -> graft.multimodal.JpegCodec.oracleSql,
+    // mm11: lossless LZW — the oracle regenerates the decode from the chain
+    "mm11_gif_decode" -> graft.multimodal.GifCodec.oracleSql,
     // the stream computes the SAME decision record as the batch p35, so
     // the same replay SQL gates both halves of the continual-ingestion story
     "s8_stream_incr_dedup" -> graft.dedup.IncrementalDedup.oracleSql,
