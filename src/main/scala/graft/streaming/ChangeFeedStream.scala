@@ -63,19 +63,24 @@ object ChangeFeedStream {
       // stale guard: a batch whose net version lost to state is a no-op
       .filter(col("pre_version").isNull || col("version") > col("pre_version"))
     val preLive = col("pre_version").isNotNull && !col("pre_deleted")
-    // per-status deltas: −pre where a live pre-image leaves a status,
-    // +post where a live post-image enters one
+    // per-status deltas in INTEGER CENTS: −pre where a live pre-image
+    // leaves a status, +post where a live post-image enters one. Cents
+    // make the delta algebra EXACT — double money sums drift ~1e-12
+    // relative at decade row counts, enough to flip a 2dp rounding and
+    // break batching-invariance (the q27 decimal-money lesson).
+    def cents(c: org.apache.spark.sql.Column) =
+      round(c * lit(100.0), 0).cast("long")
     val minus = joined.filter(preLive)
       .select(col("pre_status").as("status"), lit(-1L).as("dn"),
-        (-col("pre_price")).as("dp"))
+        (-cents(col("pre_price"))).as("dp"))
     val plus = joined.filter(!col("deleted"))
-      .select(col("status"), lit(1L).as("dn"), col("price").as("dp"))
+      .select(col("status"), lit(1L).as("dn"), cents(col("price")).as("dp"))
     val aggDelta = minus.unionByName(plus)
       .groupBy(col("status")).agg(sum(col("dn")).as("dn"), sum(col("dp")).as("dp"))
     val newAgg = agg.join(aggDelta, Seq("status"), "full")
       .select(col("status"),
         (coalesce(col("n_keys"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_keys"),
-        (coalesce(col("sum_price"), lit(0.0)) + coalesce(col("dp"), lit(0.0))).as("sum_price"))
+        (coalesce(col("sum_cents"), lit(0L)) + coalesce(col("dp"), lit(0L))).as("sum_cents"))
       .filter(col("n_keys") > 0)
     val newState = state.join(joined.select(col("k")), Seq("k"), "left_anti")
       .unionByName(joined.select(col("k"), col("price"), col("status"),
@@ -95,8 +100,14 @@ object ChangeFeedStream {
     import org.apache.spark.sql.streaming.Trigger
     val feedRoot = java.nio.file.Files.createTempDirectory("graft_s13_feed").toString
     val mvRoot = java.nio.file.Files.createTempDirectory("graft_s13_mv").toString
+    // ONE file per commit: with maxFilesPerTrigger=1 below, a micro-batch
+    // IS a commit — the production CDF consumption granularity. (The
+    // first decade run wrote 32 files per commit → ~100 micro-batches,
+    // each paying a full state rewrite: 476s of pure re-merging. Batch
+    // size must track the COMMIT, not the writer's partition count; the
+    // spec's batching-invariance tests still drive odd splits.)
     graft.operators.VersionedTable.commits(spark, dir).zipWithIndex.foreach {
-      case (c, i) => graft.operators.VersionedTable.commit(c, feedRoot, i + 1)
+      case (c, i) => graft.operators.VersionedTable.commit(c.coalesce(1), feedRoot, i + 1)
     }
     // empty state/aggregate at version 0
     val emptyState = spark.createDataFrame(
@@ -106,7 +117,8 @@ object ChangeFeedStream {
         col("version").cast("int").as("version")).schema)
     emptyState.write.mode("overwrite").parquet(s"$mvRoot/state_0")
     emptyState.groupBy(col("status"))
-      .agg(count(lit(1)).as("n_keys"), sum(col("price")).as("sum_price"))
+      .agg(count(lit(1)).as("n_keys"),
+           sum(round(col("price") * lit(100.0), 0).cast("long")).as("sum_cents"))
       .write.mode("overwrite").parquet(s"$mvRoot/agg_0")
     val schema = spark.read.parquet(feedRoot).drop("version").schema
     val stream = spark.readStream.schema(schema)
@@ -122,17 +134,21 @@ object ChangeFeedStream {
     q.awaitTermination()
     StreamMeters.record("s13_stream_change_feed", (System.nanoTime() - t0) / 1e9,
       StreamMeters.batchSeconds(q))
-    val fin = spark.read
+    val finCents = spark.read
       .parquet(s"$mvRoot/agg_${EventStreams.latestStateVersion(mvRoot)}")
-      .select(col("status"), col("n_keys"), round(col("sum_price"), 2).as("sum_price"))
-    // the incremental view must equal the from-scratch resolution
+    // the incremental view must equal the from-scratch resolution —
+    // compared in EXACT integer cents (no double-sum association drift
+    // at any scale)
     val direct = graft.operators.VersionedTable.readAsOf(spark, feedRoot, 3)
       .groupBy(col("status"))
-      .agg(count(lit(1)).as("n_keys"), round(sum(col("price")), 2).as("sum_price"))
-    val got = fin.orderBy(col("status")).collect().toSeq
+      .agg(count(lit(1)).as("n_keys"),
+           sum(round(col("price") * lit(100.0), 0).cast("long")).as("sum_cents"))
+    val got = finCents.orderBy(col("status")).collect().toSeq
     val want = direct.orderBy(col("status")).collect().toSeq
     require(got == want,
       s"s13 gate: incremental view $got != from-scratch $want")
+    val fin = finCents.select(col("status"), col("n_keys"),
+      round(col("sum_cents") / lit(100.0), 2).as("sum_price"))
     val out = fin.orderBy(col("status"))
     graft.operators.ScaleOps.materializeThen(out) {
       graft.operators.ScaleOps.deleteRecursively(feedRoot)
@@ -161,6 +177,7 @@ object ChangeFeedStream {
            SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
            FROM hist) t
          WHERE rn = 1 AND NOT deleted)
-       SELECT status, count(*) AS n_keys, round(sum(price), 2) AS sum_price
+       SELECT status, count(*) AS n_keys,
+              round(sum(CAST(round(price * 100.0, 0) AS BIGINT)) / 100.0, 2) AS sum_price
        FROM resolved GROUP BY status ORDER BY status"""
 }

@@ -13,7 +13,8 @@ class ChangeFeedStreamSpec extends SparkSpec {
       .toDF("k", "price", "status", "deleted", "version")
     empty.write.mode("overwrite").parquet(s"$root/state_0")
     empty.groupBy($"status")
-      .agg(count(lit(1)).as("n_keys"), sum($"price").as("sum_price"))
+      .agg(count(lit(1)).as("n_keys"),
+           sum(round($"price" * lit(100.0), 0).cast("long")).as("sum_cents"))
       .write.mode("overwrite").parquet(s"$root/agg_0")
     root
   }
@@ -24,7 +25,7 @@ class ChangeFeedStreamSpec extends SparkSpec {
   private def agg(root: String): Map[String, (Long, Double)] =
     spark.read.parquet(s"$root/agg_${EventStreams.latestStateVersion(root)}")
       .collect().map(r => r.getAs[String]("status") ->
-        (r.getAs[Long]("n_keys"), r.getAs[Double]("sum_price"))).toMap
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("sum_cents") / 100.0)).toMap
 
   test("s13: delete-then-reinsert inside ONE batch telescopes to the net effect") {
     val root = mkRoot()
