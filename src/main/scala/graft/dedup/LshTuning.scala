@@ -56,20 +56,57 @@ object LshTuning {
     def integral(vals: Column, lo: Column, hi: Column): Column =
       aggregate(vals, lit(0.0), (acc, x) => acc + x) * (hi - lo) / lit(Steps.toDouble)
     val tau = lit(targetTau)
-    val withInts = cand
-      .withColumn("t_micro",
-        floor(lit(1e6) * pow(lit(1.0) / $"bands", lit(1.0) / $"rows_per_band")).cast("long"))
-      .withColumn("fp_micro", floor(lit(1e6) * integral(
+    val withRaw = cand
+      .withColumn("t_raw",
+        lit(1e6) * pow(lit(1.0) / $"bands", lit(1.0) / $"rows_per_band"))
+      .withColumn("fp_raw", lit(1e6) * integral(
         transform(midpoints(lit(0.0), tau), s => pCollide(s, $"bands", $"rows_per_band")),
-        lit(0.0), tau)).cast("long"))
+        lit(0.0), tau))
       // 1 − P(s) computed DIRECTLY as (1 − s^r)^b: algebraically equal
       // to 1 − pCollide but bit-identical to the oracle's form (the
       // 1 − (1 − x) double round-trip is not an identity for tiny x)
-      .withColumn("fn_micro", floor(lit(1e6) * integral(
+      .withColumn("fn_raw", lit(1e6) * integral(
         transform(midpoints(tau, lit(1.0)),
           s => pow(lit(1.0) - pow(s, $"rows_per_band".cast("double")),
                    $"bands".cast("double"))),
-        tau, lit(1.0))).cast("long"))
+        tau, lit(1.0)))
+    // POW-PARITY GUARD (fail-fast): the hash gate needs floor() of
+    // these values to agree across JVM Math.pow and DuckDB's libm
+    // std::pow, which are only guaranteed faithful to ~1 ulp each. A
+    // flip is possible only when a pre-floor value sits within the
+    // accumulated cross-libm error of an integer boundary; the worst
+    // case here is ≲ 1e6 · Steps · ulp(1) ≈ 4e-8. Requiring every
+    // fractional part to keep 1e-3 clearance (25,000× margin) makes a
+    // 1-ulp pow divergence unable to change ANY output row — the ln
+    // parity discipline (p59) extended to pow, verified in-query on
+    // exactly the values the gate quantizes.
+    def fracDist(c: Column): Column = {
+      val f = c - floor(c)
+      least(f, lit(1.0) - f)
+    }
+    // Two boundary-adjacent classes are SAFE and exempted:
+    //  - EXACT integers (fracDist == 0): here these arise only from
+    //    exact-arithmetic pow cases — pow(1,y)=1 and pow(x,1)=x
+    //    (ISO-mandated exact) and pow(2^-4, 1/4)=0.5 whose true value
+    //    is exactly representable (verified equal on both libms:
+    //    DuckDB probe = 0.5 exactly, and 12 rounds of green t_micro
+    //    hashes pin the JVM side at exactly 500000);
+    //  - TINY positives (raw ≤ 1e-3, e.g. the vanishing FN masses of
+    //    wide-band splits): libm error is multiplicative, so a
+    //    positive value stays positive on both engines and floors to
+    //    0 regardless of the ulp.
+    def unsafe(c: Column): Column =
+      fracDist(c) <= 1e-3 && fracDist(c) =!= 0.0 && c > lit(1e-3)
+    val nUnsafe = withRaw.agg(sum(
+      when(unsafe($"t_raw") || unsafe($"fp_raw") || unsafe($"fn_raw"), 1L).otherwise(0L)))
+      .head().getLong(0)
+    require(nUnsafe == 0L,
+      s"p2b pow-parity guard: $nUnsafe quantization input(s) sit within 1e-3 of an " +
+      "integer boundary — a cross-libm pow ulp could flip floor(); adjust Steps or the scale")
+    val withInts = withRaw
+      .withColumn("t_micro", floor($"t_raw").cast("long"))
+      .withColumn("fp_micro", floor($"fp_raw").cast("long"))
+      .withColumn("fn_micro", floor($"fn_raw").cast("long"))
       .withColumn("err_micro", $"fp_micro" + $"fn_micro")
     val best = withInts.agg(min($"err_micro")).head().getLong(0)
     withInts

@@ -35,10 +35,26 @@ import org.apache.spark.sql.functions._
 object ChangeFeed {
 
   /** Change rows for commits in (v1, v2]: (k, price, status,
-    * _change_type, _commit_version). One key-window pass. */
+    * _change_type, _commit_version). One key-window pass.
+    *
+    * Interacts with U22 expiry in two ways, both handled here: (a) a
+    * range reaching below the expiry floor would classify against
+    * GC'd history (a pre-floor update would emit `insert`) — so it
+    * fails loudly, the same contract as readAsOf; (b) expiry APPENDS
+    * content-identical LWW squash rows into the `version=keep`
+    * partition (crash-idempotent by design), so a key may carry
+    * duplicate rows at (k, keep) — the feed LWW-dedupes to one row per
+    * (k, version) before the lag window, otherwise prev_* would be
+    * nondeterministic across the duplicates and one commit would emit
+    * spurious insert + update pairs. */
   def changesBetween(spark: SparkSession, root: String, v1: Int, v2: Int): DataFrame = {
+    val floor = VersionedTable.expiryFloor(root)
+    require(v1 >= floor,
+      s"change feed from v$v1: versions below v$floor were expired (u22 retention) — " +
+      "pre-images below the floor are gone, refusing to classify against missing history")
     val w = Window.partitionBy(col("k")).orderBy(col("version"))
     val hist = spark.read.parquet(root).filter(col("version") <= v2)
+      .dropDuplicates("k", "version") // u22 squash duplicates are content-identical
     val withPrev = hist.select(col("k"), col("price"), col("status"),
         col("deleted"), col("version"),
         lag(col("price"), 1).over(w).as("prev_price"),

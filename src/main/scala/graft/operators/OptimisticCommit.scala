@@ -2,44 +2,60 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 /** §2.4 U21 (u21): MULTI-WRITER OPTIMISTIC CONCURRENCY — the lakehouse
   * commit protocol U16 (single-writer write-audit-publish) leaves open:
   * two writers that both read snapshot v must not silently clobber
   * each other. The contract (Delta/Iceberg OCC, public semantics):
   *
-  *   1. a writer STAGES its data files untracked, then claims version
-  *      v+1 by an ATOMIC create-if-absent on the commit log — the CAS;
+  *   1. a writer STAGES its data files untracked under a UUID dir,
+  *      then commits by atomically creating the claim file for version
+  *      v+1 — and the claim file IS the commit: it carries the staged
+  *      data pointer and the touched-partition list in its content,
+  *      created in ONE atomic step (temp file + `Files.createLink`,
+  *      i.e. hard-link-as-CAS: link(2) is create-if-absent on POSIX
+  *      and the content exists before the name does). There is no
+  *      separate meta/done window — a claim either exists with its
+  *      full manifest or not at all, so a concurrent writer can never
+  *      observe a committed version with an empty touched-set (the
+  *      lost-update race a claim-then-write-meta protocol has);
   *   2. a LOST CAS is not an error: the writer re-reads the commits
   *      that landed since its snapshot and checks CONFLICTS — if the
   *      interleaved commits touched disjoint partitions, it REBASES
   *      (claims the next version, data unchanged); if they overlap, it
-  *      must abort (IllegalStateException here — a real system would
-  *      re-read and re-derive);
+  *      aborts BEFORE claiming (IllegalStateException here — a real
+  *      system would re-read and re-derive), so conflicts burn no
+  *      version numbers. The interleaved set is immutable at check
+  *      time: versions are claimed densely upward (every writer probes
+  *      from its snapshot), so when the CAS on v wins, every claim
+  *      below v already existed and claims are never retracted;
   *   3. readers resolve a snapshot from the commit log alone: per
-  *      partition, the highest committed version wins (partition-
-  *      overwrite semantics); a claim without its DONE marker (a
-  *      crashed writer) is skipped — versions may have gaps.
+  *      partition, the highest claimed version wins (partition-
+  *      overwrite semantics). A writer that crashes before its claim
+  *      is invisible — its staged UUID dir is unreferenced garbage
+  *      (vacuumed out-of-band, the u22 job's concern, not a reader's).
   *
-  * Atomicity primitive: `Files.createFile` (O_CREAT|O_EXCL — atomic
-  * claim on POSIX and object stores with if-none-match). Rename-based
-  * schemes are NOT create-if-absent on POSIX (rename replaces), which
-  * is exactly the mistake this object's claim path avoids.
+  * A claim whose manifest is unreadable (no header — legacy or
+  * corrupt) is treated as a CONFLICT by writers and a loud failure by
+  * readers, never as "touched nothing": unreadable-means-abort is what
+  * keeps a half-understood log from producing a silent lost update.
   *
-  * Scale shape: the commit log is O(commits) tiny files; staging and
-  * the data move are pure metadata relative to data volume; conflict
-  * detection reads only the interleaved commits' touched-partition
-  * lists, never data. The spec drives two writers through a lost CAS
-  * + rebase and through a genuine overlap abort; the u21 query runs
-  * the deterministic disjoint-writer interleaving end-to-end and
-  * hash-gates the resolved table against the oracle's arithmetic.
+  * Scale shape: the commit log is O(commits) tiny files; staging is
+  * the only data-volume write and lands in final position (no move);
+  * conflict detection reads only the interleaved commits' manifests,
+  * never data. The spec drives two writers through a lost CAS + rebase,
+  * a genuine overlap abort, a concurrent claim-racing interleaving, and
+  * a corrupt-manifest abort; the u21 query runs the deterministic
+  * disjoint-writer interleaving end-to-end and hash-gates the resolved
+  * table against the oracle's arithmetic.
   */
 object OptimisticCommit {
 
   private def commitsDir(root: String) = s"$root/_commits"
+  private val ClaimHeader = "graft-occ-claim-v1"
 
-  /** Highest version with a DONE marker (0 = empty table). */
+  /** Highest claimed version (0 = empty table). A claim IS a commit. */
   def currentVersion(root: String): Int = {
     val d = Paths.get(commitsDir(root))
     if (!Files.isDirectory(d)) 0
@@ -49,8 +65,8 @@ object OptimisticCommit {
         it.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
           .asScala
           .map(_.getFileName.toString)
-          .collect { case s if s.startsWith("v") && s.endsWith(".done") =>
-            s.stripPrefix("v").stripSuffix(".done").toInt }
+          .collect { case s if s.startsWith("v") && s.endsWith(".claim") =>
+            s.stripPrefix("v").stripSuffix(".claim").toInt }
           .foldLeft(0)(math.max)
       } finally it.close()
     }
@@ -61,53 +77,88 @@ object OptimisticCommit {
     }
   }
 
-  /** Touched partitions recorded by a committed version. */
-  def touchedOf(root: String, version: Int): Set[String] = {
-    val p = Paths.get(commitsDir(root), s"v$version.meta")
-    if (!Files.exists(p)) Set.empty
-    else new String(Files.readAllBytes(p), "UTF-8").split("\n").filter(_.nonEmpty).toSet
+  /** Parsed claim manifest: (staged data dir, touched partitions). */
+  private[operators] final case class Manifest(dataDir: String, touched: Set[String])
+
+  /** Raw claim lines for version `v`; None if no claim exists. */
+  private def rawClaim(root: String, v: Int): Option[Seq[String]] = {
+    val p = Paths.get(commitsDir(root), s"v$v.claim")
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), "UTF-8").split("\n", -1).toSeq)
   }
 
-  /** Atomic CAS claim of `version`; true iff this writer won it. */
-  private[operators] def tryClaim(root: String, version: Int): Boolean = {
+  /** Manifest of a claimed version; throws on a corrupt/legacy claim
+    * (readers must fail loudly, never resolve a partial log). */
+  private[operators] def manifestOf(root: String, v: Int): Option[Manifest] =
+    rawClaim(root, v).map { lines =>
+      if (!lines.headOption.contains(ClaimHeader) || lines.length < 2)
+        throw new IllegalStateException(
+          s"u21: claim v$v has an unreadable manifest — refusing to resolve the log")
+      Manifest(lines(1), lines.drop(2).filter(_.nonEmpty).toSet)
+    }
+
+  /** Writer-side view: None = claim unreadable → caller must treat as
+    * CONFLICT (abort/retry), never as an empty touched-set. */
+  private[operators] def manifestIfReadable(root: String, v: Int): Option[Option[Manifest]] =
+    try Some(manifestOf(root, v))
+    catch { case _: IllegalStateException => None }
+
+  /** Touched partitions of a claimed version (empty if unclaimed). */
+  def touchedOf(root: String, version: Int): Set[String] =
+    manifestOf(root, version).map(_.touched).getOrElse(Set.empty)
+
+  /** Atomic CAS claim of `version`, content-carrying: the manifest is
+    * written to a temp file and the claim name is hard-linked onto it —
+    * creation and content are one atomic step. True iff this writer
+    * won the version. */
+  private[operators] def tryClaim(root: String, version: Int,
+                                  dataDir: String, touched: Set[String]): Boolean = {
     Files.createDirectories(Paths.get(commitsDir(root)))
-    try { Files.createFile(Paths.get(commitsDir(root), s"v$version.claim")); true }
-    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    val claim = Paths.get(commitsDir(root), s"v$version.claim")
+    if (Files.exists(claim)) return false // cheap pre-check; CAS below decides
+    val tmp = Files.createTempFile(Paths.get(commitsDir(root)), s".v$version-", ".tmp")
+    try {
+      Files.write(tmp,
+        (Seq(ClaimHeader, dataDir) ++ touched.toSeq.sorted).mkString("\n").getBytes("UTF-8"))
+      try { Files.createLink(claim, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Commit `df` (hive-partitioned by `partCol`) against snapshot
     * `readVersion` with OCC. Returns the committed version. Throws
-    * IllegalStateException on a partition-overlap conflict. */
+    * IllegalStateException on a partition-overlap conflict (before any
+    * version is claimed — conflicts burn nothing). */
   def commit(df: DataFrame, root: String, partCol: String,
              readVersion: Int, maxRetries: Int = 10): Int = {
     val touched = df.select(col(partCol)).distinct()
       .collect().map(_.get(0).toString).toSet
-    val staged = s"$root/_staged/${java.util.UUID.randomUUID()}"
+    val staged = s"$root/data/${java.util.UUID.randomUUID()}"
     df.write.partitionBy(partCol).mode("overwrite").parquet(staged)
     var attempt = readVersion + 1
     while (attempt <= readVersion + math.max(1, maxRetries)) {
-      if (tryClaim(root, attempt)) {
-        // we own this version: conflict-check the commits that landed
-        // between our snapshot and our claim
-        val interleaved = ((readVersion + 1) until attempt)
-          .flatMap(v => touchedOf(root, v)).toSet
-        val overlap = interleaved.intersect(touched)
-        if (overlap.nonEmpty) {
-          // leave the claim (the version number is burned — readers
-          // skip it without a done marker) and surface the conflict
-          ScaleOps.deleteRecursively(staged)
-          throw new IllegalStateException(
-            s"u21 conflict: partitions ${overlap.toSeq.sorted.mkString(",")} " +
-            s"were modified by a concurrent commit since v$readVersion")
+      // conflict-check the commits interleaved between our snapshot and
+      // this attempt BEFORE claiming: all of (readVersion, attempt) is
+      // already claimed (versions fill densely upward) and claims are
+      // immutable, so the set cannot grow under us for THIS attempt —
+      // if the CAS below loses, the next loop re-checks the new claim.
+      val overlap = ((readVersion + 1) until attempt).flatMap { v =>
+        manifestIfReadable(root, v) match {
+          case Some(m) => m.map(_.touched).getOrElse(Set.empty[String])
+          case None =>
+            ScaleOps.deleteRecursively(staged)
+            throw new IllegalStateException(
+              s"u21 conflict: claim v$v has an unreadable manifest — " +
+              "treating as conflicting (never as empty)")
         }
-        Files.write(Paths.get(commitsDir(root), s"v$attempt.meta"),
-          touched.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-        Files.createDirectories(Paths.get(s"$root/data"))
-        Files.move(Paths.get(staged), Paths.get(s"$root/data/v$attempt"),
-          StandardCopyOption.ATOMIC_MOVE)
-        Files.createFile(Paths.get(commitsDir(root), s"v$attempt.done"))
-        return attempt
+      }.toSet.intersect(touched)
+      if (overlap.nonEmpty) {
+        ScaleOps.deleteRecursively(staged)
+        throw new IllegalStateException(
+          s"u21 conflict: partitions ${overlap.toSeq.sorted.mkString(",")} " +
+          s"were modified by a concurrent commit since v$readVersion")
       }
+      if (tryClaim(root, attempt, staged, touched)) return attempt
       attempt += 1 // lost the CAS: rebase onto the next version
     }
     ScaleOps.deleteRecursively(staged)
@@ -117,15 +168,15 @@ object OptimisticCommit {
   /** Snapshot read: per partition the highest committed version wins. */
   def read(spark: SparkSession, root: String, partCol: String): DataFrame = {
     val cur = currentVersion(root)
-    val byPart = scala.collection.mutable.Map[String, Int]()
+    val byPart = scala.collection.mutable.Map[String, (Int, String)]()
     (1 to cur).foreach { v =>
-      if (Files.exists(Paths.get(commitsDir(root), s"v$v.done")))
-        touchedOf(root, v).foreach(p => byPart(p) = v)
+      manifestOf(root, v).foreach(m =>
+        m.touched.foreach(p => byPart(p) = (v, m.dataDir)))
     }
     if (byPart.isEmpty) spark.emptyDataFrame
-    else byPart.groupBy(_._2).map { case (v, parts) =>
-      spark.read.option("basePath", s"$root/data/v$v")
-        .parquet(parts.keys.toSeq.sorted.map(p => s"$root/data/v$v/$partCol=$p"): _*)
+    else byPart.groupBy(_._2).map { case ((_, dataDir), parts) =>
+      spark.read.option("basePath", dataDir)
+        .parquet(parts.keys.toSeq.sorted.map(p => s"$dataDir/$partCol=$p"): _*)
     }.reduce(_ unionByName _)
   }
 

@@ -43,8 +43,16 @@ object SnapshotExpiry {
       .select(col("k"), col("price"), col("status"), col("deleted"))
   }
 
-  /** Expire all history below `keep`: squash → floor marker → GC. */
+  /** Expire all history below `keep`: squash → floor marker → GC.
+    * `keep` below the CURRENT floor is rejected: those versions were
+    * already GC'd, and rewriting `_expiry` downward would re-admit
+    * them to readAsOf's floor check, which would then silently return
+    * partial state — the exact contract violation this module forbids. */
   def expire(spark: SparkSession, root: String, keep: Int): Unit = {
+    val floor = VersionedTable.expiryFloor(root)
+    require(keep >= floor,
+      s"expire(keep=$keep): the floor is already v$floor — versions below it are " +
+      "GC'd and the retention floor never moves backward")
     val squashed = squash(spark, root, keep).localCheckpoint(true)
     // APPEND the squash into the keep partition (never overwrite): every
     // appended row is content-identical to the ≤keep state it

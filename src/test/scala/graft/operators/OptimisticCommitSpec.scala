@@ -9,7 +9,7 @@ class OptimisticCommitSpec extends SparkSpec {
   private def df(rows: (Long, Double, String)*) =
     rows.toDF("k", "price", "bkt")
 
-  test("u21: lost CAS with disjoint partitions rebases; overlap aborts loudly") {
+  test("u21: lost CAS with disjoint partitions rebases; overlap aborts loudly without burning a version") {
     val root = java.nio.file.Files.createTempDirectory("occ_spec").toString
     try {
       // base at v1 across two partitions
@@ -31,24 +31,94 @@ class OptimisticCommitSpec extends SparkSpec {
       val got = OptimisticCommit.read(spark, root, "bkt")
         .select($"k", $"price").as[(Long, Double)].collect().toSet
       assert(got == Set((1L, 10.0), (2L, 20.0)), s"got $got")
-      // C's burned claim (v4) must NOT surface as a committed version
+      // C aborted BEFORE claiming: no version burned, log still at v3
       assert(OptimisticCommit.currentVersion(root) == 3)
+      // and a post-abort writer on p0 (reading the CURRENT snapshot)
+      // commits v4 cleanly — the conflict left no debris
+      val vd = OptimisticCommit.commit(df((1L, 11.0, "p0")), root, "bkt", 3)
+      assert(vd == 4)
     } finally ScaleOps.deleteRecursively(root)
   }
 
-  test("u21: a claim without a done marker (crashed writer) is invisible to readers") {
+  test("u21: a writer that crashes before its claim is invisible and burns nothing") {
     val root = java.nio.file.Files.createTempDirectory("occ_spec3").toString
     try {
       OptimisticCommit.commit(df((1L, 1.0, "p0")), root, "bkt", 0)
-      // simulate a crash: claim v2 but never finish
-      assert(OptimisticCommit.tryClaim(root, 2))
+      // simulate a crash mid-commit: data staged, claim never created
+      df((1L, 99.0, "p0")).write.partitionBy("bkt").mode("overwrite")
+        .parquet(s"$root/data/${java.util.UUID.randomUUID()}")
       assert(OptimisticCommit.currentVersion(root) == 1)
       val got = OptimisticCommit.read(spark, root, "bkt")
         .select($"price").as[Double].collect().toSeq
       assert(got == Seq(1.0))
-      // the next writer simply rebases past the burned version
+      // the next writer takes v2 — the crashed writer consumed nothing
       val v = OptimisticCommit.commit(df((1L, 5.0, "p0")), root, "bkt", 1)
-      assert(v == 3, s"burned claim must be skipped, got v$v")
+      assert(v == 2, s"crashed writer must not consume a version, got v$v")
+    } finally ScaleOps.deleteRecursively(root)
+  }
+
+  test("u21: the claim manifest is atomic with the claim — touched partitions are visible the instant the version exists") {
+    val root = java.nio.file.Files.createTempDirectory("occ_spec4").toString
+    try {
+      OptimisticCommit.commit(df((1L, 1.0, "p0"), (2L, 2.0, "p1")), root, "bkt", 0)
+      OptimisticCommit.commit(df((1L, 10.0, "p0")), root, "bkt", 1)
+      // the moment v2 exists, its manifest must carry {p0} — the
+      // ADVICE race was a committed version readable with an EMPTY
+      // touched-set (meta landing after the claim)
+      assert(OptimisticCommit.currentVersion(root) == 2)
+      assert(OptimisticCommit.touchedOf(root, 2) == Set("p0"))
+    } finally ScaleOps.deleteRecursively(root)
+  }
+
+  test("u21: an unreadable claim manifest is a conflict for writers and a loud failure for readers, never an empty touched-set") {
+    val root = java.nio.file.Files.createTempDirectory("occ_spec5").toString
+    try {
+      OptimisticCommit.commit(df((1L, 1.0, "p0")), root, "bkt", 0)
+      // a legacy/corrupt claim at v2: exists, but no manifest header
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/_commits/v2.claim"),
+        "not-a-manifest".getBytes("UTF-8"))
+      // writer that read v1 and would pass a disjointness check against
+      // an EMPTY set must abort instead
+      val e = intercept[IllegalStateException](
+        OptimisticCommit.commit(df((2L, 2.0, "p1")), root, "bkt", 1))
+      assert(e.getMessage.contains("unreadable"), e.getMessage)
+      // readers refuse to resolve the log rather than skip the claim
+      val r = intercept[IllegalStateException](
+        OptimisticCommit.read(spark, root, "bkt").collect())
+      assert(r.getMessage.contains("unreadable"), r.getMessage)
+    } finally ScaleOps.deleteRecursively(root)
+  }
+
+  test("u21: concurrent racing writers on disjoint partitions all commit, distinct versions, no lost update") {
+    val root = java.nio.file.Files.createTempDirectory("occ_spec6").toString
+    try {
+      val parts = (0 until 6).map(i => s"p$i")
+      OptimisticCommit.commit(
+        parts.zipWithIndex.map { case (p, i) => (i.toLong, 1.0, p) }.toDF("k", "price", "bkt"),
+        root, "bkt", 0)
+      // 6 writers, one partition each, ALL reading snapshot v1, racing:
+      // every CAS interleaving is a disjoint rebase — all must succeed
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futs = parts.zipWithIndex.map { case (p, i) =>
+        scala.concurrent.Future {
+          OptimisticCommit.commit(
+            Seq((i.toLong, 100.0 + i, p)).toDF("k", "price", "bkt"),
+            root, "bkt", readVersion = 1, maxRetries = 20)
+        }
+      }
+      val versions = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration(120, "s"))
+      pool.shutdown()
+      assert(versions.toSet.size == 6, s"duplicate versions: $versions")
+      assert(versions.toSet == (2 to 7).toSet, s"non-dense versions: $versions")
+      val got = OptimisticCommit.read(spark, root, "bkt")
+        .select($"bkt", $"price").as[(String, Double)].collect().toMap
+      val want = parts.zipWithIndex.map { case (p, i) => p -> (100.0 + i) }.toMap
+      assert(got == want, s"lost update: $got vs $want")
     } finally ScaleOps.deleteRecursively(root)
   }
 

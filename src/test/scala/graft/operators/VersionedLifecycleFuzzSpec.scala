@@ -81,6 +81,30 @@ class VersionedLifecycleFuzzSpec extends SparkSpec {
         }
         if (keep > 1)
           intercept[IllegalArgumentException](VersionedTable.readAsOf(spark, root, keep - 1))
+        // u20 ∘ u22: the change feed over (keep, nv] must be UNCHANGED
+        // by expiry — the squash rows appended at version=keep carry
+        // the same liveness as the history they summarize, and the
+        // feed's (k, version) dedupe collapses the duplicates
+        val postFeed = ChangeFeed.changesBetween(spark, root, keep, nv)
+          .select($"k", $"_change_type", $"_commit_version")
+          .as[(Long, String, Int)].collect().toSeq.sorted
+        assert(postFeed == modelChanges(hist.toSeq).filter(_._3 > keep).sorted,
+          s"seed $seed post-expiry change feed over ($keep, $nv]")
+        // a feed reaching below the floor fails loudly (pre-images gone)
+        if (keep > 1)
+          intercept[IllegalArgumentException](
+            ChangeFeed.changesBetween(spark, root, keep - 1, nv))
+        // re-running the same expiry is idempotent; moving the floor
+        // backward is rejected
+        SnapshotExpiry.expire(spark, root, keep)
+        before.foreach { case (v, want) =>
+          val got = VersionedTable.readAsOf(spark, root, v)
+            .select($"k", $"price").as[(Long, Double)].collect().toMap
+          assert(got == want, s"seed $seed re-expiry readAsOf($v)")
+        }
+        if (keep > 1)
+          intercept[IllegalArgumentException](
+            SnapshotExpiry.expire(spark, root, keep - 1))
       } finally ScaleOps.deleteRecursively(root)
     }
   }
