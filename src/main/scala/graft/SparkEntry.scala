@@ -969,8 +969,7 @@ object SparkEntry {
 
   /** Oracles for the round-4 behavioral-analytics pack (q32–q36), the
     * corpus-cleaning pack (p21–p24), the partitioned-layout utility
-    * (u8), and Platt calibration (m11). m12_cv_grid is rows-only by
-    * design (iterative fits) and self-validates in-query. */
+    * (u8), and Platt calibration (m11). */
   private def analyticsAndCleaningOracles: Map[String, String] = Map(
     // q32: ordered funnel — each stage's first-hit must strictly follow
     // the previous stage's. The latency average is computed from exact
@@ -1370,6 +1369,48 @@ object SparkEntry {
            round(CAST(sum(CASE WHEN rfold = fold AND pred = label01 THEN 1 ELSE 0 END) AS DOUBLE)
              / sum(CASE WHEN rfold = fold THEN 1 ELSE 0 END), 6) AS val_accuracy
          FROM scored GROUP BY reg_param, fold ORDER BY reg_param, fold""",
+    // m12: the FULL grid query replayed from the same persisted
+    // artifacts m12c reads — every cell accuracy recomputed from
+    // (φ, weights, intercept) files, plus the model-selection argmax:
+    // best param = highest fold-ordered mean of the UNROUNDED val
+    // accuracies, ties to the smaller reg (exactly cvGridQuery's
+    // maxBy on (acc, -reg); the fold-ordered list_reduce mirrors
+    // Scala's sequential Seq.sum so the mean is bit-identical).
+    "m12_cv_grid" ->
+      """WITH cells AS (
+           SELECT reg_param, fold, weights, intercept
+           FROM read_parquet('/tmp/graft_models/sf0.01/m12_cv/cells/*.parquet')),
+         feats AS (
+           SELECT vec_id, fold AS rfold, label01, phi
+           FROM read_parquet('/tmp/graft_models/sf0.01/m12_cv/features/*.parquet')),
+         scored AS (
+           SELECT c.reg_param, c.fold, f.rfold, f.label01,
+             CASE WHEN list_sum([c.weights[j] * f.phi[j]
+                                 for j in range(1, len(c.weights) + 1)])
+                    + c.intercept > 0
+                  THEN 1.0 ELSE 0.0 END AS pred
+           FROM cells c, feats f),
+         acc AS (
+           SELECT reg_param, fold,
+             CAST(sum(CASE WHEN rfold <> fold THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             CAST(sum(CASE WHEN rfold = fold THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+             CAST(sum(CASE WHEN rfold <> fold AND pred = label01 THEN 1 ELSE 0 END) AS DOUBLE)
+               / sum(CASE WHEN rfold <> fold THEN 1 ELSE 0 END) AS train_acc_raw,
+             CAST(sum(CASE WHEN rfold = fold AND pred = label01 THEN 1 ELSE 0 END) AS DOUBLE)
+               / sum(CASE WHEN rfold = fold THEN 1 ELSE 0 END) AS val_acc_raw
+           FROM scored GROUP BY reg_param, fold),
+         best AS (
+           SELECT reg_param FROM (
+             SELECT reg_param,
+               list_reduce(list(val_acc_raw ORDER BY fold), (a, x) -> a + x)
+                 / count(*) AS avg_acc
+             FROM acc GROUP BY reg_param)
+           ORDER BY avg_acc DESC, reg_param ASC LIMIT 1)
+         SELECT reg_param, fold, n_train, n_val,
+           round(train_acc_raw, 6) AS train_accuracy,
+           round(val_acc_raw, 6) AS val_accuracy,
+           reg_param = (SELECT reg_param FROM best) AS is_best_param
+         FROM acc ORDER BY reg_param, fold""",
     // m13: svm-scale parity — per-dimension raw range + scaled-space
     // mean derived from one pass of per-dim aggregates.
     "m13_feature_scale" ->
