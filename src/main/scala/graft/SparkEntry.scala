@@ -420,7 +420,11 @@ object SparkEntry {
     // banding recall is 1.0 (pigeonhole-exact for p3, validated for
     // p2/p4) and verification makes precision exact, so the approximate
     // algorithm's output equals the exact answer on this corpus.
-    // p7 (ANN): rows-only; the spec measures recall vs brute force.
+    // p7 (ANN/LSH): rows-only; the spec measures recall vs brute force.
+    // p7b/p7c replay their whole index pipelines from persisted
+    // centroids/codebooks — hash-gated like p28.
+    "p7b_ann_ivf" -> graft.sim.IvfAnn.oracleSql,
+    "p7c_ann_pq" -> graft.sim.PqAnn.oracleSql,
     "p2_minhash_pairs" -> graft.dedup.MinHashDedup.oracleSql,
     // p2b: the banding tuner's integrals + argmin replayed bit-exactly
     "p2b_lsh_tuning" -> graft.dedup.LshTuning.oracleSql,

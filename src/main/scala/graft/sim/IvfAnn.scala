@@ -60,8 +60,16 @@ object IvfAnn {
   /** Approximate top-k neighbors per query via IVF cell probing. */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              seed: Long = 42L): DataFrame = {
-    val centroids = fitCentroids(corpus, vecCol, nlist, seed)
+              seed: Long = 42L): DataFrame =
+    annTopKWith(fitCentroids(corpus, vecCol, nlist, seed),
+      corpus, queries, idCol, vecCol, k, nlist, nprobe)
+
+  /** Approximate top-k with pre-fit centroids (the probe pipeline of
+    * [[annTopK]] without the fit — what the persisted-centroid replay
+    * path and the p7b query share). */
+  def annTopKWith(centroids: Array[Array[Double]], corpus: DataFrame,
+                  queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int, nlist: Int, nprobe: Int): DataFrame = {
     val c = corpus
       .select(col(idCol).as("neighbor_id"),
               VectorOps.toDoubleArray(col(vecCol)).as("nvec"))
@@ -82,19 +90,105 @@ object IvfAnn {
               round(col("cos"), 6).as("cos_sim"))
   }
 
-  /** p7b: IVF top-10 for the first 5 vectors (rows-only — like p7, the
-    * index is engine-specific), annotated with measured recall vs the
-    * exact top-k and failing fast below the floor (modest here for the
-    * same near-random-corpus reason as p7; the spec asserts 1.0 on
-    * clustered fixtures where IVF's cell structure matches the data). */
+  private val fitted =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  /** Fit (memoized per sf-dir per JVM) and PERSIST the coarse-quantizer
+    * centroids — the p28 persist-and-replay discipline: with the
+    * centroids on disk, every downstream step of the IVF pipeline
+    * (cell assignment, probe selection, candidate join, cosine rank,
+    * and the recall annotation itself) is deterministic arithmetic the
+    * DuckDB oracle replays bit-exactly, so the p7b row is hash-gated
+    * end-to-end instead of rows-only. */
+  private[graft] def centroidsFor(spark: SparkSession, dir: String,
+                                  nlist: Int): Array[Array[Double]] =
+    fitted.computeIfAbsent(dir, _ => {
+      val cs = fitCentroids(Tables.embeddings(spark, dir), "embedding", nlist)
+      val rows = cs.zipWithIndex.map { case (c, i) => (i, c) }
+      spark.createDataFrame(rows.toSeq).toDF("cluster_id", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${graft.ml.ModelOracles.modelRoot(dir)}/p7b_centroids")
+      cs
+    })
+
+  /** p7b: IVF top-10 for the first 5 vectors, annotated with measured
+    * recall vs the exact top-k and failing fast below the floor (modest
+    * here for the same near-random-corpus reason as p7; the spec
+    * asserts 1.0 on clustered fixtures where IVF's cell structure
+    * matches the data). Hash-gated: the oracle replays the whole probe
+    * pipeline from the persisted centroids. */
   def query(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
     val q = e.filter($"vec_id" < 5)
+    val centroids = centroidsFor(spark, dir, nlist = 16)
     AnnRecall.annotate(
-        annTopK(e, q, "vec_id", "embedding", 10),
+        annTopKWith(centroids, e, q, "vec_id", "embedding", 10, nlist = 16, nprobe = 4),
         e, q, "vec_id", "embedding", 10,
         minRecall = 0.2, label = "p7b_ann_ivf")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** DuckDB replay from the persisted centroids: nearest-cell
+    * assignment (p28's argmin form), nprobe-smallest probe cells,
+    * candidate join, cosine rank (p6's form), and the recall columns
+    * recomputed against the exact brute-force top-k. */
+  val oracleSql: String = {
+    val sqDist =
+      """list_sum(list_transform(list_zip(%s, c.centroid),
+         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"""
+    val cos =
+      """list_sum(list_transform(list_zip(q.embedding, n.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(n.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+    s"""WITH cent AS (
+         SELECT cluster_id, centroid
+         FROM read_parquet('/tmp/graft_models/sf0.01/p7b_centroids/*.parquet')),
+       cells AS (
+         SELECT vec_id, cluster_id AS cell FROM (
+           SELECT e.vec_id, c.cluster_id,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               ${sqDist.format("e.embedding")}, c.cluster_id) AS rk
+           FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+       probes AS (
+         SELECT vec_id AS query_id, cluster_id AS cell FROM (
+           SELECT e.vec_id, c.cluster_id,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               ${sqDist.format("e.embedding")}, c.cluster_id) AS rk
+           FROM embeddings e CROSS JOIN cent c
+           WHERE e.vec_id < 5) WHERE rk <= 4),
+       approx AS (
+         SELECT query_id, neighbor_id, rank, round(cs, 6) AS cos_sim FROM (
+           SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+           FROM (
+             SELECT p.query_id, n.vec_id AS neighbor_id, $cos AS cs
+             FROM probes p
+             JOIN cells cl ON cl.cell = p.cell
+             JOIN embeddings n ON n.vec_id = cl.vec_id
+             JOIN embeddings q ON q.vec_id = p.query_id
+             WHERE n.vec_id <> p.query_id) t1) t2
+         WHERE rank <= 10),
+       exact AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+           FROM (
+             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cos AS cs
+             FROM embeddings q, embeddings n
+             WHERE q.vec_id < 5 AND q.vec_id <> n.vec_id) t1) t2
+         WHERE rank <= 10),
+       ov AS (
+         SELECT a.query_id, count(*) AS n_overlap
+         FROM approx a JOIN exact e
+           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY a.query_id)
+       SELECT a.query_id, a.neighbor_id, a.rank, a.cos_sim,
+         CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS exact_overlap,
+         CAST(10 AS BIGINT) AS k,
+         round(coalesce(ov.n_overlap, 0) / 10.0, 6) AS recall
+       FROM approx a LEFT JOIN ov ON a.query_id = ov.query_id
+       ORDER BY a.query_id, a.rank"""
   }
 }

@@ -173,11 +173,20 @@ object PqAnn {
     * IVF cells), not an unbounded shortlist. */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, m: Int = 8, kCode: Int = 16,
-              rerank: Int = -1, seed: Long = 42L): DataFrame = {
+              rerank: Int = -1, seed: Long = 42L): DataFrame =
+    annTopKWith(fitCodebooks(corpus, vecCol, m, kCode, seed),
+      corpus, queries, idCol, vecCol, k, kCode, rerank)
+
+  /** The PQ scoring pipeline with pre-fit codebooks (shared by
+    * [[annTopK]] and the persisted-codebook p7c replay path). */
+  def annTopKWith(codebooks: Array[Array[Array[Double]]],
+                  corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, kCode: Int,
+                  rerank: Int = -1): DataFrame = {
+    val m = codebooks.length
     val rerankN =
       if (rerank > 0) rerank
       else math.min(1000, math.max(100, (corpus.count() / 50L).toInt))
-    val codebooks = fitCodebooks(corpus, vecCol, m, kCode, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"),
         VectorOps.toDoubleArray(col(vecCol)).as("nvec"))
       .withColumn("codes", encode(col("nvec"), codebooks))
@@ -223,19 +232,127 @@ object PqAnn {
               round(col("cos"), 6).as("cos_sim"))
   }
 
-  /** p7c: PQ top-10 for the first 5 vectors (rows-only — approximate by
-    * design), annotated with measured recall vs the exact top-k and
-    * failing fast below the floor. The floor is modest for the same
-    * near-random-corpus reason as p7/p7b; the spec pins recall 1.0 for
-    * planted identical twins (whose PQ codes coincide exactly). */
+  private val fitted =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  /** Fit (memoized per sf-dir per JVM) and PERSIST the per-subspace
+    * codebooks as (subspace, codeword, vec) rows — the p28/p7b
+    * persist-and-replay discipline: with the codebooks on disk, code
+    * assignment, the ADC sums, the shortlist cut, and the exact
+    * re-rank are all deterministic arithmetic the DuckDB oracle
+    * replays bit-exactly, so the p7c row is hash-gated end-to-end. */
+  private[graft] def codebooksFor(spark: SparkSession, dir: String,
+                                  m: Int, kCode: Int): Array[Array[Array[Double]]] =
+    fitted.computeIfAbsent(dir, _ => {
+      val cbs = fitCodebooks(Tables.embeddings(spark, dir), "embedding", m, kCode)
+      val rows = for {
+        (cws, s) <- cbs.zipWithIndex.toSeq
+        (cw, j) <- cws.zipWithIndex
+      } yield (s, j, cw)
+      spark.createDataFrame(rows).toDF("subspace", "codeword", "vec")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${graft.ml.ModelOracles.modelRoot(dir)}/p7c_codebooks")
+      cbs
+    })
+
+  /** p7c: PQ top-10 for the first 5 vectors, annotated with measured
+    * recall vs the exact top-k and failing fast below the floor. The
+    * floor is modest for the same near-random-corpus reason as p7/p7b;
+    * the spec pins recall 1.0 for planted identical twins (whose PQ
+    * codes coincide exactly). Hash-gated: the oracle replays encoding,
+    * ADC, shortlist, and re-rank from the persisted codebooks. */
   def query(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
     val q = e.filter($"vec_id" < 5)
+    val cbs = codebooksFor(spark, dir, m = 8, kCode = 16)
     AnnRecall.annotate(
-        annTopK(e, q, "vec_id", "embedding", 10),
+        annTopKWith(cbs, e, q, "vec_id", "embedding", 10, kCode = 16),
         e, q, "vec_id", "embedding", 10,
         minRecall = 0.2, label = "p7c_ann_pq")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** DuckDB replay from the persisted codebooks. Structure mirrors the
+    * engine exactly: per-subspace nearest-codeword encoding (argmin
+    * ties to the lower codeword, Spark's array_position-of-min), ADC
+    * distance as the subspace-ordered sequential sum (list_reduce over
+    * s ASC = the engine's unrolled s-ascending + chain), the global
+    * top-`rerank` shortlist on (adc, neighbor_id) — exactly what the
+    * engine's two-level cut yields, since every global survivor is in
+    * its partition's local top — and the exact cosine re-rank (p6's
+    * proven-parity form), plus the recall annotation columns. The
+    * shortlist size replays the same clamp(n/50, 100, 1000) the engine
+    * auto-scales with corpus size. */
+  val oracleSql: String = {
+    val sub = 8 // dim 64 / m 8
+    val cos =
+      """list_sum(list_transform(list_zip(q.embedding, n.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(n.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+    s"""WITH cb AS (
+         SELECT subspace, codeword, vec
+         FROM read_parquet('/tmp/graft_models/sf0.01/p7c_codebooks/*.parquet')),
+       rn AS (
+         SELECT CAST(LEAST(1000, GREATEST(100, count(*) // 50)) AS BIGINT) AS rerank
+         FROM embeddings),
+       codes AS (
+         SELECT vec_id, subspace, codeword FROM (
+           SELECT e.vec_id, cb.subspace, cb.codeword,
+             row_number() OVER (PARTITION BY e.vec_id, cb.subspace ORDER BY
+               list_sum(list_transform(
+                 list_zip(e.embedding[cb.subspace * $sub + 1 : cb.subspace * $sub + $sub], cb.vec),
+                 x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                    * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))),
+               cb.codeword) AS rk
+           FROM embeddings e CROSS JOIN cb) WHERE rk = 1),
+       qdist AS (
+         SELECT e.vec_id AS query_id, cb.subspace, cb.codeword,
+           list_sum(list_transform(
+             list_zip(e.embedding[cb.subspace * $sub + 1 : cb.subspace * $sub + $sub], cb.vec),
+             x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+         FROM embeddings e CROSS JOIN cb
+         WHERE e.vec_id < 5),
+       adc AS (
+         SELECT qd.query_id, c.vec_id AS neighbor_id,
+           list_reduce(list(qd.d ORDER BY qd.subspace), (a, x) -> a + x) AS adc
+         FROM codes c
+         JOIN qdist qd ON qd.subspace = c.subspace AND qd.codeword = c.codeword
+         WHERE c.vec_id <> qd.query_id
+         GROUP BY qd.query_id, c.vec_id),
+       shortlist AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS ar
+           FROM adc) WHERE ar <= (SELECT rerank FROM rn)),
+       approx AS (
+         SELECT query_id, neighbor_id, rank, round(cs, 6) AS cos_sim FROM (
+           SELECT s.query_id, s.neighbor_id, $cos AS cs,
+             row_number() OVER (PARTITION BY s.query_id ORDER BY $cos DESC, s.neighbor_id) AS rank
+           FROM shortlist s
+           JOIN embeddings q ON q.vec_id = s.query_id
+           JOIN embeddings n ON n.vec_id = s.neighbor_id) t
+         WHERE rank <= 10),
+       exact AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+           FROM (
+             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cos AS cs
+             FROM embeddings q, embeddings n
+             WHERE q.vec_id < 5 AND q.vec_id <> n.vec_id) t1) t2
+         WHERE rank <= 10),
+       ov AS (
+         SELECT a.query_id, count(*) AS n_overlap
+         FROM approx a JOIN exact e
+           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY a.query_id)
+       SELECT a.query_id, a.neighbor_id, a.rank, a.cos_sim,
+         CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS exact_overlap,
+         CAST(10 AS BIGINT) AS k,
+         round(coalesce(ov.n_overlap, 0) / 10.0, 6) AS recall
+       FROM approx a LEFT JOIN ov ON a.query_id = ov.query_id
+       ORDER BY a.query_id, a.rank"""
   }
 }
