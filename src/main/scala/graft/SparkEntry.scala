@@ -112,6 +112,8 @@ object SparkEntry {
     "m12b_cv_folds"        -> ((s, d) => graft.ml.CrossVal.cvFoldsQuery(s, d)),
     "m12c_cv_replay"       -> ((s, d) => graft.ml.CrossVal.cvReplayQuery(s, d)),
     "m13_feature_scale"    -> (graft.ml.FeatureScale.m13FeatureScale _),
+    "m14_sparse_kernels"   -> (graft.ml.SparseMlQueries.m14SparseKernels _),
+    "m15_sparse_svm_eval"  -> (graft.ml.SparseMlQueries.m15SparseSvmEval _),
     "s6_stream_sliding"    -> (graft.streaming.EventStreams.s6StreamSliding _),
     "p8_lang_id"           -> (TextAnalysis.langId _),
     "p9_quality"           -> (TextAnalysis.quality _),
@@ -1415,6 +1417,11 @@ object SparkEntry {
            round(val_acc_raw, 6) AS val_accuracy,
            reg_param = (SELECT reg_param FROM best) AS is_best_param
          FROM acc ORDER BY reg_param, fold""",
+    // m14/m15: the sparse ML surface — merge-join kernels on the hashed
+    // bag-of-words fixture (integer-exact inner sums), and the sparse
+    // SVM's persisted-model decision replay (the m1 chain, sparse files).
+    "m14_sparse_kernels" -> graft.ml.SparseMlQueries.m14OracleSql,
+    "m15_sparse_svm_eval" -> graft.ml.SparseMlQueries.m15OracleSql,
     // m13: svm-scale parity — per-dimension raw range + scaled-space
     // mean derived from one pass of per-dim aggregates.
     "m13_feature_scale" ->

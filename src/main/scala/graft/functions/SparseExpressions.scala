@@ -1,0 +1,271 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Native merge-join kernels over SPARSE vectors — the reference's
+  * actual data regime (psvm document.cc stores `idx:val` sparse rows;
+  * rcv1-class corpora run at 10⁴–10⁵ dims with ~10² non-zeros). A
+  * sparse vector is the column pair (indices: array<int> ascending
+  * 0-based, values: array<double>); these expressions fuse the
+  * two-pointer merge into ONE codegen loop per pair, O(nnz_a + nnz_b)
+  * instead of the dense kernels' O(dim).
+  *
+  * BIT-EXACT dense parity (what the sparse≡dense spec pins): the dense
+  * kernels accumulate terms in ascending dimension order; the merge
+  * walks the same order and skips exactly the terms a dense pass would
+  * add as ±0.0 — and IEEE-754 addition of ±0.0 to a non-negative
+  * accumulator (dot of non-negative data, squares, absolutes) leaves
+  * it unchanged, so the sparse sum is the same double the dense loop
+  * produces. (The one theoretical divergence — a dense accumulator
+  * sitting at -0.0 being flushed to +0.0 by a later +0.0 term — needs
+  * negative zero products, which count-valued and squared terms cannot
+  * produce.)
+  */
+abstract class SparseMergeBinary extends QuaternaryExpression {
+  def aIdx: Expression; def aVal: Expression
+  def bIdx: Expression; def bVal: Expression
+
+  override def first: Expression = aIdx
+  override def second: Expression = aVal
+  override def third: Expression = bIdx
+  override def fourth: Expression = bVal
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean =
+    aIdx.nullable || aVal.nullable || bIdx.nullable || bVal.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isIdx(e: Expression) = e.dataType match {
+      case ArrayType(IntegerType, _) => true; case _ => false
+    }
+    def isVal(e: Expression) = e.dataType match {
+      case ArrayType(DoubleType, _) => true; case _ => false
+    }
+    if (isIdx(aIdx) && isVal(aVal) && isIdx(bIdx) && isVal(bVal))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<int>, array<double>, array<int>, array<double>), got " +
+      s"(${aIdx.dataType.simpleString}, ${aVal.dataType.simpleString}, " +
+      s"${bIdx.dataType.simpleString}, ${bVal.dataType.simpleString})")
+  }
+
+  /** The merge body: given pointers to both (idx, val) pairs, emit java
+    * statements advancing the merge and updating accumulator `s`. */
+  protected def mergeJava(ai: String, av: String, bi: String, bv: String,
+                          i: String, j: String, na: String, nb: String,
+                          s: String): String
+
+  /** Interpreted twin of [[mergeJava]] (non-codegen fallback). */
+  protected def mergeEval(ai: ArrayData, av: ArrayData,
+                          bi: ArrayData, bv: ArrayData): Double
+
+  override def nullSafeEval(a1: Any, a2: Any, a3: Any, a4: Any): Any =
+    mergeEval(a1.asInstanceOf[ArrayData], a2.asInstanceOf[ArrayData],
+              a3.asInstanceOf[ArrayData], a4.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ai, av, bi, bv) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val s = ctx.freshName("s")
+      s"""
+         |int $na = $ai.numElements(); int $nb = $bi.numElements();
+         |int $i = 0; int $j = 0;
+         |double $s = 0.0;
+         |${mergeJava(ai, av, bi, bv, i, j, na, nb, s)}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+}
+
+/** Sparse dot product: only matched indices contribute. */
+case class SparseDot(aIdx: Expression, aVal: Expression,
+                     bIdx: Expression, bVal: Expression) extends SparseMergeBinary {
+  override def prettyName: String = "sparse_dot"
+
+  protected def mergeJava(ai: String, av: String, bi: String, bv: String,
+                          i: String, j: String, na: String, nb: String,
+                          s: String): String =
+    s"""
+       |while ($i < $na && $j < $nb) {
+       |  int xa = $ai.getInt($i); int xb = $bi.getInt($j);
+       |  if (xa == xb) { $s += $av.getDouble($i) * $bv.getDouble($j); $i++; $j++; }
+       |  else if (xa < xb) { $i++; } else { $j++; }
+       |}
+     """.stripMargin
+
+  protected def mergeEval(ai: ArrayData, av: ArrayData,
+                          bi: ArrayData, bv: ArrayData): Double = {
+    val na = ai.numElements(); val nb = bi.numElements()
+    var i = 0; var j = 0; var s = 0.0
+    while (i < na && j < nb) {
+      val xa = ai.getInt(i); val xb = bi.getInt(j)
+      if (xa == xb) { s += av.getDouble(i) * bv.getDouble(j); i += 1; j += 1 }
+      else if (xa < xb) i += 1 else j += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(
+      e1: Expression, e2: Expression, e3: Expression, e4: Expression): Expression =
+    copy(aIdx = e1, aVal = e2, bIdx = e3, bVal = e4)
+}
+
+/** Sparse squared-L2 distance Σ over the index UNION of (aᵢ−bᵢ)². */
+case class SparseSqDistance(aIdx: Expression, aVal: Expression,
+                            bIdx: Expression, bVal: Expression) extends SparseMergeBinary {
+  override def prettyName: String = "sparse_sq_distance"
+
+  protected def mergeJava(ai: String, av: String, bi: String, bv: String,
+                          i: String, j: String, na: String, nb: String,
+                          s: String): String =
+    s"""
+       |while ($i < $na || $j < $nb) {
+       |  int xa = ($i < $na) ? $ai.getInt($i) : Integer.MAX_VALUE;
+       |  int xb = ($j < $nb) ? $bi.getInt($j) : Integer.MAX_VALUE;
+       |  double d;
+       |  if (xa == xb) { d = $av.getDouble($i) - $bv.getDouble($j); $i++; $j++; }
+       |  else if (xa < xb) { d = $av.getDouble($i); $i++; }
+       |  else { d = $bv.getDouble($j); $j++; }
+       |  $s += d * d;
+       |}
+     """.stripMargin
+
+  protected def mergeEval(ai: ArrayData, av: ArrayData,
+                          bi: ArrayData, bv: ArrayData): Double = {
+    val na = ai.numElements(); val nb = bi.numElements()
+    var i = 0; var j = 0; var s = 0.0
+    while (i < na || j < nb) {
+      val xa = if (i < na) ai.getInt(i) else Int.MaxValue
+      val xb = if (j < nb) bi.getInt(j) else Int.MaxValue
+      val d =
+        if (xa == xb) { val v = av.getDouble(i) - bv.getDouble(j); i += 1; j += 1; v }
+        else if (xa < xb) { val v = av.getDouble(i); i += 1; v }
+        else { val v = bv.getDouble(j); j += 1; v }
+      s += d * d
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(
+      e1: Expression, e2: Expression, e3: Expression, e4: Expression): Expression =
+    copy(aIdx = e1, aVal = e2, bIdx = e3, bVal = e4)
+}
+
+/** Sparse L1 distance Σ over the index UNION of |aᵢ−bᵢ|. */
+case class SparseL1Distance(aIdx: Expression, aVal: Expression,
+                            bIdx: Expression, bVal: Expression) extends SparseMergeBinary {
+  override def prettyName: String = "sparse_l1_distance"
+
+  protected def mergeJava(ai: String, av: String, bi: String, bv: String,
+                          i: String, j: String, na: String, nb: String,
+                          s: String): String =
+    s"""
+       |while ($i < $na || $j < $nb) {
+       |  int xa = ($i < $na) ? $ai.getInt($i) : Integer.MAX_VALUE;
+       |  int xb = ($j < $nb) ? $bi.getInt($j) : Integer.MAX_VALUE;
+       |  double d;
+       |  if (xa == xb) { d = $av.getDouble($i) - $bv.getDouble($j); $i++; $j++; }
+       |  else if (xa < xb) { d = $av.getDouble($i); $i++; }
+       |  else { d = $bv.getDouble($j); $j++; }
+       |  $s += java.lang.Math.abs(d);
+       |}
+     """.stripMargin
+
+  protected def mergeEval(ai: ArrayData, av: ArrayData,
+                          bi: ArrayData, bv: ArrayData): Double = {
+    val na = ai.numElements(); val nb = bi.numElements()
+    var i = 0; var j = 0; var s = 0.0
+    while (i < na || j < nb) {
+      val xa = if (i < na) ai.getInt(i) else Int.MaxValue
+      val xb = if (j < nb) bi.getInt(j) else Int.MaxValue
+      val d =
+        if (xa == xb) { val v = av.getDouble(i) - bv.getDouble(j); i += 1; j += 1; v }
+        else if (xa < xb) { val v = av.getDouble(i); i += 1; v }
+        else { val v = bv.getDouble(j); j += 1; v }
+      s += math.abs(d)
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(
+      e1: Expression, e2: Expression, e3: Expression, e4: Expression): Expression =
+    copy(aIdx = e1, aVal = e2, bIdx = e3, bVal = e4)
+}
+
+/** Column wrappers + executor-local twins for the sparse kernels. */
+object SparseOps {
+  import org.apache.spark.sql.graft.GraftShim.{column, expression}
+
+  def sparse_dot(ai: Column, av: Column, bi: Column, bv: Column): Column =
+    column(SparseDot(expression(ai), expression(av), expression(bi), expression(bv)))
+  def sparse_sq_distance(ai: Column, av: Column, bi: Column, bv: Column): Column =
+    column(SparseSqDistance(expression(ai), expression(av), expression(bi), expression(bv)))
+  def sparse_l1_distance(ai: Column, av: Column, bi: Column, bv: Column): Column =
+    column(SparseL1Distance(expression(ai), expression(av), expression(bi), expression(bv)))
+
+  /** Local twins (identical merge order — used by Nyström pivots). */
+  def dotLocal(ai: Array[Int], av: Array[Double],
+               bi: Array[Int], bv: Array[Double]): Double = {
+    var i = 0; var j = 0; var s = 0.0
+    while (i < ai.length && j < bi.length) {
+      if (ai(i) == bi(j)) { s += av(i) * bv(j); i += 1; j += 1 }
+      else if (ai(i) < bi(j)) i += 1 else j += 1
+    }
+    s
+  }
+
+  def sqDistLocal(ai: Array[Int], av: Array[Double],
+                  bi: Array[Int], bv: Array[Double]): Double = {
+    var i = 0; var j = 0; var s = 0.0
+    while (i < ai.length || j < bi.length) {
+      val xa = if (i < ai.length) ai(i) else Int.MaxValue
+      val xb = if (j < bi.length) bi(j) else Int.MaxValue
+      val d =
+        if (xa == xb) { val v = av(i) - bv(j); i += 1; j += 1; v }
+        else if (xa < xb) { val v = av(i); i += 1; v }
+        else { val v = bv(j); j += 1; v }
+      s += d * d
+    }
+    s
+  }
+
+  def l1DistLocal(ai: Array[Int], av: Array[Double],
+                  bi: Array[Int], bv: Array[Double]): Double = {
+    var i = 0; var j = 0; var s = 0.0
+    while (i < ai.length || j < bi.length) {
+      val xa = if (i < ai.length) ai(i) else Int.MaxValue
+      val xb = if (j < bi.length) bi(j) else Int.MaxValue
+      val d =
+        if (xa == xb) { val v = av(i) - bv(j); i += 1; j += 1; v }
+        else if (xa < xb) { val v = av(i); i += 1; v }
+        else { val v = bv(j); j += 1; v }
+      s += math.abs(d)
+    }
+    s
+  }
+
+  /** Dense → sparse (spec/fixture helper): keep non-zero dims in order. */
+  def fromDense(vec: Column): (Column, Column) = {
+    import org.apache.spark.sql.functions._
+    val idx = filter(sequence(lit(0), size(vec) - 1),
+      i => element_at(vec, i + 1) =!= 0.0)
+    (idx.cast(ArrayType(IntegerType, containsNull = false)),
+     transform(idx, i => element_at(vec, i + 1)))
+  }
+
+  /** Sparse → dense with explicit dimension (spec helper; O(dim·log nnz)
+    * via array_position per slot — fine for tests, not a hot path). */
+  def toDense(idx: Column, vals: Column, dim: Int): Column = {
+    import org.apache.spark.sql.functions._
+    transform(sequence(lit(0), lit(dim - 1)), d => {
+      val p = array_position(idx, d.cast(IntegerType))
+      when(p > 0, element_at(vals, p.cast(IntegerType))).otherwise(lit(0.0))
+    })
+  }
+}

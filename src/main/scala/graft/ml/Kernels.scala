@@ -14,10 +14,20 @@ sealed trait Kernel extends Serializable {
   def apply(a: Column, b: Column): Column
   /** Driver/executor-local form over raw arrays (same math). */
   def apply(a: Array[Double], b: Array[Double]): Double
+  /** Column form over two SPARSE vectors, each an (indices: array<int>
+    * ascending, values: array<double>) pair — the fused merge-join
+    * kernels (O(nnz) per pair, bit-identical to the dense forms on the
+    * same data; see [[graft.functions.SparseMergeBinary]]). */
+  def sparse(ai: Column, av: Column, bi: Column, bv: Column): Column
+  /** Driver/executor-local sparse form (same merge order). */
+  def sparse(ai: Array[Int], av: Array[Double],
+             bi: Array[Int], bv: Array[Double]): Double
   def name: String
 }
 
 object Kernel {
+  import graft.functions.SparseOps
+
   private def dotLocal(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
@@ -29,6 +39,11 @@ object Kernel {
     def apply(a: Column, b: Column): Column =
       graft.functions.GraftFunctions.dot_product(a, b)
     def apply(a: Array[Double], b: Array[Double]): Double = dotLocal(a, b)
+    def sparse(ai: Column, av: Column, bi: Column, bv: Column): Column =
+      SparseOps.sparse_dot(ai, av, bi, bv)
+    def sparse(ai: Array[Int], av: Array[Double],
+               bi: Array[Int], bv: Array[Double]): Double =
+      SparseOps.dotLocal(ai, av, bi, bv)
   }
 
   final case class Polynomial(gamma: Double, coef0: Double, degree: Int) extends Kernel {
@@ -39,6 +54,13 @@ object Kernel {
     }
     def apply(a: Array[Double], b: Array[Double]): Double =
       math.pow(gamma * dotLocal(a, b) + coef0, degree)
+    def sparse(ai: Column, av: Column, bi: Column, bv: Column): Column = {
+      import org.apache.spark.sql.functions.{lit, pow}
+      pow(lit(gamma) * SparseOps.sparse_dot(ai, av, bi, bv) + lit(coef0), lit(degree))
+    }
+    def sparse(ai: Array[Int], av: Array[Double],
+               bi: Array[Int], bv: Array[Double]): Double =
+      math.pow(gamma * SparseOps.dotLocal(ai, av, bi, bv) + coef0, degree)
   }
 
   final case class Rbf(gamma: Double) extends Kernel {
@@ -52,6 +74,13 @@ object Kernel {
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       math.exp(-gamma * s)
     }
+    def sparse(ai: Column, av: Column, bi: Column, bv: Column): Column = {
+      import org.apache.spark.sql.functions.{exp, lit}
+      exp(lit(-gamma) * SparseOps.sparse_sq_distance(ai, av, bi, bv))
+    }
+    def sparse(ai: Array[Int], av: Array[Double],
+               bi: Array[Int], bv: Array[Double]): Double =
+      math.exp(-gamma * SparseOps.sqDistLocal(ai, av, bi, bv))
   }
 
   final case class Laplacian(gamma: Double) extends Kernel {
@@ -65,5 +94,12 @@ object Kernel {
       while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }
       math.exp(-gamma * s)
     }
+    def sparse(ai: Column, av: Column, bi: Column, bv: Column): Column = {
+      import org.apache.spark.sql.functions.{exp, lit}
+      exp(lit(-gamma) * SparseOps.sparse_l1_distance(ai, av, bi, bv))
+    }
+    def sparse(ai: Array[Int], av: Array[Double],
+               bi: Array[Int], bv: Array[Double]): Double =
+      math.exp(-gamma * SparseOps.l1DistLocal(ai, av, bi, bv))
   }
 }

@@ -118,6 +118,15 @@ object Nystrom {
 
     val m = landmarks.length
     val kmm = DenseMatrix.tabulate(m, m)((i, j) => kernel(landmarks(i), landmarks(j)))
+    NystromMap(landmarks, projectionOf(kmm, m, ridge), kernel)
+  }
+
+  /** W = U·diag(1/√λ⁺) from the ridged symmetric eigendecomposition of
+    * K_mm — shared by the dense fit above and [[SparseNystrom.fit]]
+    * (the projection step is representation-agnostic: only the kernel
+    * evaluations differ between dense and sparse rows). */
+  private[ml] def projectionOf(kmm: DenseMatrix[Double], m: Int,
+                               ridge: Double): Array[Array[Double]] = {
     // symmetric eigendecomposition; ridge guards repeated landmarks
     val es = eigSym(kmm + DenseMatrix.eye[Double](m) * ridge)
     val lambda: DenseVector[Double] = es.eigenvalues
@@ -125,8 +134,7 @@ object Nystrom {
     val tol = 1e-12 * math.max(1.0, breeze.linalg.max(lambda))
     // W = U · diag(1/sqrt(λ)) for λ > tol (pseudo-inverse square root)
     val keep = (0 until m).filter(lambda(_) > tol)
-    val w = Array.tabulate(m, keep.length)((i, jj) => u(i, keep(jj)) / math.sqrt(lambda(keep(jj))))
-    NystromMap(landmarks, w, kernel)
+    Array.tabulate(m, keep.length)((i, jj) => u(i, keep(jj)) / math.sqrt(lambda(keep(jj))))
   }
 
   /** Attach φ(x) as `featCol` (array<double>). */
