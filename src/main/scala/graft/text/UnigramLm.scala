@@ -54,6 +54,15 @@ object UnigramLm {
   val MaxChunkLen  = 16
   val MinSeedCount = 3L
   val EmRounds     = 2
+  /** Multi-char seed pieces admitted to the EM (top by (count DESC,
+    * piece ASC), a TakeOrdered over the distributed seed table) — the
+    * 100 TB driver-memory bound UnigramPrune already has (its r11
+    * caveat): without it [[collectCost]]'s map is SEED-bounded, which
+    * grows with the corpus. 4096 is far above sf0.01's 204 qualifying
+    * multi pieces (the sealed hashes are unchanged) and still a hard
+    * ceiling at any corpus; the oracle replays the same capped
+    * selection via QUALIFY. */
+  val SeedCapMulti = 4096
 
   /** Code points of `s`, each as its own String (surrogate pairs
     * intact — the split($"w","")/DuckDB-len semantics, the BPE
@@ -171,7 +180,8 @@ object UnigramLm {
   private[graft] def fit(spark: SparkSession, dir: String): (DataFrame, DataFrame, Map[String, Long]) =
     fitFrom(Tables.documents(spark, dir))
 
-  private[graft] def fitFrom(docs: DataFrame): (DataFrame, DataFrame, Map[String, Long]) = {
+  private[graft] def fitFrom(docs: DataFrame,
+                             seedCap: Int = SeedCapMulti): (DataFrame, DataFrame, Map[String, Long]) = {
     val spark = docs.sparkSession
     import spark.implicits._
     // Zero-length words (whitespace-edged or empty docs) are dropped
@@ -194,8 +204,15 @@ object UnigramLm {
       it.flatMap { case (c, n) => seedPieces(c).iterator.map(p => (p, n)) }
     }.toDF("piece", "ccnt")
       .groupBy($"piece").agg(sum($"ccnt").as("cnt"))
+    // capped seed: ALL singles (coverage) + top-SeedCapMulti multi by
+    // (cnt DESC, piece ASC) — TakeOrdered, so the driver-side cost map
+    // is cap-bounded at any corpus size
     val vocab0 = seedCnt
-      .filter(length($"piece") === 1 || $"cnt" >= MinSeedCount)
+      .filter(length($"piece") === 1)
+      .unionByName(seedCnt
+        .filter(length($"piece") > 1 && $"cnt" >= MinSeedCount)
+        .orderBy($"cnt".desc, $"piece")
+        .limit(seedCap))
       .persist()
     val singles = vocab0.filter(length($"piece") === 1).select($"piece").persist()
     singles.count()
@@ -347,7 +364,10 @@ object UnigramLm {
                      (SELECT unnest(range(1, ${MaxPieceLen + 1})) AS l) ll
            WHERE s + l <= len(chunk)) p
          JOIN cc USING (chunk) GROUP BY 1, 2),
-       v0 AS (SELECT piece, cnt FROM sc WHERE plen = 1 OR cnt >= $MinSeedCount),
+       v0 AS (SELECT piece, cnt FROM sc WHERE plen = 1
+              UNION ALL
+              SELECT piece, cnt FROM sc WHERE plen > 1 AND cnt >= $MinSeedCount
+              QUALIFY row_number() OVER (ORDER BY cnt DESC, piece ASC) <= $SeedCapMulti),
        sing AS MATERIALIZED (SELECT piece FROM sc WHERE plen = 1),
        tt0 AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM v0),
        cost0 AS MATERIALIZED (

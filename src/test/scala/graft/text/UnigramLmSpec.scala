@@ -98,4 +98,28 @@ class UnigramLmSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("n_pieces") >= r.getAs[Long]("n_words")),
       "a word is at least one piece")
   }
+
+  test("p59 seed cap bounds the driver-side vocabulary; a non-binding cap changes nothing") {
+    import spark.implicits._
+    // corpus with MANY distinct qualifying multi pieces: every 4-gram of
+    // 40 distinct 8-char words repeated 3× clears MinSeedCount
+    val words = (0 until 40).map(i => f"w$i%02dabcd")
+    val docs = Seq((1L, (words ++ words ++ words).mkString(" "))).toDF("doc_id", "text")
+    val (_, _, uncapped) = UnigramLm.fitFrom(docs, seedCap = Int.MaxValue)
+    val nMultiUncapped = uncapped.keysIterator.count(UnigramLm.codePoints(_).length > 1)
+    assert(nMultiUncapped > 24, s"fixture must exceed the test cap, got $nMultiUncapped")
+    // binding cap: the fitted vocabulary's multi pieces stay <= cap in
+    // EVERY round (the EM only ever keeps used ∪ singles, and the seed
+    // it starts from is cap-bounded)
+    val (_, _, capped) = UnigramLm.fitFrom(docs, seedCap = 24)
+    assert(capped.keysIterator.count(UnigramLm.codePoints(_).length > 1) <= 24,
+      "cap must bound the multi-piece vocabulary")
+    // segmentation still total under the capped vocabulary (singles kept)
+    val w = words.head * 1
+    assert(UnigramLm.chunksOf(w).flatMap(c => UnigramLm.viterbi(c, capped)).mkString == w)
+    // a non-binding cap reproduces the uncapped trajectory exactly —
+    // the sf0.01 driver hashes cannot move (204 multi pieces < 4096)
+    val (_, _, default) = UnigramLm.fitFrom(docs)
+    assert(default == uncapped, "non-binding cap must be a no-op")
+  }
 }
