@@ -136,6 +136,7 @@ object SparkEntry {
     "p7b_ann_ivf"          -> (graft.sim.IvfAnn.query _),
     "p7c_ann_pq"           -> (graft.sim.PqAnn.query _),
     "p7d_ann_ivfpq"        -> (graft.sim.IvfPqAnn.query _),
+    "p67_nn_descent"       -> (graft.sim.NnDescent.query _),
     "p16_split"            -> ((s, d) => graft.pipeline.TrainingOps.splitQuery(s, d)),
     "p17_pack"             -> ((s, d) => graft.pipeline.TrainingOps.packQuery(s, d)),
     "p18_contamination"    -> ((s, d) => graft.pipeline.TrainingOps.contaminationQuery(s, d)),
@@ -427,6 +428,9 @@ object SparkEntry {
     // centroids/codebooks — hash-gated like p28.
     "p7b_ann_ivf" -> graft.sim.IvfAnn.oracleSql,
     "p7c_ann_pq" -> graft.sim.PqAnn.oracleSql,
+    // p67: the NN-descent trajectory needs no persisted state at all —
+    // md5 init + two unrolled refine rounds replay from the corpus.
+    "p67_nn_descent" -> graft.sim.NnDescent.oracleSql,
     "p2_minhash_pairs" -> graft.dedup.MinHashDedup.oracleSql,
     // p2b: the banding tuner's integrals + argmin replayed bit-exactly
     "p2b_lsh_tuning" -> graft.dedup.LshTuning.oracleSql,

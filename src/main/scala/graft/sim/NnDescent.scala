@@ -1,0 +1,171 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** §2.3 P67 (p67): GRAPH ANN by NN-DESCENT (Dong et al., WWW 2011) —
+  * the k-NN-graph construction family behind HNSW/NSG-class indexes,
+  * and the fourth ANN scale path next to LSH (p7), IVF (p7b), and PQ
+  * (p7c). The principle: a node's neighbors' neighbors are likely
+  * neighbors — start from a cheap diverse graph and run a fixed number
+  * of neighbor-of-neighbor refinement rounds, each keeping the exact
+  * top-k of the candidate union.
+  *
+  * Deterministic formulation (so the WHOLE trajectory is hash-gated,
+  * with NO persisted state — unlike the k-means paths, every step is
+  * pure arithmetic + exact cosine from the corpus alone):
+  *   - init: node v's candidate set is {(v + 1 + md5(v·16+j) mod
+  *     (n−1)) mod n, j = 1..k} — per-node pseudo-random spread through
+  *     the md5-bucket idiom every oracle already replays; duplicates
+  *     collapse (rounds refill to k);
+  *   - round: symmetrize the graph (U = N ∪ N⁻¹ — the reverse edges
+  *     are NN-descent's key trick), candidates = U(v) ∪ (U∘U)(v),
+  *     score with the exact fused cosine, keep top-k by
+  *     (cos DESC, neighbor ASC). Two rounds (fixed, so the oracle
+  *     unrolls statically).
+  *
+  * Scale shape: each round is two keyed self-joins of an n·k edge list
+  * (never the corpus² cross join — candidate count is ≤ (2k)²·n), one
+  * narrow cosine map over candidate pairs with vectors joined in, and
+  * one top-k window keyed by node. At 100 TB the edge list is the only
+  * shuffled state (k integers per node), which is why NN-descent is
+  * the standard billion-scale k-NN-graph builder.
+  *
+  * The query FAILS FAST unless mean recall@k vs the exact graph clears
+  * a floor (AnnRecall's discipline, computed in-query but kept out of
+  * the output so the oracle replays only the deterministic trajectory);
+  * the spec additionally pins recall ≥ p6-agreement on the clustered
+  * fixture and monotone round-over-round improvement.
+  */
+object NnDescent {
+
+  val K = 10
+  val Rounds = 2
+
+  private def md5Bucket(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic init edges: ≤ k pseudo-random distinct neighbors per
+    * node (self-loops and duplicate targets collapse). */
+  private def initEdges(ids: DataFrame, n: Long, k: Int): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("id").as("src"))
+      .crossJoin(spark.range(1, k + 1).toDF("j"))
+      .select(col("src"),
+        pmod(col("src") + lit(1L) + pmod(md5Bucket(col("src") * 16 + col("j")), lit(n - 1)),
+          lit(n)).as("nbr"))
+      .filter(col("src") =!= col("nbr"))
+      .distinct()
+  }
+
+  /** One refinement round: symmetrize, expand one hop, score, top-k. */
+  private def refine(graph: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
+    val und = graph.select(col("src"), col("nbr"))
+      .unionByName(graph.select(col("nbr").as("src"), col("src").as("nbr")))
+      .distinct()
+    val hop2 = und.select(col("src"), col("nbr").as("mid"))
+      .join(und.select(col("src").as("mid"), col("nbr")), "mid")
+      .select(col("src"), col("nbr"))
+    val cand = und.unionByName(hop2)
+      .filter(col("src") =!= col("nbr"))
+      .distinct()
+    topK(cand, vecs, k)
+  }
+
+  /** Exact-cosine top-k of a candidate edge list. */
+  private def topK(cand: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr"))
+    cand
+      .join(vecs.select(col("id").as("src"), col("v").as("sv")), "src")
+      .join(vecs.select(col("id").as("nbr"), col("v").as("nv")), "nbr")
+      .withColumn("cos", GraftFunctions.cosine_sim(col("sv"), col("nv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("nbr"), col("rank"), col("cos"))
+  }
+
+  /** Build the k-NN graph: init + `rounds` refinement rounds. Returns
+    * (src, nbr, rank, cos). */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+               k: Int = K, rounds: Int = Rounds): DataFrame = {
+    val vecs = corpus.select(col(idCol).cast("long").as("id"),
+      graft.functions.VectorOps.toDoubleArray(col(vecCol)).as("v")).persist()
+    val n = vecs.count()
+    var g = topK(initEdges(vecs.select(col("id")), n, k), vecs, k)
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds)
+      g = refine(g, vecs, k).localCheckpoint(true)
+    vecs.unpersist()
+    g
+  }
+
+  /** p67: the full deterministic 2-round NN-descent graph over the
+    * embeddings corpus, hash-gated; mean recall vs the exact graph is
+    * gated in-query (fail-fast, not emitted). */
+  def query(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val g = knnGraph(e, "vec_id", "embedding").persist()
+    // fail-fast recall floor: approximate graph vs the exact one
+    val exact = Knn.bruteForce(e, e, "vec_id", "embedding", K)
+      .select($"query_id".as("src"), $"neighbor_id".as("nbr"))
+    val hit = g.select($"src", $"nbr").join(exact, Seq("src", "nbr"), "leftsemi").count()
+    val total = g.count()
+    val recall = hit.toDouble / total
+    require(recall >= 0.5,
+      s"p67 mean recall $recall below floor 0.5 — NN-descent regressed")
+    g.unpersist()
+    g.select($"src".as("node_id"), $"nbr".as("neighbor_id"), $"rank",
+        round($"cos", 6).as("cos_sim"))
+      .orderBy($"node_id", $"rank")
+  }
+
+  /** DuckDB replay of the ENTIRE trajectory: md5 init, two unrolled
+    * symmetrize→hop-2→score→top-k rounds, exact cosine in the p6
+    * proven-parity form, same (cos DESC, nbr ASC) tie-break. */
+  val oracleSql: String = {
+    val cos =
+      """list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+    def topk(candCte: String, out: String) =
+      s"""$out AS (
+           SELECT src, nbr, rank, cos FROM (
+             SELECT c.src, c.nbr, $cos AS cos,
+               row_number() OVER (PARTITION BY c.src ORDER BY $cos DESC, c.nbr) AS rank
+             FROM $candCte c
+             JOIN embeddings a ON a.vec_id = c.src
+             JOIN embeddings b ON b.vec_id = c.nbr) t
+           WHERE rank <= $K)"""
+    def round(inG: String, out: String) =
+      s"""u_$out AS (
+           SELECT src, nbr FROM $inG
+           UNION
+           SELECT nbr AS src, src AS nbr FROM $inG),
+         c_$out AS (
+           SELECT src, nbr FROM u_$out
+           UNION
+           SELECT x.src, y.nbr
+           FROM u_$out x JOIN u_$out y ON y.src = x.nbr
+           WHERE x.src <> y.nbr),
+         ${topk(s"c_$out", out)}"""
+    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+       init AS (
+         SELECT DISTINCT src,
+           (src + 1 + (CAST(('0x' || substr(md5(CAST(src * 16 + j AS VARCHAR)), 1, 8)) AS BIGINT)
+             % (nn.n - 1))) % nn.n AS nbr
+         FROM (SELECT vec_id AS src FROM embeddings) s,
+              (SELECT unnest(range(1, ${K + 1})) AS j) jj, nn
+         WHERE (src + 1 + (CAST(('0x' || substr(md5(CAST(src * 16 + j AS VARCHAR)), 1, 8)) AS BIGINT)
+             % (nn.n - 1))) % nn.n <> src),
+       ${topk("init", "g0")},
+       ${round("g0", "g1")},
+       ${round("g1", "g2")}
+       SELECT src AS node_id, nbr AS neighbor_id, rank, round(cos, 6) AS cos_sim
+       FROM g2 ORDER BY node_id, rank"""
+  }
+}
