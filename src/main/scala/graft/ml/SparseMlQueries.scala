@@ -8,7 +8,7 @@ import graft.Tables
   * HIGH-DIMENSIONAL sparse fixture derived at read time from the
   * documents table — hashed bag-of-words into D = 32768 dims with
   * integer term counts as values (the rcv1-class shape psvm trains on:
-  * dims ≫ nnz; here ~40–80 non-zeros per row, a 500× density gap the
+  * dims ≫ nnz; here ~6–31 non-zeros per row, a ~1400× density gap the
   * dense path would pay in full). Counts make every kernel distance an
   * EXACT integer, so the DuckDB oracle replays the merge-join kernels
   * order-free (sums of exact integers commute) while the Spark side
@@ -22,7 +22,7 @@ object SparseMlQueries {
     * md5-hashed dim, value = in-doc count. Derivation is pure column
     * algebra (one explode + one (doc,dim) aggregate + one per-doc
     * collect), replayed verbatim by the oracle CTEs. */
-  private[ml] def sparseDocVectors(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def sparseDocVectors(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id", explode(split($"text", "\\s+")).as("tok"))
