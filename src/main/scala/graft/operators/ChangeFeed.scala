@@ -53,8 +53,15 @@ object ChangeFeed {
       s"change feed from v$v1: versions below v$floor were expired (u22 retention) — " +
       "pre-images below the floor are gone, refusing to classify against missing history")
     val w = Window.partitionBy(col("k")).orderBy(col("version"))
+    // u22 squash duplicates are content-identical: keep the first row
+    // of each (k, version) run via a lag over the SAME key window the
+    // classification uses — the dedupe and the image derivation share
+    // one exchange (dropDuplicates would add a (k, version) shuffle,
+    // breaking the one-keyed-shuffle plan gate)
     val hist = spark.read.parquet(root).filter(col("version") <= v2)
-      .dropDuplicates("k", "version") // u22 squash duplicates are content-identical
+      .withColumn("__prev_v", lag(col("version"), 1).over(w))
+      .filter(col("__prev_v").isNull || col("__prev_v") =!= col("version"))
+      .drop("__prev_v")
     val withPrev = hist.select(col("k"), col("price"), col("status"),
         col("deleted"), col("version"),
         lag(col("price"), 1).over(w).as("prev_price"),

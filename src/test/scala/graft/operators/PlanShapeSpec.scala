@@ -128,4 +128,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(phys.contains("partial_count") || phys.contains("partial"),
       s"count tables must partial-aggregate:\n$phys")
   }
+
+  test("m16 sparse Nystrom transform: one narrow codegen map, zero exchange") {
+    // a real (range) source so the map has a codegen stage to live in —
+    // a LocalTableScan fixture would yield no WholeStageCodegen at all
+    val rows = spark.range(64).toDF("id")
+      .withColumn("indices", array(($"id" % 8).cast("int"), (lit(8) + $"id" % 8).cast("int")))
+      .withColumn("values", array(lit(1.0), lit(2.0)))
+    val map = graft.ml.SparseNystrom.fit(rows, "id", "indices", "values",
+      graft.ml.Kernel.Rbf(0.1), 8)
+    val phys = graft.ml.SparseNystrom.transform(rows, "indices", "values", map, "phi")
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"feature map must be shuffle-free:\n$phys")
+    assert(phys.contains("*("), s"feature map must codegen (no *(n) stage):\n$phys")
+  }
+
+  test("m14 sparse kernels: the fused merge expressions run inside whole-stage codegen") {
+    // range sources with DATA-DEPENDENT arrays: literal arrays get
+    // constant-folded (the expressions correctly evaluate at plan time),
+    // which would hide them from the physical plan
+    val a = spark.range(4).select($"id".as("id_a"),
+      array($"id".cast("int"), lit(2)).as("ia"), array(lit(1.0), lit(2.0)).as("va"))
+    val b = spark.range(4).select($"id".as("id_b"),
+      array(lit(1), $"id".cast("int") + 2).as("ib"), array(lit(3.0), lit(4.0)).as("vb"))
+    val out = a.crossJoin(b).select(
+      graft.ml.Kernel.Linear.sparse($"ia", $"va", $"ib", $"vb").as("d"),
+      graft.ml.Kernel.Rbf(0.1).sparse($"ia", $"va", $"ib", $"vb").as("r"))
+    out.collect() // finalize the AQE plan so codegen stages render
+    val phys = out.queryExecution.executedPlan.toString
+    assert(phys.contains("sparse_dot") && phys.contains("sparse_sq_distance"),
+      s"fused sparse expressions must survive into the physical plan:\n$phys")
+    assert(phys.contains("*("), s"sparse kernels must codegen (no *(n) stage):\n$phys")
+  }
+
+  test("p67 nn-descent refine: candidate expansion joins by key — no cartesian, no nested-loop") {
+    val vecs = (0 until 40).map(i => (i.toLong, Seq.fill(8)((i % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val g = graft.sim.NnDescent.knnGraph(vecs, "vec_id", "embedding", k = 4, rounds = 1)
+    val phys = g.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"),
+      s"refine must never cross-join the corpus:\n$phys")
+    assert(!phys.contains("BroadcastNestedLoopJoin"),
+      s"refine must join edges by key:\n$phys")
+  }
 }
