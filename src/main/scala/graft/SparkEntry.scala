@@ -429,6 +429,7 @@ object SparkEntry {
     "p7b_ann_ivf" -> graft.sim.IvfAnn.oracleSql,
     "p7c_ann_pq" -> graft.sim.PqAnn.oracleSql,
     "p7d_ann_ivfpq" -> graft.sim.IvfPqAnn.oracleSql,
+    "p7_ann_lsh" -> graft.sim.LshAnn.oracleSql,
     // p67: the NN-descent trajectory needs no persisted state at all —
     // md5 init + two unrolled refine rounds replay from the corpus.
     "p67_nn_descent" -> graft.sim.NnDescent.oracleSql,

@@ -75,22 +75,97 @@ object LshAnn {
               round(col("cos"), 6).as("cos_sim"))
   }
 
-  /** p7: approximate top-10 for the first 5 vectors (rows-only — the
-    * LSH bucketing isn't SQL-mirrorable), ANNOTATED with measured recall
-    * vs the exact top-k and failing fast below the floor. The floor is
-    * deliberately modest: this corpus's embeddings are near-random
-    * (cosines ≈ 0), the adversarial regime for sign-LSH — real near-dup
-    * corpora sit far above it (the spec asserts ≈1.0 on planted
-    * neighbors). */
+  /** p7: approximate top-10 for the first 5 vectors, ANNOTATED with
+    * measured recall vs the exact top-k and failing fast below the
+    * floor. Hash-gated since r13 (persisted hyperplanes, full bucket
+    * replay). The floor is deliberately modest: this corpus's
+    * embeddings are near-random (cosines ≈ 0), the adversarial regime
+    * for sign-LSH — real near-dup corpora sit far above it (the spec
+    * asserts ≈1.0 on planted neighbors). */
+  private val persisted = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Persist the p7 hyperplane tensor (once per sf-dir per JVM) so the
+    * oracle can replay the bucketing: the planes are seeded-
+    * deterministic, but a JVM Gaussian stream is not SQL — on disk the
+    * packed-sign keys, the bucket join, and the cosine rank all become
+    * plain arithmetic (the p7b/p7c/p7d persist-and-replay discipline,
+    * closing the last index path that was rows-only). */
+  private def persistPlanes(spark: SparkSession, dir: String,
+                            tables: Seq[Seq[Array[Double]]]): Unit =
+    if (persisted.add(dir)) {
+      val rows = for {
+        (planes, t) <- tables.zipWithIndex
+        (p, j) <- planes.zipWithIndex
+      } yield (t, j, p.toSeq)
+      spark.createDataFrame(rows).toDF("tbl", "plane", "vec")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${graft.ml.ModelOracles.modelRoot(dir)}/p7_planes")
+    }
+
   def query(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
     val q = e.filter($"vec_id" < 5)
+    persistPlanes(spark, dir, hyperplanes(8, 4, 64))
     AnnRecall.annotate(
         annTopK(e, q, "vec_id", "embedding", 10),
         e, q, "vec_id", "embedding", 10,
         minRecall = 0.2, label = "p7_ann_lsh")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** DuckDB replay from the persisted hyperplanes: per-table packed
+    * sign keys (bit j set iff vec·plane_j > 0, STRICT — the engine's
+    * packing), bucket equi-join on (table, key), distinct candidate
+    * pairs, exact cosine rank (p6's proven form), recall annotation. */
+  val oracleSql: String = {
+    val cos =
+      """list_sum(list_transform(list_zip(q.embedding, n.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(n.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+    s"""WITH pl AS (
+         SELECT tbl, plane, vec
+         FROM read_parquet('/tmp/graft_models/sf0.01/p7_planes/*.parquet')),
+       keys AS (
+         SELECT e.vec_id, pl.tbl,
+           sum(CASE WHEN list_sum(list_transform(list_zip(e.embedding, pl.vec),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) > 0
+               THEN (CAST(1 AS BIGINT) << pl.plane) ELSE 0 END) AS key
+         FROM embeddings e CROSS JOIN pl
+         GROUP BY e.vec_id, pl.tbl),
+       cand AS (
+         SELECT DISTINCT qk.vec_id AS query_id, ck.vec_id AS neighbor_id
+         FROM keys qk
+         JOIN keys ck ON ck.tbl = qk.tbl AND ck.key = qk.key
+         WHERE qk.vec_id < 5 AND ck.vec_id <> qk.vec_id),
+       approx AS (
+         SELECT query_id, neighbor_id, rank, round(cs, 6) AS cos_sim FROM (
+           SELECT c.query_id, c.neighbor_id, $cos AS cs,
+             row_number() OVER (PARTITION BY c.query_id ORDER BY $cos DESC, c.neighbor_id) AS rank
+           FROM cand c
+           JOIN embeddings q ON q.vec_id = c.query_id
+           JOIN embeddings n ON n.vec_id = c.neighbor_id) t
+         WHERE rank <= 10),
+       exact AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+           FROM (
+             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cos AS cs
+             FROM embeddings q, embeddings n
+             WHERE q.vec_id < 5 AND q.vec_id <> n.vec_id) t1) t2
+         WHERE rank <= 10),
+       ov AS (
+         SELECT a.query_id, count(*) AS n_overlap
+         FROM approx a JOIN exact e
+           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY a.query_id)
+       SELECT a.query_id, a.neighbor_id, a.rank, a.cos_sim,
+         CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS exact_overlap,
+         CAST(10 AS BIGINT) AS k,
+         round(coalesce(ov.n_overlap, 0) / 10.0, 6) AS recall
+       FROM approx a LEFT JOIN ov ON a.query_id = ov.query_id
+       ORDER BY a.query_id, a.rank"""
   }
 }
 
