@@ -40,6 +40,7 @@ object SparkEntry {
     "q20_user_lag"         -> (Relational.q20UserLag _),
     "q21_approx_distinct"  -> (Relational.q21ApproxDistinct _),
     "q21b_exact_distinct"  -> (Relational.q21bExactDistinct _),
+    "q21c_kmv_distinct"    -> (graft.operators.KmvSketch.query _),
     "q29_approx_percentiles" -> (Relational.q29ApproxPercentiles _),
     "q30_json_props"       -> (Relational.q30JsonProps _),
     "q31_full_outer"       -> (Relational.q31FullOuter _),
@@ -430,6 +431,9 @@ object SparkEntry {
     "p7c_ann_pq" -> graft.sim.PqAnn.oracleSql,
     "p7d_ann_ivfpq" -> graft.sim.IvfPqAnn.oracleSql,
     "p7_ann_lsh" -> graft.sim.LshAnn.oracleSql,
+    // q21c: a DETERMINISTIC distinct sketch (KMV/theta) whose estimate
+    // itself is hash-gated — the auditable twin of q21's HLL++.
+    "q21c_kmv_distinct" -> graft.operators.KmvSketch.oracleSql,
     // p67: the NN-descent trajectory needs no persisted state at all —
     // md5 init + two unrolled refine rounds replay from the corpus.
     "p67_nn_descent" -> graft.sim.NnDescent.oracleSql,
