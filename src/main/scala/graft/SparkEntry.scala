@@ -41,6 +41,7 @@ object SparkEntry {
     "q21_approx_distinct"  -> (Relational.q21ApproxDistinct _),
     "q21b_exact_distinct"  -> (Relational.q21bExactDistinct _),
     "q21c_kmv_distinct"    -> (graft.operators.KmvSketch.query _),
+    "q29c_sample_quantiles" -> (graft.operators.SampleQuantiles.query _),
     "q29_approx_percentiles" -> (Relational.q29ApproxPercentiles _),
     "q30_json_props"       -> (Relational.q30JsonProps _),
     "q31_full_outer"       -> (Relational.q31FullOuter _),
@@ -434,6 +435,9 @@ object SparkEntry {
     // q21c: a DETERMINISTIC distinct sketch (KMV/theta) whose estimate
     // itself is hash-gated — the auditable twin of q21's HLL++.
     "q21c_kmv_distinct" -> graft.operators.KmvSketch.oracleSql,
+    // q29c: bottom-k-by-hash sample quantiles — the deterministic,
+    // mergeable, hash-gated companion to q29's t-digest-class sketch.
+    "q29c_sample_quantiles" -> graft.operators.SampleQuantiles.oracleSql,
     // p67: the NN-descent trajectory needs no persisted state at all —
     // md5 init + two unrolled refine rounds replay from the corpus.
     "p67_nn_descent" -> graft.sim.NnDescent.oracleSql,

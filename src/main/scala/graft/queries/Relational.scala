@@ -388,6 +388,11 @@ object Relational {
     * accumulates a value→count map PER AGGREGATION BUFFER, measured
     * 35× super-linear at 10× rows (see q29's note); here the state per
     * buffer is one row per distinct (group, value). */
+  /** Public handle for other operators (q29c's rank-band gate). */
+  def exactPercentilesOf(df: DataFrame, groupCol: String, valCol: String,
+                         ps: Seq[(Double, String)]): DataFrame =
+    exactPercentiles(df, groupCol, valCol, ps)
+
   private def exactPercentiles(df: DataFrame, groupCol: String, valCol: String,
                                ps: Seq[(Double, String)]): DataFrame = {
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
