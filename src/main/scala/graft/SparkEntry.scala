@@ -63,6 +63,7 @@ object SparkEntry {
     "u11_time_travel"      -> (graft.operators.VersionedTable.query _),
     "p27_weighted_sample"  -> ((s, d) => graft.operators.WeightedSample.query(s, d)),
     "p28_doc_clusters"     -> (graft.pipeline.DocClusters.query _),
+    "p68_cluster_balance"  -> (graft.pipeline.ClusterBalance.query _),
     "p29_lm_quality"       -> (graft.text.LmQuality.query _),
     "p57_kn_trigram"       -> (graft.text.KnTrigramLm.query _),
     "p59_unigram_lm"       -> (graft.text.UnigramLm.query _),
@@ -1207,6 +1208,8 @@ object SparkEntry {
     // oracle replays key = u^(1/w) through a window. (The Spark side
     // computes it with a one-pass bounded custom aggregate, not a sort.)
     "p28_doc_clusters" -> graft.pipeline.DocClusters.oracleSql,
+    // p68: balanced per-cluster sampling replayed from p28's centroids.
+    "p68_cluster_balance" -> graft.pipeline.ClusterBalance.oracleSql,
     "p29_lm_quality" -> graft.text.LmQuality.oracleSql,
     "p57_kn_trigram" -> graft.text.KnTrigramLm.oracleSql,
     // p59: the full unigram-LM EM trajectory replayed as chained CTEs —
