@@ -46,12 +46,25 @@ object SampleQuantiles {
   def query(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
+    // two-level bottom-k: the group key has only ~3 values, so a single
+    // per-group window would funnel the WHOLE table through 3 sort
+    // partitions (20M rows each at the decade). Level 1 takes each
+    // (group, scan-partition)'s local bottom-k — spread over
+    // groups × partitions keys — and the global window then ranks only
+    // ≤ k × partitions survivors per group. Exact: every global
+    // bottom-k row is in its partition's bottom-k (the PqAnn shortlist
+    // lemma).
+    val wLocal = Window.partitionBy($"l_returnflag", $"pid")
+      .orderBy($"h", $"l_orderkey", $"l_linenumber")
     val w = Window.partitionBy($"l_returnflag")
       .orderBy($"h", $"l_orderkey", $"l_linenumber")
     val sampled = li
       .withColumn("h",
         conv(substring(md5(concat_ws(":", $"l_orderkey", $"l_linenumber")), 1, 8),
           16, 10).cast("long"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(wLocal))
+      .filter($"lrn" <= K)
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= K)
       .groupBy($"l_returnflag")
