@@ -102,7 +102,9 @@ object ChangeFeed {
       changesBetween(spark, root, lo, 3)
         .groupBy(col("_commit_version"), col("_change_type"))
         .agg(count(lit(1)).as("n_rows"),
-             round(sum(col("price")), 2).as("sum_price"))
+             // integer-cents sum: association-free at any scale (s13)
+             round(sum(round(col("price") * 100).cast("long")) / 100.0, 2)
+               .as("sum_price"))
         .select(lit(lo).as("range_lo"), col("_commit_version").cast("long"),
                 col("_change_type"), col("n_rows"), col("sum_price"))
     }.reduce(_ unionByName _)
@@ -147,7 +149,7 @@ object ChangeFeed {
        ranges AS (SELECT unnest([0, 1]) AS range_lo)
        SELECT r.range_lo, CAST(c.version AS BIGINT) AS _commit_version,
               c.ct AS _change_type, count(*) AS n_rows,
-              round(sum(c.price), 2) AS sum_price
+              round(sum(CAST(round(c.price * 100) AS BIGINT)) / 100.0, 2) AS sum_price
        FROM chg c JOIN ranges r ON c.version > r.range_lo
        GROUP BY 1, 2, 3
        ORDER BY range_lo, _commit_version, _change_type"""

@@ -207,7 +207,10 @@ object OptimisticCommit {
     // (and the oracle) carry it as STRING
     val out = read(spark, root, "bkt")
       .groupBy(col("bkt").cast("string").as("bkt"))
-      .agg(count(lit(1)).as("n_rows"), round(sum(col("price")), 2).as("sum_price"))
+      .agg(count(lit(1)).as("n_rows"),
+           // integer-cents sum: association-free at any scale (s13)
+           round(sum(round(col("price") * 100).cast("long")) / 100.0, 2)
+             .as("sum_price"))
       .orderBy(col("bkt"))
     ScaleOps.materializeThen(out) { ScaleOps.deleteRecursively(root) }
   }
@@ -226,6 +229,6 @@ object OptimisticCommit {
                 WHEN bkt IN ('2', '3') THEN price + 200.0
                 ELSE price END AS price
          FROM b)
-       SELECT bkt, count(*) AS n_rows, round(sum(price), 2) AS sum_price
+       SELECT bkt, count(*) AS n_rows, round(sum(CAST(round(price * 100) AS BIGINT)) / 100.0, 2) AS sum_price
        FROM resolved GROUP BY bkt ORDER BY bkt"""
 }

@@ -88,7 +88,14 @@ object SnapshotExpiry {
     def aggAsOf(v: Int): DataFrame =
       VersionedTable.readAsOf(spark, root, v)
         .groupBy(col("status"))
-        .agg(count(lit(1)).as("n_keys"), round(sum(col("price")), 2).as("sum_price"))
+        // integer-CENTS money algebra (the s13 decade lesson): a double
+        // sum over millions of rows drifts ~1e-12 relative with the
+        // partial-sum tree, flipping 2dp rounding at 1e11 magnitudes —
+        // the before/after gate then fails on association order, not on
+        // data. Cents sums are exact integers, association-free.
+        .agg(count(lit(1)).as("n_keys"),
+             round(sum(round(col("price") * 100).cast("long")) / 100.0, 2)
+               .as("sum_price"))
         .select(lit(v.toLong).as("as_of_version"), col("status"),
                 col("n_keys"), col("sum_price"))
     val before = (2 to 3).map(aggAsOf).reduce(_ unionByName _)
@@ -139,6 +146,7 @@ object SnapshotExpiry {
            WHERE h.version <= v.v) t
          WHERE rn = 1 AND NOT deleted)
        SELECT CAST(as_of_version AS BIGINT) AS as_of_version, status,
-              count(*) AS n_keys, round(sum(price), 2) AS sum_price
+              count(*) AS n_keys,
+              round(sum(CAST(round(price * 100) AS BIGINT)) / 100.0, 2) AS sum_price
        FROM resolved GROUP BY 1, 2 ORDER BY as_of_version, status"""
 }
