@@ -117,6 +117,7 @@ object SparkEntry {
     "m13_feature_scale"    -> (graft.ml.FeatureScale.m13FeatureScale _),
     "m14_sparse_kernels"   -> (graft.ml.SparseMlQueries.m14SparseKernels _),
     "m15_sparse_svm_eval"  -> (graft.ml.SparseMlQueries.m15SparseSvmEval _),
+    "m16_sparse_icf"       -> (graft.ml.SparseIcfQuery.query _),
     "s6_stream_sliding"    -> (graft.streaming.EventStreams.s6StreamSliding _),
     "p8_lang_id"           -> (TextAnalysis.langId _),
     "p9_quality"           -> (TextAnalysis.quality _),
@@ -1439,6 +1440,9 @@ object SparkEntry {
     // SVM's persisted-model decision replay (the m1 chain, sparse files).
     "m14_sparse_kernels" -> graft.ml.SparseMlQueries.m14OracleSql,
     "m15_sparse_svm_eval" -> graft.ml.SparseMlQueries.m15OracleSql,
+    // m16: sparse ICF — K ~ H.Ht certified from the persisted factor
+    // (the m4 pattern) with the integer-exact sparse kernel as truth.
+    "m16_sparse_icf" -> graft.ml.SparseIcfQuery.oracleSql,
     // m13: svm-scale parity — per-dimension raw range + scaled-space
     // mean derived from one pass of per-dim aggregates.
     "m13_feature_scale" ->

@@ -169,4 +169,42 @@ class SparseMlSpec extends SparkSpec {
     assert(chk.getInt(2) < SparseMlQueries.Dim)
     assert(chk.getInt(3) < 1000, "fixture should stay sparse")
   }
+
+  test("m16: sparse ICF equals dense ICF bit-for-bit and approximates the kernel") {
+    val dim = 48
+    val rows = (0 until 120).map { i =>
+      val idx = (0 until 5).map(k => (i * 7 + k * 11) % dim).distinct.sorted.toArray
+      val v = idx.map(d => (1 + (i + d) % 3).toDouble)
+      (i.toLong, idx.toSeq, v.toSeq, densify(idx, v, dim).toSeq)
+    }
+    val df = rows.toDF("id", "indices", "values", "vec")
+    val k = Kernel.Rbf(0.05)
+    val hs = Icf.factorizeSparse(df, "id", "indices", "values", k, rank = 12)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val hd = Icf.factorize(df, "id", "vec", k, rank = 12)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(hs.keySet == hd.keySet)
+    hs.foreach { case (id, h) =>
+      assert(h.indices.forall(j =>
+        java.lang.Double.doubleToLongBits(h(j)) ==
+        java.lang.Double.doubleToLongBits(hd(id)(j))),
+        s"sparse/dense ICF factor diverged at id $id")
+    }
+    // ICF's structural guarantees (120 near-orthogonal rows at rank 12
+    // cannot approximate everything — that is the spectrum's fault, not
+    // the algorithm's): the 12 PIVOTED rows are captured exactly
+    // (diagonal residual ~0), and the factor strictly beats the
+    // zero-factor baseline on the pair panel
+    val residuals = hs.map { case (_, h) => 1.0 - h.map(x => x * x).sum }
+    assert(residuals.count(_ < 1e-9) >= 12, "pivot rows must be exactly factored")
+    assert(residuals.forall(_ > -1e-9), "residuals must stay non-negative")
+    val (errSum, baseSum) = (for (a <- 0 until 20; b <- a until 20) yield {
+      val (ia, va) = (rows(a)._2.toArray, rows(a)._3.toArray)
+      val (ib, vb) = (rows(b)._2.toArray, rows(b)._3.toArray)
+      val ke = k.sparse(ia, va, ib, vb)
+      val ki = hs(a.toLong).zip(hs(b.toLong)).map { case (x, y) => x * y }.sum
+      (math.abs(ke - ki), math.abs(ke))
+    }).unzip match { case (e, b) => (e.sum, b.sum) }
+    assert(errSum < baseSum, s"factor must beat the zero baseline: $errSum vs $baseSum")
+  }
 }
