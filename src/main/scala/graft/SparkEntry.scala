@@ -109,6 +109,7 @@ object SparkEntry {
     "s11_stream_trending"  -> (graft.streaming.EventStreams.s11StreamTrending _),
     "s12_stream_ann_upsert" -> (graft.streaming.EventStreams.s12StreamAnnUpsert _),
     "s13_stream_change_feed" -> (graft.streaming.ChangeFeedStream.s13StreamChangeFeed _),
+    "s14_stream_kmv"       -> (graft.streaming.EventStreams.s14StreamKmv _),
     "s7_stream_ann_serve"  -> (graft.streaming.EventStreams.s7StreamAnnServe _),
     "m11_platt_probs"      -> (graft.ml.ModelOracles.m11PlattProbs _),
     "m12_cv_grid"          -> ((s, d) => graft.ml.CrossVal.cvGridQuery(s, d)),
@@ -437,6 +438,9 @@ object SparkEntry {
     // q21c: a DETERMINISTIC distinct sketch (KMV/theta) whose estimate
     // itself is hash-gated — the auditable twin of q21's HLL++.
     "q21c_kmv_distinct" -> graft.operators.KmvSketch.oracleSql,
+    // s14: the stream-maintained KMV sketch equals the batch sketch
+    // exactly (merge exactness), so q21c's arithmetic gates it too.
+    "s14_stream_kmv" -> graft.streaming.EventStreams.s14OracleSql,
     // q29c: bottom-k-by-hash sample quantiles — the deterministic,
     // mergeable, hash-gated companion to q29's t-digest-class sketch.
     "q29c_sample_quantiles" -> graft.operators.SampleQuantiles.oracleSql,

@@ -756,4 +756,83 @@ object EventStreams {
            GROUP BY 1, 2) c) r
        WHERE rank <= 3
        ORDER BY window_start, rank"""
+
+  // ---- S14: streaming KMV distinct sketch (mergeable state) ----
+
+  /** s14: the q21c KMV/theta sketch maintained BY THE STREAM — the
+    * mergeability the sketch was chosen for, exercised where it
+    * matters: distinct-user counting over an unbounded event stream
+    * with CONSTANT state (k = 256 longs, vs the corpus-sized key set
+    * s3's exact dedup carries).
+    *
+    * Shape: each micro-batch partition pre-reduces to its local k
+    * smallest hashes (a mapPartitions — so the single stateful group
+    * receives ≤ k rows per partition per batch, never the raw stream),
+    * and one flatMapGroupsWithState folds them into the global
+    * bottom-k. Because KMV merge is exact (bottom-k of a union =
+    * bottom-k of bottom-ks), the stream's final sketch EQUALS the
+    * batch sketch over the same rows — gated in-query, and the same
+    * oracle arithmetic hash-gates the estimate itself (q21c's
+    * discipline over the events table). */
+  def s14StreamKmv(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = graft.operators.KmvSketch.K
+    val hashed = eventStream(spark, dir)
+      .select(conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").as("h")).as[Long]
+    val localMins = hashed.mapPartitions { it =>
+      val set = new java.util.TreeSet[java.lang.Long]()
+      it.foreach { h => set.add(h); if (set.size > k) set.pollLast() }
+      import scala.jdk.CollectionConverters._
+      set.iterator().asScala.map(_.longValue())
+    }
+    val sketch = localMins.groupByKey(_ => 0)
+      .flatMapGroupsWithState[Array[Long], (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[Long], state: GroupState[Array[Long]]) =>
+          val set = new java.util.TreeSet[java.lang.Long]()
+          state.getOption.foreach(_.foreach(set.add(_)))
+          it.foreach { h => set.add(h); if (set.size > k) set.pollLast() }
+          import scala.jdk.CollectionConverters._
+          val arr = set.iterator().asScala.map(_.longValue()).toArray
+          state.update(arr)
+          // emit the batch's current (k_used, kth): monotone — k_used
+          // grows, kth shrinks — so the final sketch is the extremal row
+          Iterator((arr.length.toLong, arr.last))
+      }.toDF("k_used", "kth_hash")
+    val rows = runToMemory(sketch, "update", "s14_stream_kmv")
+      .orderBy(col("k_used").desc, col("kth_hash").asc).limit(1)
+      .collect()
+    require(rows.nonEmpty, "s14: stream emitted no sketch")
+    val (kUsed, kth) = (rows.head.getLong(0), rows.head.getLong(1))
+    val est =
+      if (kUsed < k) kUsed.toDouble
+      else (kUsed - 1).toDouble * 4294967296.0 / kth.toDouble
+    // gate: the streaming sketch must equal the BATCH sketch over the
+    // same rows — KMV merge is exact, so any divergence is a bug
+    val batch = graft.operators.KmvSketch
+      .sketch(graft.Tables.events(spark, dir), "user_id").head()
+    require(kUsed == batch.getAs[Long]("k_used") &&
+            kth == batch.getAs[Long]("kth_hash"),
+      s"s14: streaming sketch ($kUsed, $kth) != batch sketch " +
+      s"(${batch.getAs[Long]("k_used")}, ${batch.getAs[Long]("kth_hash")})")
+    Seq((kUsed, kth, math.floor(est * 1e6).toLong))
+      .toDF("k_used", "kth_hash", "est_micro")
+  }
+
+  /** s14 oracle: q21c's KMV arithmetic over the events table. */
+  val s14OracleSql: String =
+    s"""WITH h AS (
+         SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+         FROM events),
+       km AS (SELECT h FROM h ORDER BY h ASC LIMIT ${graft.operators.KmvSketch.K}),
+       agg AS (SELECT count(*) AS k_used, max(h) AS kth FROM km),
+       est AS (
+         SELECT k_used, kth,
+           CASE WHEN k_used < ${graft.operators.KmvSketch.K} THEN CAST(k_used AS DOUBLE)
+                ELSE (k_used - 1) * 4294967296.0 / kth END AS e
+         FROM agg)
+       SELECT CAST(k_used AS BIGINT) AS k_used, kth AS kth_hash,
+         CAST(floor(e * 1e6) AS BIGINT) AS est_micro
+       FROM est"""
 }
