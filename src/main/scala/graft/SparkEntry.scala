@@ -435,6 +435,9 @@ object SparkEntry {
     "p7c_ann_pq" -> graft.sim.PqAnn.oracleSql,
     "p7d_ann_ivfpq" -> graft.sim.IvfPqAnn.oracleSql,
     "p7_ann_lsh" -> graft.sim.LshAnn.oracleSql,
+    // p5b: the LSH-blocked pair list replayed from persisted planes
+    // (recall gates stay in-query; the pairs are the deterministic part).
+    "p5b_embedding_dedup_lsh" -> graft.dedup.EmbeddingDedup.lshOracleSql,
     // q21c: a DETERMINISTIC distinct sketch (KMV/theta) whose estimate
     // itself is hash-gated — the auditable twin of q21's HLL++.
     "q21c_kmv_distinct" -> graft.operators.KmvSketch.oracleSql,

@@ -135,6 +135,7 @@ object EmbeddingDedup {
     val e = Tables.embeddings(spark, dir)
     val n = e.count()
     val planes = planesForSize(n)
+    persistPlanes(spark, dir, planes)
     val lsh = nearDupPairsLsh(e, "vec_id", "embedding", 0.4,
         planesPerTable = planes, eager = true)
     // The MEASURED-recall gate runs against the exact answer on a
@@ -169,8 +170,63 @@ object EmbeddingDedup {
     val recall = if (nExact == 0) 1.0 else nFound.toDouble / nExact
     require(recall >= 0.6 * expected,
       f"p5b measured recall $recall%.3f < 60%% of banding-predicted $expected%.3f — LSH regressed")
-    lsh.withColumn("recall", lit(math.rint(recall * 1e6) / 1e6))
-      .withColumn("expected_recall", lit(math.rint(expected * 1e6) / 1e6))
-      .orderBy($"id_a", $"id_b")
+    // recall/expected stay IN-QUERY (the xxhash anchor panel and the
+    // acos banding curve are not established cross-engine parity
+    // classes); the pair list itself is fully deterministic from the
+    // persisted hyperplanes, so since r13 THAT is the hash-gated output
+    lsh.orderBy($"id_a", $"id_b")
+  }
+
+  private val persisted = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Persist the p5b hyperplane tensor (once per sf-dir per JVM) —
+    * nearDupPairsLsh regenerates the identical seeded tensor, so the
+    * files and the query's planes are the same doubles by construction
+    * (the p7 discipline). */
+  private def persistPlanes(spark: SparkSession, dir: String, planes: Int): Unit =
+    if (persisted.add(dir)) {
+      val rows = for {
+        (tbl, t) <- graft.sim.LshAnn.hyperplanes(12, planes, 64).zipWithIndex
+        (p, j) <- tbl.zipWithIndex
+      } yield (t, j, p.toSeq)
+      spark.createDataFrame(rows).toDF("tbl", "plane", "vec")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${graft.ml.ModelOracles.modelRoot(dir)}/p5b_planes")
+    }
+
+  /** DuckDB replay from the persisted hyperplanes: packed-sign bucket
+    * keys (p7's form), buckets of size 2..maxBucketSize expand to
+    * distinct candidate pairs (pairsFromBands' cap included), then the
+    * hoisted-norm cosine filter at τ (p5's proven parity form). */
+  val lshOracleSql: String = {
+    val cos =
+      """list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+    s"""WITH pl AS (
+         SELECT tbl, plane, vec
+         FROM read_parquet('/tmp/graft_models/sf0.01/p5b_planes/*.parquet')),
+       keys AS (
+         SELECT e.vec_id, pl.tbl,
+           sum(CASE WHEN list_sum(list_transform(list_zip(e.embedding, pl.vec),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) > 0
+               THEN (CAST(1 AS BIGINT) << pl.plane) ELSE 0 END) AS key
+         FROM embeddings e CROSS JOIN pl
+         GROUP BY e.vec_id, pl.tbl),
+       ok_buckets AS (
+         SELECT tbl, key FROM keys
+         GROUP BY tbl, key HAVING count(*) BETWEEN 2 AND 4096),
+       cand AS (
+         SELECT DISTINCT ka.vec_id AS id_a, kb.vec_id AS id_b
+         FROM ok_buckets ob
+         JOIN keys ka ON ka.tbl = ob.tbl AND ka.key = ob.key
+         JOIN keys kb ON kb.tbl = ob.tbl AND kb.key = ob.key
+         WHERE ka.vec_id < kb.vec_id)
+       SELECT c.id_a, c.id_b, round($cos, 6) AS cos_sim
+       FROM cand c
+       JOIN embeddings a ON a.vec_id = c.id_a
+       JOIN embeddings b ON b.vec_id = c.id_b
+       WHERE $cos >= 0.4
+       ORDER BY c.id_a, c.id_b"""
   }
 }
