@@ -52,6 +52,7 @@ object SparkEntry {
     "q36_corr_stats"       -> (graft.queries.Analytics.q36CorrStats _),
     "q37_gap_fill"         -> (graft.queries.Analytics.q37GapFill _),
     "q39_heavy_hitters"    -> ((s, d) => graft.operators.HeavyHitters.query(s, d)),
+    "q39b_exact_hitters"   -> ((s, d) => graft.operators.HeavyHitters.exactQuery(s, d)),
     "q38_window_dist"      -> (graft.queries.Analytics.q38WindowDistribution _),
     "p21_pii_redaction"    -> (graft.pipeline.CleaningOps.piiRedactionQuery _),
     "p22_repetition"       -> ((s, d) => graft.pipeline.CleaningOps.repetitionQuery(s, d)),
@@ -110,6 +111,7 @@ object SparkEntry {
     "s12_stream_ann_upsert" -> (graft.streaming.EventStreams.s12StreamAnnUpsert _),
     "s13_stream_change_feed" -> (graft.streaming.ChangeFeedStream.s13StreamChangeFeed _),
     "s14_stream_kmv"       -> (graft.streaming.EventStreams.s14StreamKmv _),
+    "s15_stream_metrics"   -> (graft.streaming.StreamMetrics.s15StreamMetrics _),
     "s7_stream_ann_serve"  -> (graft.streaming.EventStreams.s7StreamAnnServe _),
     "m11_platt_probs"      -> (graft.ml.ModelOracles.m11PlattProbs _),
     "m12_cv_grid"          -> ((s, d) => graft.ml.CrossVal.cvGridQuery(s, d)),
@@ -142,6 +144,7 @@ object SparkEntry {
     "p7c_ann_pq"           -> (graft.sim.PqAnn.query _),
     "p7d_ann_ivfpq"        -> (graft.sim.IvfPqAnn.query _),
     "p67_nn_descent"       -> (graft.sim.NnDescent.query _),
+    "p67b_graph_search"    -> (graft.sim.GraphSearch.query _),
     "p16_split"            -> ((s, d) => graft.pipeline.TrainingOps.splitQuery(s, d)),
     "p17_pack"             -> ((s, d) => graft.pipeline.TrainingOps.packQuery(s, d)),
     "p18_contamination"    -> ((s, d) => graft.pipeline.TrainingOps.contaminationQuery(s, d)),
@@ -152,6 +155,7 @@ object SparkEntry {
     "src3_orc_roundtrip"   -> (graft.sources.SourceRoundtrips.orcRoundtrip _),
     "src4_text_roundtrip"  -> (graft.sources.SourceRoundtrips.textRoundtrip _),
     "src5_xml_roundtrip"   -> (graft.sources.SourceRoundtrips.xmlRoundtrip _),
+    "src6_avro_roundtrip"  -> (graft.sources.AvroRoundtrip.query _),
     "q49_variant"          -> (Relational.q49Variant _),
     "q50_rolling_active"   -> (Relational.q50RollingActive _),
     "u6_upsert"            -> (graft.operators.ScaleOps.u6UpsertQuery _),
@@ -444,12 +448,24 @@ object SparkEntry {
     // s14: the stream-maintained KMV sketch equals the batch sketch
     // exactly (merge exactness), so q21c's arithmetic gates it too.
     "s14_stream_kmv" -> graft.streaming.EventStreams.s14OracleSql,
+    // s15: the engine's numRowsDroppedByWatermark counter rides in the
+    // output and the oracle recomputes the planted late cohort — a
+    // lying counter hash-mismatches (u15's telemetry ≡ reality).
+    "s15_stream_metrics" -> graft.streaming.StreamMetrics.oracleSql,
     // q29c: bottom-k-by-hash sample quantiles — the deterministic,
     // mergeable, hash-gated companion to q29's t-digest-class sketch.
     "q29c_sample_quantiles" -> graft.operators.SampleQuantiles.oracleSql,
+    // q39b: exact heavy hitters over q39's guarantee threshold — the
+    // hash-gated twin that closes the self-val set (q21→q21c, q29→q29c,
+    // q39→q39b; only the engine-private sketch states stay rows-only).
+    "q39b_exact_hitters" -> graft.operators.HeavyHitters.exactOracleSql(),
     // p67: the NN-descent trajectory needs no persisted state at all —
     // md5 init + two unrolled refine rounds replay from the corpus.
     "p67_nn_descent" -> graft.sim.NnDescent.oracleSql,
+    // p67b: greedy best-first serving over the PERSISTED p67 graph —
+    // entry seeding, every hop's beam cut, and the final ranking all
+    // replay from the edge list on disk (persist-and-replay).
+    "p67b_graph_search" -> graft.sim.GraphSearch.oracleSql,
     "p2_minhash_pairs" -> graft.dedup.MinHashDedup.oracleSql,
     // p2b: the banding tuner's integrals + argmin replayed bit-exactly
     "p2b_lsh_tuning" -> graft.dedup.LshTuning.oracleSql,
@@ -1600,6 +1616,9 @@ object SparkEntry {
     "src3_orc_roundtrip" -> ordersSummarySql,
     // src5: XML roundtrip (Spark 4 built-in source); same summary oracle
     "src5_xml_roundtrip" -> ordersSummarySql,
+    // src6: Avro container roundtrip (hand-rolled on avro-core — the
+    // spark-avro module is absent from this classpath); same oracle
+    "src6_avro_roundtrip" -> ordersSummarySql,
     "q50_rolling_active" ->
       """WITH ud AS (
            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

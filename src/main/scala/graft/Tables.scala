@@ -72,11 +72,38 @@ object Tables {
     "documents"  -> Seq("doc_id", "text", "lang", "source"),
     "embeddings" -> Seq("vec_id", "embedding", "label"))
 
+  /** KEY-UNIQUENESS CONTRACT — which candidate keys an operator may
+    * treat as row identity (hash for a sample/split/dedup/tie-break,
+    * assume one payload per key). Verified by [[contractCheck]] at
+    * every Verify/Bench startup.
+    *
+    * lineitem is deliberately ABSENT: (l_orderkey, l_linenumber) is
+    * NOT unique in the driver testdata (~24% duplicated pairs at every
+    * sf — 11,785 extra rows at sf0.01 — with DIFFERENT payloads). The
+    * r13 q29c flake came from tie-breaking on that pair as if it were
+    * a primary key: the winning twin was scan-order luck, and the
+    * sealed hash flipped between engines. Any operator that needs a
+    * total order over lineitem rows must content-address the PAYLOAD
+    * it reads (see SampleQuantiles.sampleOf), never assume the pair. */
+  val uniqueKeys: Map[String, Seq[String]] = Map(
+    "region"     -> Seq("r_regionkey"),
+    "nation"     -> Seq("n_nationkey"),
+    "customer"   -> Seq("c_custkey"),
+    "supplier"   -> Seq("s_suppkey"),
+    "part"       -> Seq("p_partkey"),
+    "orders"     -> Seq("o_orderkey"),
+    "events"     -> Seq("event_id"),
+    "documents"  -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
   /** Data-contract smoke check: load every table through its real loader,
     * verify the columns the query pack depends on are present, the
-    * normalized `ts` is a timestamp, and each table has rows. One loud
-    * startup failure instead of 25 queries dying individually mid-suite
-    * (the r05 regression mode: a silently-changed on-disk encoding). */
+    * normalized `ts` is a timestamp, each table has rows, and every
+    * [[uniqueKeys]] claim holds on THIS dataset. One loud startup
+    * failure instead of 25 queries dying individually mid-suite
+    * (the r05 regression mode: a silently-changed on-disk encoding;
+    * the r13 q29c mode: an operator trusting a key that stopped being
+    * unique). */
   def contractCheck(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.types._
     val problems = scala.collection.mutable.ArrayBuffer[String]()
@@ -92,6 +119,15 @@ object Tables {
           case other => problems += s"events.ts normalized to $other, expected timestamp"
         }
         if (df.limit(1).count() != 1L) problems += s"$t: empty table"
+        else uniqueKeys.get(t).filter(_.forall(have)).foreach { key =>
+          import org.apache.spark.sql.functions.{count_distinct, lit, struct, count => cnt}
+          val r = df.agg(cnt(lit(1)).as("n"),
+                         count_distinct(struct(key.map(df(_)): _*)).as("d")).head()
+          if (r.getLong(0) != r.getLong(1))
+            problems += s"$t: key (${key.mkString(",")}) claimed unique but has " +
+              s"${r.getLong(0) - r.getLong(1)} duplicate rows — operators hashing this " +
+              "key as row identity are now nondeterministic"
+        }
       } catch { case e: Throwable =>
         problems += s"$t: load failed: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
       }

@@ -250,11 +250,16 @@ object SparseOps {
     s
   }
 
-  /** Dense → sparse (spec/fixture helper): keep non-zero dims in order. */
+  /** Dense → sparse (spec/fixture helper): keep non-zero dims in order.
+    * Empty-input guard: sequence(0, -1) evaluates DESCENDING to [0, -1]
+    * in Spark, and the filter lambda would then element_at an invalid
+    * index — a zero-length vector must short-circuit to empty arrays. */
   def fromDense(vec: Column): (Column, Column) = {
     import org.apache.spark.sql.functions._
-    val idx = filter(sequence(lit(0), size(vec) - 1),
-      i => element_at(vec, i + 1) =!= 0.0)
+    val idx = when(size(vec) === 0,
+        lit(Array.empty[Int]).cast(ArrayType(IntegerType, containsNull = false)))
+      .otherwise(filter(sequence(lit(0), size(vec) - 1),
+        i => element_at(vec, i + 1) =!= 0.0))
     (idx.cast(ArrayType(IntegerType, containsNull = false)),
      transform(idx, i => element_at(vec, i + 1)))
   }

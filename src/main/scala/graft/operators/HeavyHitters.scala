@@ -89,4 +89,40 @@ object HeavyHitters {
       java.util.Arrays.asList(out: _*),
       est.join(exact, "key").withColumn("max_undercount", lit(bound)).schema)
   }
+
+  /** q39b: the EXACT heavy-hitters twin (the q21b/q29c close-out
+    * pattern — every approximate operator ships a hash-gated exact
+    * companion): all keys with frequency above the same n/(k+1)
+    * threshold q39's Misra–Gries guarantees to surface, computed
+    * exactly. One keyed agg; the total n is re-derived from the
+    * key-cardinality-sized counts table (a second tiny agg + 1-row
+    * broadcast), NOT a second scan of the data. Integer `div` keeps the
+    * threshold engine-exact. */
+  def exactQuery(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val keys = graft.Tables.lineitem(spark, dir)
+      .select(when($"l_orderkey" % 3 === 0, 0L).otherwise($"l_partkey").as("key"))
+    val counts = keys.groupBy($"key").agg(count(lit(1)).as("exact_count"))
+    val tot = counts.agg(sum($"exact_count").as("n"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("threshold", expr(s"n div ${k + 1}"))
+      .filter($"exact_count" > $"threshold")
+      .select($"key", $"exact_count", $"threshold")
+      .orderBy($"exact_count".desc, $"key")
+  }
+
+  /** DuckDB replay of q39b: same keyed counts, same integer-division
+    * threshold, same ordering. */
+  def exactOracleSql(k: Int = 8): String =
+    s"""WITH keys AS (
+         SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0
+                     ELSE l_partkey END AS key
+         FROM lineitem),
+       c AS (SELECT key, count(*) AS exact_count FROM keys GROUP BY key),
+       t AS (SELECT CAST(sum(exact_count) AS BIGINT) AS n FROM c)
+       SELECT c.key, CAST(c.exact_count AS BIGINT) AS exact_count,
+              CAST(t.n // ${k + 1} AS BIGINT) AS threshold
+       FROM c, t
+       WHERE c.exact_count > t.n // ${k + 1}
+       ORDER BY exact_count DESC, key"""
 }

@@ -19,13 +19,22 @@ import graft.Tables
   * wants from a sketch: (a) exact cross-engine auditability — the
   * driver hash-gates the ESTIMATE itself, not just a bound; (b)
   * trivially mergeable — union of per-partition k-minimum sets, then
-  * re-take the k smallest (what the TakeOrdered below does in one
-  * distributed pass), so 100 TB of partial sketches combine loss-free.
+  * re-take the k smallest, so 100 TB of partial sketches combine
+  * loss-free.
   *
-  * Scale shape: one narrow hash projection + a distributed
-  * top-k-ascending (TakeOrdered — combiner-style per partition, k
-  * values to the driver). No shuffle of the value set at all; contrast
-  * q21b's exact countDistinct, which shuffles every distinct value.
+  * Scale shape, production path (`audit = false`): ONE narrow pass —
+  * each scan partition folds its rows into a bounded k-element distinct
+  * min-set (a capped TreeSet: O(k) memory, no distinct(), no sort), and
+  * the ≤ k-longs-per-partition partials treeReduce to the driver. Zero
+  * shuffle of the value set, zero shuffle at all.
+  *
+  * The driver query (q21c) deliberately runs the AUDITED twin
+  * (`audit = true`): it ALSO computes the exact distinct count — paying
+  * the same distinct shuffle as q21b — to hash-gate the sketch's error
+  * against ground truth every round. That audit is the correctness
+  * harness, not the operator: a production pipeline runs the
+  * `audit = false` path and drops the exact_parts / rel_err columns,
+  * keeping only the one narrow pass.
   *
   * The md5-high-32 hash is the repo's proven cross-engine parity class
   * (the m12b/u21 bucket idiom); the estimate arithmetic is one double
@@ -35,28 +44,66 @@ object KmvSketch {
 
   val K = 256
 
-  /** (k_used, kth_hash, est_micro, exact, rel_err_micro) for the
-    * distinct values of `valueCol` — one row, hash-gated end-to-end. */
-  def sketch(df: DataFrame, valueCol: String, k: Int = K): DataFrame = {
+  /** One partition's k smallest DISTINCT hashes, ascending. Bounded
+    * O(k) state: insert iff below the current k-th minimum (TreeSet
+    * dedups), evict the largest on overflow. */
+  private[operators] def kminPartition(it: Iterator[Long], k: Int): Array[Long] = {
+    val s = new java.util.TreeSet[java.lang.Long]()
+    it.foreach { h =>
+      if (s.size < k) s.add(h)
+      else if (h < s.last) { if (s.add(h)) s.pollLast() }
+    }
+    val out = new Array[Long](s.size)
+    var i = 0
+    val iter = s.iterator()
+    while (iter.hasNext) { out(i) = iter.next().longValue; i += 1 }
+    out
+  }
+
+  /** Loss-free KMV merge: union two ascending distinct k-sets, re-take
+    * the k smallest (two-pointer merge, dedup on equality). */
+  private[operators] def mergeKmin(a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
+    val out = new Array[Long](math.min(k, a.length + b.length))
+    var i = 0; var j = 0; var n = 0
+    while (n < k && (i < a.length || j < b.length)) {
+      val v =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+        else { val x = b(j); j += 1; x }
+      if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** (k_used, kth_hash, est_micro[, exact, rel_err_micro]) for the
+    * distinct values of `valueCol`. `audit = true` adds the exact
+    * distinct count + 4σ fail-fast gate (costs a distinct shuffle —
+    * harness-only; see header). */
+  def sketch(df: DataFrame, valueCol: String, k: Int = K,
+             audit: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // uniform 32-bit hash of the value — distinct-safe (same value →
     // same hash) and cross-engine exact (md5 hex prefix)
     val hashed = df.select(
-        conv(substring(md5(col(valueCol).cast("string")), 1, 8), 16, 10)
-          .cast("long").as("h"))
-      .distinct()
-    val kmin = hashed.orderBy($"h".asc).limit(k)
-    val exact = hashed.count()
-    val rows = kmin.collect().map(_.getLong(0))
+      conv(substring(md5(col(valueCol).cast("string")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+    // the one narrow pass: bounded per-partition distinct bottom-k,
+    // k-longs-per-partition partials merged on the tree
+    val rows = hashed.rdd.map(_.getLong(0))
+      .mapPartitions(it => Iterator(kminPartition(it, k)))
+      .treeReduce((x, y) => mergeKmin(x, y, k))
     val kUsed = rows.length
     require(kUsed > 1, s"KMV needs at least 2 distinct values, got $kUsed")
-    val kth = rows.max // limit k ascending → max of the kept set = U_(k)
+    val kth = rows.last // ascending → last of the kept set = U_(k)
     // estimate: (k-1) / (kth / 2^32); if the corpus has fewer than k
     // distinct values the sketch IS the exact set
     val est =
       if (kUsed < k) kUsed.toDouble
       else (kUsed - 1).toDouble * 4294967296.0 / kth.toDouble
+    if (!audit)
+      return Seq((kUsed.toLong, kth, math.floor(est * 1e6).toLong))
+        .toDF("k_used", "kth_hash", "est_micro")
+    val exact = hashed.distinct().count()
     val relErr = math.abs(est - exact) / exact.toDouble
     // fail-fast quality bound: KMV rel. std. error is ~1/sqrt(k-2)
     // (≈ 0.063 at k=256); 4σ is a structural-breakage tripwire
@@ -67,7 +114,8 @@ object KmvSketch {
       .toDF("k_used", "kth_hash", "est_micro", "exact_parts", "rel_err_micro")
   }
 
-  /** q21c: the KMV sketch over lineitem's part keys (q21's domain). */
+  /** q21c: the audited KMV sketch over lineitem's part keys (q21's
+    * domain) — estimate AND ground-truth error, both hash-gated. */
   def query(spark: SparkSession, dir: String): DataFrame =
     sketch(Tables.lineitem(spark, dir), "l_partkey")
 

@@ -33,8 +33,9 @@ import java.nio.file.{Files, Paths}
   *   3. readers resolve a snapshot from the commit log alone: per
   *      partition, the highest claimed version wins (partition-
   *      overwrite semantics). A writer that crashes before its claim
-  *      is invisible — its staged UUID dir is unreferenced garbage
-  *      (vacuumed out-of-band, the u22 job's concern, not a reader's).
+  *      is invisible — its staged UUID dir (and a claim temp file, if
+  *      the crash hit the CAS window) is unreferenced garbage, swept
+  *      out-of-band by `vacuum` below — never a reader's concern.
   *
   * A claim whose manifest is unreadable (no header — legacy or
   * corrupt) is treated as a CONFLICT by writers and a loud failure by
@@ -166,6 +167,38 @@ object OptimisticCommit {
   }
 
   /** Snapshot read: per partition the highest committed version wins. */
+  /** Out-of-band GC of the two orphan classes a crashed writer leaves:
+    * (a) staged UUID data dirs no claim references (crash before the
+    * CAS), and (b) stale `.vN-*.tmp` claim-manifest temp files in
+    * `_commits/` (crash between createTempFile and the cleanup
+    * `finally`) — harmless to version resolution (readers filter on the
+    * `v` prefix) but disk leaks forever without this sweep.
+    * `olderThanMs` is the in-flight-writer grace window: a writer that
+    * is staging RIGHT NOW has no claim yet and would be swept, so
+    * production runs pass a window ≫ the longest stage+commit time
+    * (the Delta VACUUM retention idea). Returns (orphan dirs, tmp
+    * files) deleted. */
+  def vacuum(root: String, olderThanMs: Long = 0L): (Int, Int) = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def stale(p: java.nio.file.Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis <= cutoff
+      catch { case _: java.io.IOException => false } // raced away = done
+    def ls(dir: java.nio.file.Path): List[java.nio.file.Path] =
+      if (!Files.isDirectory(dir)) Nil
+      else { val s = Files.list(dir); try s.iterator().asScala.toList finally s.close() }
+    val referenced = (1 to currentVersion(root))
+      .flatMap(v => manifestOf(root, v)).map(_.dataDir)
+      .map(d => Paths.get(d).toAbsolutePath.normalize.toString).toSet
+    val tmps = ls(Paths.get(commitsDir(root)))
+      .filter(p => p.getFileName.toString.startsWith(".") &&
+                   p.getFileName.toString.endsWith(".tmp") && stale(p))
+    tmps.foreach(Files.deleteIfExists(_))
+    val orphans = ls(Paths.get(root, "data"))
+      .filter(p => !referenced.contains(p.toAbsolutePath.normalize.toString) && stale(p))
+    orphans.foreach(p => ScaleOps.deleteRecursively(p.toString))
+    (orphans.size, tmps.size)
+  }
+
   def read(spark: SparkSession, root: String, partCol: String): DataFrame = {
     val cur = currentVersion(root)
     val byPart = scala.collection.mutable.Map[String, (Int, String)]()

@@ -38,14 +38,20 @@ object SampleQuantiles {
     val f = pos - lo
     val vLo = element_at(vals, lo.cast("int") + 1)
     val vHi = coalesce(element_at(vals, lo.cast("int") + 2), vLo)
-    round(vLo * (lit(1.0) - f) + vHi * f, 2)
+    // 2dp via floor(x*100 + 0.5)/100, NOT round(x, 2): at n=512 the p50
+    // position has f=0.5, the midpoint of two cent values lands on an
+    // exact half-cent, and Spark's round (decimal-string HALF_UP) and
+    // DuckDB's (binary) disagree by a penny on that boundary. floor is
+    // pure binary arithmetic — identical expression shape → identical
+    // double bits → identical result on both engines, boundary or not.
+    floor((vLo * (lit(1.0) - f) + vHi * f) * 100 + lit(0.5)) / 100.0
   }
 
-  /** q29c: per-return-flag hash-sample quantiles of extended price,
-    * hash-gated; fail-fast rank-band gate vs the exact percentiles. */
-  def query(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val li = Tables.lineitem(spark, dir)
+  /** The sampling core, factored out so the spec can drive it over a
+    * planted-duplicate-key fixture: per-return-flag bottom-k-by-hash
+    * sample of extended price → interpolated p50/p95. */
+  private[graft] def sampleOf(li: DataFrame): DataFrame = {
+    import li.sparkSession.implicits._
     // two-level bottom-k: the group key has only ~3 values, so a single
     // per-group window would funnel the WHOLE table through 3 sort
     // partitions (20M rows each at the decade). Level 1 takes each
@@ -54,13 +60,27 @@ object SampleQuantiles {
     // ≤ k × partitions survivors per group. Exact: every global
     // bottom-k row is in its partition's bottom-k (the PqAnn shortlist
     // lemma).
+    // The order key MUST be total over the row MULTISET, not an assumed
+    // primary key: (l_orderkey, l_linenumber) is NOT unique in the
+    // driver testdata (11,785 duplicate pairs at sf0.01 — two physical
+    // rows share (5325, 6) with DIFFERENT prices straddling the k=512
+    // boundary of the N group). Hashing only the pair made the winner
+    // scan-order-arbitrary and flipped sp95 between engines/runs.
+    // Fix: content-address the full projected row — price rides in the
+    // hash AND the tie-break as exact integer CENTS (a double rendered
+    // to string is engine-formatting-dependent; round(x*100) cast to
+    // long is the same integer everywhere). Rows identical in
+    // (ok, ln, cents) are interchangeable for the sample (the output
+    // reads only the price), so the sample multiset is deterministic
+    // even under full-row duplication.
     val wLocal = Window.partitionBy($"l_returnflag", $"pid")
-      .orderBy($"h", $"l_orderkey", $"l_linenumber")
+      .orderBy($"h", $"l_orderkey", $"l_linenumber", $"cents")
     val w = Window.partitionBy($"l_returnflag")
-      .orderBy($"h", $"l_orderkey", $"l_linenumber")
+      .orderBy($"h", $"l_orderkey", $"l_linenumber", $"cents")
     val sampled = li
+      .withColumn("cents", round($"l_extendedprice" * 100).cast("long"))
       .withColumn("h",
-        conv(substring(md5(concat_ws(":", $"l_orderkey", $"l_linenumber")), 1, 8),
+        conv(substring(md5(concat_ws(":", $"l_orderkey", $"l_linenumber", $"cents")), 1, 8),
           16, 10).cast("long"))
       .withColumn("pid", spark_partition_id())
       .withColumn("lrn", row_number().over(wLocal))
@@ -75,6 +95,15 @@ object SampleQuantiles {
         interp($"vals", size($"vals"), 0.95).as("sp95_price"))
       .orderBy($"l_returnflag")
       .localCheckpoint(true)
+    sampled
+  }
+
+  /** q29c: per-return-flag hash-sample quantiles of extended price,
+    * hash-gated; fail-fast rank-band gate vs the exact percentiles. */
+  def query(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val sampled = sampleOf(li)
     // >4σ rank-band gate: the sampled p50 must land between the exact
     // p40 and p60 values, the sampled p95 between p90 and p99
     val bands = graft.queries.Relational.exactPercentilesOf(li,
@@ -90,15 +119,20 @@ object SampleQuantiles {
   }
 
   /** DuckDB replay: same content-addressed bottom-k sample (QUALIFY
-    * over the md5 order), same sorted-list interpolation arithmetic. */
+    * over the md5 order), same sorted-list interpolation arithmetic.
+    * The hash and tie-break include the price as integer cents — see
+    * the totality note in `sampleOf` (an assumed-unique (ok, ln) key
+    * made the old sample scan-order-arbitrary on duplicated pairs). */
   val oracleSql: String =
     s"""WITH s AS (
          SELECT l_returnflag, l_extendedprice FROM (
            SELECT l_returnflag, l_extendedprice,
              row_number() OVER (PARTITION BY l_returnflag ORDER BY
                CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
-                 CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT),
-               l_orderkey, l_linenumber) AS rn
+                 CAST(l_linenumber AS VARCHAR) || ':' ||
+                 CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)), 1, 8)) AS BIGINT),
+               l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT)) AS rn
            FROM lineitem) t WHERE rn <= $K),
        g AS (
          SELECT l_returnflag, list_sort(list(l_extendedprice)) AS vals
@@ -109,13 +143,13 @@ object SampleQuantiles {
            CAST(len(vals) - 1 AS DOUBLE) * 0.95 AS pos95
          FROM g)
        SELECT l_returnflag, CAST(n AS BIGINT) AS n_sample,
-         round(vals[CAST(floor(pos50) AS INT) + 1] * (1.0 - (pos50 - floor(pos50)))
+         floor((vals[CAST(floor(pos50) AS INT) + 1] * (1.0 - (pos50 - floor(pos50)))
            + coalesce(vals[CAST(floor(pos50) AS INT) + 2],
-                      vals[CAST(floor(pos50) AS INT) + 1]) * (pos50 - floor(pos50)), 2)
+                      vals[CAST(floor(pos50) AS INT) + 1]) * (pos50 - floor(pos50))) * 100 + 0.5) / 100.0
            AS sp50_price,
-         round(vals[CAST(floor(pos95) AS INT) + 1] * (1.0 - (pos95 - floor(pos95)))
+         floor((vals[CAST(floor(pos95) AS INT) + 1] * (1.0 - (pos95 - floor(pos95)))
            + coalesce(vals[CAST(floor(pos95) AS INT) + 2],
-                      vals[CAST(floor(pos95) AS INT) + 1]) * (pos95 - floor(pos95)), 2)
+                      vals[CAST(floor(pos95) AS INT) + 1]) * (pos95 - floor(pos95))) * 100 + 0.5) / 100.0
            AS sp95_price
        FROM q ORDER BY l_returnflag"""
 }

@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   * clustered by its embeddings, downsample every cluster to the SAME
   * size (the minimum cluster's population), picking each cluster's
   * keepers by content-addressed hash order — deterministic across
-  * engines, retries, and partitionings, and stable under corpus
-  * append (a new document can displace at most one keeper per
-  * cluster).
+  * engines, retries, and partitionings. At a FIXED quota the cut is
+  * per-cluster hash-order stable (an appended document displaces at
+  * most the one keeper it out-hashes in its own cluster); note the
+  * quota itself is the min cluster population, so an append that grows
+  * the smallest cluster RAISES the quota and legitimately admits one
+  * more keeper to every cluster — quota movement is a mixture-policy
+  * change, not sample churn.
   *
   * Spark shape: cluster assignment is p28's narrow
   * nearest-persisted-centroid map (zero extra fit — the SAME persisted

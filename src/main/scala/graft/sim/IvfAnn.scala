@@ -102,7 +102,8 @@ object IvfAnn {
     * end-to-end instead of rows-only. */
   private[graft] def centroidsFor(spark: SparkSession, dir: String,
                                   nlist: Int): Array[Array[Double]] =
-    fitted.computeIfAbsent(dir, _ => {
+    // memo key carries nlist — a different-parameter caller gets its own fit
+    fitted.computeIfAbsent(s"$dir#$nlist", _ => {
       val cs = fitCentroids(Tables.embeddings(spark, dir), "embedding", nlist)
       val rows = cs.zipWithIndex.map { case (c, i) => (i, c) }
       spark.createDataFrame(rows.toSeq).toDF("cluster_id", "centroid")

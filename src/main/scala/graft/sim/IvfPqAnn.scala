@@ -133,7 +133,10 @@ object IvfPqAnn {
   private[graft] def indexFor(spark: SparkSession, dir: String,
                               nlist: Int, m: Int, kCode: Int)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) =
-    fitted.computeIfAbsent(dir, _ => {
+    // memo key carries the fit params (the ModelOracles dir+"#auto"
+    // pattern): a second caller with different nlist/m/kCode must get
+    // its own fit, not the first caller's centroids/codebooks
+    fitted.computeIfAbsent(s"$dir#$nlist:$m:$kCode", _ => {
       val e = Tables.embeddings(spark, dir)
       val centroids = IvfAnn.fitCentroids(e, "embedding", nlist)
       spark.createDataFrame(

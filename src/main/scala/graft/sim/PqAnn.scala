@@ -243,7 +243,8 @@ object PqAnn {
     * replays bit-exactly, so the p7c row is hash-gated end-to-end. */
   private[graft] def codebooksFor(spark: SparkSession, dir: String,
                                   m: Int, kCode: Int): Array[Array[Array[Double]]] =
-    fitted.computeIfAbsent(dir, _ => {
+    // memo key carries m/kCode — a different-parameter caller gets its own fit
+    fitted.computeIfAbsent(s"$dir#$m:$kCode", _ => {
       val cbs = fitCodebooks(Tables.embeddings(spark, dir), "embedding", m, kCode)
       val rows = for {
         (cws, s) <- cbs.zipWithIndex.toSeq

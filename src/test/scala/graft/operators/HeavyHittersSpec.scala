@@ -4,6 +4,22 @@ import graft.SparkSpec
 
 class HeavyHittersSpec extends SparkSpec {
 
+  test("q39b: exact twin surfaces exactly the above-threshold keys, and every q39 guarantee target is in it") {
+    import spark.implicits._
+    val rows = HeavyHitters.exactQuery(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty, "the planted hot key must clear n/9")
+    // threshold semantics: every emitted row is strictly above, and the
+    // planted key 0 (a third of the mass) is present and dominant
+    rows.foreach(r => assert(r.getAs[Long]("exact_count") > r.getAs[Long]("threshold")))
+    assert(rows.head.getAs[Long]("key") == 0L, "hot key must rank first")
+    // cross-operator consistency: q39's sketch must have surfaced every
+    // key the exact twin proves frequent (the Misra–Gries guarantee)
+    val sketchKeys = HeavyHitters.query(spark, "/root/testdata/sf0.001")
+      .select($"key").as[Long].collect().toSet
+    rows.foreach(r => assert(sketchKeys.contains(r.getAs[Long]("key")),
+      s"frequent key ${r.getAs[Long]("key")} missing from the q39 sketch"))
+  }
+
   test("misra-gries keeps guaranteed-frequent items across merges") {
     // 10k rows: key 1 has 40%, key 2 has 20%, the rest spread thin —
     // both heavies sit above the n/(k+1) threshold for k=5

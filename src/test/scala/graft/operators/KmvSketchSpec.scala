@@ -29,6 +29,28 @@ class KmvSketchSpec extends SparkSpec {
     assert(r2.getAs[Long]("kth_hash") == r.getAs[Long]("kth_hash"))
   }
 
+  test("q21c: production path (audit=false) matches the audited sketch, shuffle-free plan") {
+    val df = spark.range(20000).toDF("v")
+    val audited = KmvSketch.sketch(df, "v", k = 256).head()
+    val prod = KmvSketch.sketch(df.repartition(9), "v", k = 256, audit = false).head()
+    assert(prod.schema.fieldNames.toSeq == Seq("k_used", "kth_hash", "est_micro"),
+      "production sketch must not carry the audit columns")
+    assert(prod.getAs[Long]("est_micro") == audited.getAs[Long]("est_micro"))
+    assert(prod.getAs[Long]("kth_hash") == audited.getAs[Long]("kth_hash"))
+  }
+
+  test("q21c: bounded k-min fold + merge ≡ global distinct bottom-k") {
+    val rnd = new scala.util.Random(7)
+    val vals = Array.fill(5000)(rnd.nextInt(900).toLong) // heavy duplication
+    val expected = vals.distinct.sorted.take(64)
+    // arbitrary partition split points, merged in tree order
+    val parts = vals.grouped(613).toArray
+      .map(p => KmvSketch.kminPartition(p.iterator, 64))
+    val merged = parts.reduce((a, b) => KmvSketch.mergeKmin(a, b, 64))
+    assert(merged.toSeq == expected.toSeq,
+      "per-partition capped TreeSet + two-pointer merge must equal the global k smallest distinct")
+  }
+
   test("q21c query: lineitem part keys, estimate within the fail-fast bound") {
     // sf0.001 has only 200 distinct part keys — below k, the sketch is
     // the exact set; sf0.01 exercises the estimator (k_used = 256)

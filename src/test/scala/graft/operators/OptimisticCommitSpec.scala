@@ -57,6 +57,33 @@ class OptimisticCommitSpec extends SparkSpec {
     } finally ScaleOps.deleteRecursively(root)
   }
 
+  test("u21: vacuum sweeps crashed writers' staged dirs and claim temp files, spares live state and in-grace writers") {
+    val root = java.nio.file.Files.createTempDirectory("occ_vac").toString
+    try {
+      OptimisticCommit.commit(df((1L, 1.0, "p0")), root, "bkt", 0)
+      OptimisticCommit.commit(df((2L, 2.0, "p1")), root, "bkt", 1)
+      // crash class (a): staged data, no claim
+      df((1L, 99.0, "p0")).write.partitionBy("bkt").mode("overwrite")
+        .parquet(s"$root/data/${java.util.UUID.randomUUID()}")
+      // crash class (b): claim temp file left in the CAS window
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "_commits", ".v9-dead.tmp"),
+        "half-written".getBytes("UTF-8"))
+      val before = OptimisticCommit.read(spark, root, "bkt")
+        .select($"k", $"price").as[(Long, Double)].collect().toSet
+      // a huge grace window spares everything (the in-flight-writer case)
+      assert(OptimisticCommit.vacuum(root, olderThanMs = 3600_000L) == ((0, 0)))
+      val (dirs, tmps) = OptimisticCommit.vacuum(root)
+      assert(dirs == 1 && tmps == 1, s"swept ($dirs, $tmps), expected (1, 1)")
+      val after = OptimisticCommit.read(spark, root, "bkt")
+        .select($"k", $"price").as[(Long, Double)].collect().toSet
+      assert(after == before, "vacuum must not change the resolved table")
+      // idempotent: nothing left to sweep, committed data dirs survive
+      assert(OptimisticCommit.vacuum(root) == ((0, 0)))
+      assert(OptimisticCommit.currentVersion(root) == 2)
+    } finally ScaleOps.deleteRecursively(root)
+  }
+
   test("u21: the claim manifest is atomic with the claim — touched partitions are visible the instant the version exists") {
     val root = java.nio.file.Files.createTempDirectory("occ_spec4").toString
     try {
