@@ -171,4 +171,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!phys.contains("BroadcastNestedLoopJoin"),
       s"refine must join edges by key:\n$phys")
   }
+
+  test("p67b hop: the beam is broadcast onto the edge list — the edges never shuffle") {
+    val edges = (0L until 60L).map(i => (i, (i + 1) % 60)).toDF("src", "nbr")
+    val beam = Seq((1L, 2L), (1L, 3L), (2L, 7L)).toDF("qid", "node")
+    val visited = Seq((1L, 2L)).toDF("qid", "node")
+    // assert on the PRODUCTION hop frame (GraphSearch.hopFrontier — the
+    // method the walk loop runs), per the q52 discipline
+    val phys = graft.sim.GraphSearch.hopFrontier(edges, beam, visited)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"the beam side must broadcast to the edge join:\n$phys")
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"hop expansion must stay an equi-join:\n$phys")
+  }
+
+  test("q39b exact hitters: keyed counts combine map-side; the total joins as a 1-row broadcast") {
+    val out = HeavyHitters.exactQuery(spark, dir)
+    val phys = out.queryExecution.executedPlan.toString
+    assert(phys.contains("partial_count") || phys.contains("partial count"),
+      s"the keyed count must carry map-side partial aggregation:\n$phys")
+    assert(phys.contains("Broadcast"),
+      s"the 1-row total must reach the counts via broadcast, never a shuffle:\n$phys")
+    assert(!phys.contains("CartesianProduct"),
+      s"the total join must not plan as a cartesian:\n$phys")
+  }
 }
