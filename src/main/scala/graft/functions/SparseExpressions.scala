@@ -251,15 +251,15 @@ object SparseOps {
   }
 
   /** Dense → sparse (spec/fixture helper): keep non-zero dims in order.
-    * Empty-input guard: sequence(0, -1) evaluates DESCENDING to [0, -1]
-    * in Spark, and the filter lambda would then element_at an invalid
-    * index — a zero-length vector must short-circuit to empty arrays. */
+    * Empty-input safety: the index list comes from the two-arg transform
+    * over the vector itself (element → its index), which is naturally
+    * zero-length for a zero-length vector — unlike sequence(0, size-1),
+    * which evaluates DESCENDING to [0, -1] when size = 0 and would feed
+    * the filter lambda an invalid element_at index. */
   def fromDense(vec: Column): (Column, Column) = {
     import org.apache.spark.sql.functions._
-    val idx = when(size(vec) === 0,
-        lit(Array.empty[Int]).cast(ArrayType(IntegerType, containsNull = false)))
-      .otherwise(filter(sequence(lit(0), size(vec) - 1),
-        i => element_at(vec, i + 1) =!= 0.0))
+    val idx = filter(transform(vec, (_, i) => i),
+      i => element_at(vec, i + 1) =!= 0.0)
     (idx.cast(ArrayType(IntegerType, containsNull = false)),
      transform(idx, i => element_at(vec, i + 1)))
   }

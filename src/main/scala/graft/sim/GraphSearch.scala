@@ -114,17 +114,8 @@ object GraphSearch {
       val beamDf = visited
         .withColumn("brn", row_number().over(wBeam)).filter($"brn" <= beam)
         .select($"qid", $"node")
-      // the beam is Q·B rows — broadcast it; the edge list stays put.
-      // Dedup BEFORE the visited-exclusion (anti-join = set semantics):
-      // a node reached through several beam edges arrives as multiple
-      // copies, and a bag-difference (exceptAll) would leave the
-      // surplus copies alive, re-adding an already-visited node — the
-      // duplicate-rank bug the oracle's DISTINCT + NOT EXISTS caught.
-      val frontier = und.join(broadcast(beamDf), und("src") === beamDf("node"))
-        .select($"qid", $"nbr".as("node"))
-        .distinct()
-        .join(visited.select($"qid", $"node"), Seq("qid", "node"), "left_anti")
-      visited = visited.unionByName(scored(frontier)).localCheckpoint(true)
+      visited = visited.unionByName(scored(hopFrontier(und, beamDf, visited)))
+        .localCheckpoint(true)
     }
     und.unpersist(false) // visited is checkpointed; the edge cache can go
     visited.filter($"node" =!= $"qid")
@@ -133,6 +124,23 @@ object GraphSearch {
       .select($"qid".as("query_id"), $"node".as("neighbor_id"), $"rank",
               round($"cos", 6).as("cos_sim"))
       .orderBy($"query_id", $"rank")
+  }
+
+  /** One hop of the walk: expand the beam (Q·B rows — BROADCAST it; the
+    * n·k edge list stays put, never shuffles) one step through the
+    * undirected edges. Dedup BEFORE the visited-exclusion (anti-join =
+    * set semantics): a node reached through several beam edges arrives
+    * as multiple copies, and a bag-difference (exceptAll) would leave
+    * the surplus copies alive, re-adding an already-visited node — the
+    * duplicate-rank bug the oracle's DISTINCT + NOT EXISTS caught. */
+  private[graft] def hopFrontier(und: DataFrame, beamDf: DataFrame,
+                                 visited: DataFrame): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    und.join(broadcast(beamDf), und("src") === beamDf("node"))
+      .select($"qid", $"nbr".as("node"))
+      .distinct()
+      .join(visited.select($"qid", $"node"), Seq("qid", "node"), "left_anti")
   }
 
   /** p67b: serve an md5-picked ~32-query panel over the persisted p67
