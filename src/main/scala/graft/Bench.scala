@@ -27,6 +27,17 @@ object Bench {
       // dev aid: SPARK_GRAFT_UI=true exposes the web UI / REST API for
       // plan-level debugging of scaled runs
       .config("spark.ui.enabled", sys.env.getOrElse("SPARK_GRAFT_UI", "false"))
+      // let AQE coalesce the plans that MATERIALIZE persisted frames:
+      // without this (default false) a persist() under the 8×cpus
+      // initial shuffle grain is pinned at the un-coalesced width — the
+      // iterative operators (pagerank/ppr/sssp, IPM feeds, dedup
+      // clusters) were scheduling 256-task stages over kilobyte
+      // partitions every iteration (measured: q52 ran 3120 tasks for a
+      // 16k-row graph). Cached-plan output partitioning is not part of
+      // any query's semantics; at scale the same flag lets cached
+      // frames land at the advisory partition size instead of the raw
+      // shuffle width.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // see Verify.scala: the codegen class cache (static conf, default
       // 100) must hold the whole query pack or evicted stages recompile
       // per task through janino — a 30-90x tax on later queries.

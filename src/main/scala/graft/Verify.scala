@@ -22,6 +22,10 @@ object Verify {
       .config("spark.sql.files.maxPartitionBytes", "32m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see Bench.scala: AQE may re-coalesce cached-plan output — the
+      // iterative operators otherwise materialize every persist() at
+      // the full 8×cpus initial width
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // static conf, default 100: the ML queries embed fitted weights as
       // literals, so each generates UNIQUE whole-stage sources that flood
       // the compiled-class cache; once it thrashes, every later task

@@ -63,18 +63,10 @@ object GraphSearch {
   private def md5Bucket(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
-  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Build p67's graph once per (dir, k) per JVM and persist the edge
-    * list; returns the parquet path both engines read. */
+  /** p67's persisted graph (built once per (dir, k) per JVM — shared
+    * with p67's own fit query; see [[NnDescent.graphPath]]). */
   private[graft] def graphPath(spark: SparkSession, dir: String, k: Int = NnDescent.K): String =
-    built.computeIfAbsent(s"$dir#$k", _ => {
-      val path = s"${graft.ml.ModelOracles.modelRoot(dir)}/p67_graph"
-      NnDescent.knnGraph(Tables.embeddings(spark, dir), "vec_id", "embedding", k)
-        .select(col("src").as("node_id"), col("nbr").as("neighbor_id"))
-        .coalesce(1).write.mode("overwrite").parquet(path)
-      path
-    })
+    NnDescent.graphPath(spark, dir, k)
 
   /** Greedy best-first walk of graph `g` (node_id, neighbor_id) over
     * corpus `e` (vec_id, embedding) for every query in `queries`

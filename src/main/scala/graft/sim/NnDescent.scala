@@ -118,6 +118,24 @@ object NnDescent {
     g
   }
 
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build the deterministic graph once per (dir, k) per JVM and persist
+    * the FULL edge rows (node_id, neighbor_id, rank, cos) — the one
+    * index build p67 (the fit query) and p67b (the serving query) both
+    * read, exactly like the IVF family's persisted centroids/codebooks.
+    * Before this, p67 and p67b each rebuilt the identical graph inside
+    * one JVM — a duplicated full fit per bench/verify run. */
+  private[graft] def graphPath(spark: SparkSession, dir: String, k: Int = K): String =
+    built.computeIfAbsent(s"$dir#$k", _ => {
+      val path = s"${graft.ml.ModelOracles.modelRoot(dir)}/p67_graph"
+      knnGraph(Tables.embeddings(spark, dir), "vec_id", "embedding", k)
+        .select(col("src").as("node_id"), col("nbr").as("neighbor_id"),
+                col("rank"), col("cos"))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** p67: the full deterministic 2-round NN-descent graph over the
     * embeddings corpus, hash-gated; mean recall vs the exact graph is
     * gated in-query (fail-fast, not emitted).
@@ -143,23 +161,25 @@ object NnDescent {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
     val n = e.count()
-    val g = knnGraph(e, "vec_id", "embedding").persist()
+    // serve the persisted build (shared with p67b's walk) — the rows are
+    // the same deterministic arithmetic either way; parquet stores the
+    // raw IEEE doubles exactly, so the 6dp output rounding is unchanged
+    val g = spark.read.parquet(graphPath(spark, dir))
     val every = math.max(1L, n / 256L)
     val anchors = e.filter(pmod(xxhash64($"vec_id"), lit(every)) === 0)
     val exact = Knn.bruteForce(e, anchors, "vec_id", "embedding", K)
-      .select($"query_id".as("src"), $"neighbor_id".as("nbr"))
+      .select($"query_id".as("node_id"), $"neighbor_id".as("nbr2"))
     val anchorEdges = g.join(
-      anchors.select($"vec_id".cast("long").as("src")), Seq("src"), "leftsemi")
-    val hit = anchorEdges.select($"src", $"nbr")
-      .join(exact, Seq("src", "nbr"), "leftsemi").count()
+      anchors.select($"vec_id".cast("long").as("node_id")), Seq("node_id"), "leftsemi")
+    val hit = anchorEdges.select($"node_id", $"neighbor_id".as("nbr2"))
+      .join(exact, Seq("node_id", "nbr2"), "leftsemi").count()
     val total = anchorEdges.count()
     val recall = hit.toDouble / math.max(total, 1L)
     val baseline = K.toDouble / math.max(n - 1, 1L)
     require(recall >= 10.0 * baseline,
       f"p67 panel mean recall $recall%.4f below 10x the random-graph baseline " +
       f"${baseline}%.2e — NN-descent regressed")
-    g.unpersist()
-    g.select($"src".as("node_id"), $"nbr".as("neighbor_id"), $"rank",
+    g.select($"node_id", $"neighbor_id", $"rank",
         round($"cos", 6).as("cos_sim"))
       .orderBy($"node_id", $"rank")
   }
