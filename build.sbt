@@ -37,4 +37,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 12g default: the host has 128 GiB; GC headroom keeps bench timings
   // stable when the driver runs the suite through sbt
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // match tools/run.sh: the ~1500 retained janino classes plus
+  // Spark/MLlib fill the JVM's default 240m code cache until the
+  // sweeper drops hot compiled methods (measured ~2x on the MLlib fit
+  // queries, round 5). The sbt-run path — the one the driver's bench
+  // uses — was still on the default.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODE_CACHE", "512m")}",
 )

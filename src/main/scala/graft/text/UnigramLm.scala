@@ -172,6 +172,11 @@ object UnigramLm {
       .groupBy(col("piece")).agg(sum(col("ccnt")).as("usage"))
     val kept = usage.join(singles, Seq("piece"), "full")
       .select(col("piece"), (coalesce(col("usage"), lit(0L)) + lit(1L)).as("u"))
+      // materialize the vocab-sized usage table ONCE: costTable's total
+      // (head) and the cost collect are two actions, and without this
+      // cut each re-ran the full Viterbi E-step over the corpus — the
+      // round's dominant pass, paid twice for the same integers
+      .localCheckpoint(true)
     costTable(kept)
   }
 

@@ -25,6 +25,7 @@ object QueryProfile {
         (cpus.toInt * 8).toString)
       .config("spark.sql.files.maxPartitionBytes", "32m")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true") // match Bench/Verify
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "1500")
       .getOrCreate()

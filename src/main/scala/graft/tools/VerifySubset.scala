@@ -17,6 +17,7 @@ object VerifySubset {
       // see Bench.scala: finer initial grain for fat-row shuffles
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "64")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true") // match Bench/Verify
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "1500") // see Verify.scala
       .getOrCreate()
