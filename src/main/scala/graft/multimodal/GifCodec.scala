@@ -232,6 +232,7 @@ object GifCodec {
   /** Independent decode via the JDK's GIF reader — raw palette indices
     * through the raster (identity palette ⇒ index = gray sample). */
   private[multimodal] def decodeWithImageIO(payload: Array[Byte]): Array[Byte] = {
+    MultimodalOps.imageIoNoCache // memory-backed ImageIO streams (no per-image temp file)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "imageio: payload is not a decodable image")
     require(img.getWidth == W && img.getHeight == H, "imageio: wrong dimensions")

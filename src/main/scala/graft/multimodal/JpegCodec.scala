@@ -541,6 +541,7 @@ object JpegCodec {
   /** Independent decode via the JDK's bundled IJG reader — RAW samples
     * (never getRGB: gray→sRGB color management would shift values). */
   private[multimodal] def decodeWithImageIO(payload: Array[Byte]): Array[Byte] = {
+    MultimodalOps.imageIoNoCache // memory-backed ImageIO streams (no per-image temp file)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "imageio: payload is not a decodable image")
     require(img.getWidth == W && img.getHeight == H, "imageio: wrong dimensions")

@@ -26,6 +26,16 @@ import graft.Tables
   */
 object MultimodalOps {
 
+  /** JVM-wide, once: ImageIO's default read path spools EVERY input
+    * stream through a disk cache file — for the codec queries' per-row
+    * in-memory payloads that is a temp-file create/write/delete per
+    * image, thousands per task. Memory-backed streams decode the same
+    * bytes without touching the filesystem. Referenced by every
+    * decodeWithImageIO/decodeBmp call; lazy so each executor JVM pays
+    * the static setter exactly once. */
+  private[multimodal] lazy val imageIoNoCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   val BmpWidth = 8
   val BmpHeight = 4
   val PixelBytes: Int = BmpWidth * BmpHeight * 3   // 96 (row stride 24 — no padding)
@@ -73,6 +83,7 @@ object MultimodalOps {
     * pixel bytes — the property the oracle checks and that makes the
     * sequential feature folds deterministic. */
   def decodeBmp(payload: Array[Byte]): Array[Double] = {
+    MultimodalOps.imageIoNoCache // memory-backed ImageIO streams (no per-image temp file)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "payload is not a decodable image")
     val w = img.getWidth; val h = img.getHeight

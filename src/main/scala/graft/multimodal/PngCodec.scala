@@ -209,6 +209,7 @@ object PngCodec {
   /** Independent decode via the JDK's own PNG reader, rendered in the
     * same top-down RGB order — the in-query cross-codec witness. */
   private[multimodal] def decodeWithImageIO(payload: Array[Byte]): Array[Byte] = {
+    MultimodalOps.imageIoNoCache // memory-backed ImageIO streams (no per-image temp file)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "imageio: payload is not a decodable image")
     require(img.getWidth == W && img.getHeight == H, "imageio: wrong dimensions")

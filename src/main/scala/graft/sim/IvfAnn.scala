@@ -38,17 +38,18 @@ object IvfAnn {
     km.fit(feats).clusterCenters.map(_.toArray)
   }
 
-  private def centroidLit(c: Array[Double]): Column = array(c.map(lit): _*)
-
-  /** Array of squared distances to every centroid (fused exprs). */
+  /** Array of squared distances to every centroid — ONE fused loop
+    * carrying the centroid table as a reference object (identical
+    * arithmetic/order to the per-centroid sq_distance literal trees it
+    * replaced; those put nlist×dim literal nodes into every plan that
+    * touched a centroid — see CodebookExpressions). */
   private[graft] def distances(vec: Column, centroids: Array[Array[Double]]): Column =
-    array(centroids.map(c => GraftFunctions.sq_distance(vec, centroidLit(c))): _*)
+    graft.functions.CodebookExpressions.centroidSqDistances(vec, centroids)
 
-  /** Index of the nearest centroid (0-based). */
-  def cellOf(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val d = distances(vec, centroids)
-    (array_position(d, array_min(d)) - 1).cast("int")
-  }
+  /** Index of the nearest centroid (0-based; first index on ties —
+    * exactly the old array_position(array_min) semantics). */
+  def cellOf(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.CodebookExpressions.centroidArgmin(vec, centroids)
 
   /** The `nprobe` nearest cell ids, from the distance array. */
   private[graft] def probeCellsCol(dCol: Column, nlist: Int, nprobe: Int): Column = {

@@ -45,11 +45,13 @@ object IvfPqAnn {
       k, nlist, nprobe, kCode, rerank)
   }
 
+  /** vec − centroid(cell), per dim — fused (the zip_with form carried
+    * the whole nlist×dim centroid literal into every consumer after
+    * CollapseProject; see CodebookExpressions and the residualBase
+    * barrier note below, which this shrinks but does not remove). */
   private def residualCol(vec: Column, cell: Column,
-                          centroids: Array[Array[Double]]): Column = {
-    val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
-    zip_with(vec, element_at(centLit, cell + 1), (a, b) => a - b)
-  }
+                          centroids: Array[Array[Double]]): Column =
+    graft.functions.CodebookExpressions.centroidResidual(vec, cell, centroids)
 
   /** (neighbor_id, nvec, cell, resid) — materialized BEFORE the
     * 128-codeword expressions see it: CollapseProject would otherwise

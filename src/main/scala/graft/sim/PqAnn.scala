@@ -132,28 +132,18 @@ object PqAnn {
     cs
   }
 
-  private def cwLit(c: Array[Double]): Column = array(c.map(lit): _*)
-
-  /** PQ code of a vector: m nearest-codeword indices (0-based). */
-  def encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
-    val m = codebooks.length
-    val sub = codebooks(0)(0).length
-    array((0 until m).map { s =>
-      val d = array(codebooks(s).map(cw =>
-        GraftFunctions.sq_distance(slice(vec, s * sub + 1, sub), cwLit(cw))): _*)
-      (array_position(d, array_min(d)) - 1).cast("int")
-    }: _*)
-  }
+  /** PQ code of a vector: m nearest-codeword indices (0-based; first
+    * index on ties). One fused loop with the codebooks as a reference
+    * object — the per-codeword sq_distance literal trees this replaced
+    * put m·k·sub literal nodes into the plan per call site (see
+    * CodebookExpressions); arithmetic and order are identical. */
+  def encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.CodebookExpressions.pqEncode(vec, codebooks)
 
   /** Per-query ADC table: flat array of m·k squared distances from each
-    * query subvector to each codeword. */
-  private[sim] def adcTable(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
-    val sub = codebooks(0)(0).length
-    array(codebooks.zipWithIndex.flatMap { case (cws, s) =>
-      cws.map(cw =>
-        GraftFunctions.sq_distance(slice(vec, s * sub + 1, sub), cwLit(cw)))
-    }: _*)
-  }
+    * query subvector to each codeword (subspace-major, fused loop). */
+  private[sim] def adcTable(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.CodebookExpressions.pqAdcTable(vec, codebooks)
 
   /** Unrolled ADC distance: Σ_s table[s·k + code[s]] — m element_at
     * lookups, all codegen. */
