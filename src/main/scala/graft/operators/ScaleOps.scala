@@ -348,14 +348,13 @@ object ScaleOps {
     val nlist = 16; val nprobe = 3; val m = 4; val kCode = 16
     val e = graft.Tables.embeddings(spark, dir)
     val centroids = IvfAnn.fitCentroids(e, "embedding", nlist)
-    val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
     // materialize (cell, resid) before the m·k codeword expressions
     // reference them — same CollapseProject explosion guard as IvfPqAnn
     val base = e.select(col("vec_id"),
         VectorOps.toDoubleArray(col("embedding")).as("v"))
       .withColumn("cell", IvfAnn.cellOf(col("v"), centroids))
-      .withColumn("resid",
-        zip_with(col("v"), element_at(centLit, col("cell") + 1), (a, b) => a - b))
+      .withColumn("resid", graft.functions.CodebookExpressions
+        .centroidResidual(col("v"), col("cell"), centroids))
       .localCheckpoint()
     val codebooks = PqAnn.fitCodebooks(base.select(col("resid")), "resid", m, kCode)
     base.select(col("vec_id"),
