@@ -37,7 +37,11 @@ object Bench {
       // any query's semantics; at scale the same flag lets cached
       // frames land at the advisory partition size instead of the raw
       // shuffle width.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // Env-overridable (SPARK_GRAFT_CACHED_REPART=false) for per-query
+      // A/B of the r14 flag at both core counts — the r14 verdict's
+      // anti-scaling cluster investigation.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_REPART", "true"))
       // see Verify.scala: the codegen class cache (static conf, default
       // 100) must hold the whole query pack or evicted stages recompile
       // per task through janino — a 30-90x tax on later queries.

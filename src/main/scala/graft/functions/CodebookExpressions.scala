@@ -54,6 +54,41 @@ object CodebookExpressions {
   /** Flat m·k ADC table: subspace-major squared distances. */
   def pqAdcTable(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     GraftShim.column(PqAdcTable(GraftShim.expression(vec), codebooks))
+
+  /** Per-class OVR decision values: d_k = w_k·φ + b_k (DotProduct order). */
+  def ovrDecisions(phi: Column, weights: Array[Array[Double]],
+                   intercepts: Array[Double]): Column =
+    GraftShim.column(OvrDecisions(GraftShim.expression(phi), weights, intercepts))
+}
+
+/** Content-based equality/hash/print for the array-table expressions:
+  * Array fields give case classes reference equals/hashCode and
+  * identity-hash toString ([[D@...]]), so canonicalization, subexpression
+  * elimination and exchange reuse never match two separately built
+  * instances, and explain output is nondeterministic (r14 ADVICE). */
+private[functions] trait TableExpr { self: Expression =>
+  /** The reference table flattened for equality/hash purposes. */
+  protected def tableRows: Array[Array[Double]]
+  protected def tableShape: String
+  final override def equals(o: Any): Boolean = o match {
+    case that: TableExpr if that.getClass == getClass =>
+      children == that.asInstanceOf[Expression].children &&
+        tableRows.length == that.tableRows.length &&
+        tableRows.indices.forall(i =>
+          java.util.Arrays.equals(tableRows(i), that.tableRows(i)))
+    case _ => false
+  }
+  final override def hashCode: Int = {
+    var h = getClass.hashCode * 31 + children.hashCode
+    var i = 0
+    while (i < tableRows.length) {
+      h = h * 31 + java.util.Arrays.hashCode(tableRows(i)); i += 1
+    }
+    h
+  }
+  // stable, bounded explain rendering: name + table shape, never the array
+  final override def stringArgs: Iterator[Any] =
+    children.iterator ++ Iterator(tableShape)
 }
 
 private[functions] trait VecArrayInput { self: UnaryExpression =>
@@ -67,10 +102,13 @@ private[functions] trait VecArrayInput { self: UnaryExpression =>
 /** d_c = Σ_j (v_j − c_j)² for every centroid c, [[SqDistance]] order. */
 case class CentroidSqDistances(child: Expression,
                                centroids: Array[Array[Double]])
-  extends UnaryExpression with VecArrayInput {
+  extends UnaryExpression with VecArrayInput with TableExpr {
 
   override def prettyName: String = "centroid_sq_distances"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def tableRows: Array[Array[Double]] = centroids
+  override protected def tableShape: String =
+    s"centroids[${centroids.length}x${if (centroids.isEmpty) 0 else centroids(0).length}]"
 
   private def compute(v: ArrayData): Array[Double] = {
     val out = new Array[Double](centroids.length)
@@ -105,13 +143,19 @@ case class CentroidSqDistances(child: Expression,
 /** First 0-based argmin over the centroid distances (strict `<`). */
 case class CentroidArgmin(child: Expression,
                           centroids: Array[Array[Double]])
-  extends UnaryExpression with VecArrayInput {
+  extends UnaryExpression with VecArrayInput with TableExpr {
 
   override def prettyName: String = "centroid_argmin"
   override def dataType: DataType = IntegerType
+  override protected def tableRows: Array[Array[Double]] = centroids
+  override protected def tableShape: String =
+    s"centroids[${centroids.length}x${if (centroids.isEmpty) 0 else centroids(0).length}]"
 
   def computeForCodegen(v: ArrayData): Int = {
-    var best = Double.MaxValue; var bi = 0
+    // PositiveInfinity, not MaxValue: an all-Infinity distance row must
+    // still return the first-index argmin the array_position(array_min)
+    // contract promises (r14 ADVICE)
+    var best = Double.PositiveInfinity; var bi = 0
     var c = 0
     while (c < centroids.length) {
       val cw = centroids(c)
@@ -140,10 +184,13 @@ case class CentroidArgmin(child: Expression,
 /** vec − centroids(cell) per dimension (`zip_with` on equal lengths). */
 case class CentroidResidual(left: Expression, right: Expression,
                             centroids: Array[Array[Double]])
-  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with TableExpr {
 
   override def prettyName: String = "centroid_residual"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def tableRows: Array[Array[Double]] = centroids
+  override protected def tableShape: String =
+    s"centroids[${centroids.length}x${if (centroids.isEmpty) 0 else centroids(0).length}]"
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(DoubleType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
@@ -152,8 +199,13 @@ case class CentroidResidual(left: Expression, right: Expression,
     }
 
   def computeForCodegen(v: ArrayData, cell: Int): GenericArrayData = {
+    require(cell >= 0 && cell < centroids.length,
+      s"centroid_residual: cell $cell out of range [0, ${centroids.length})")
     val cw = centroids(cell)
-    val n = v.numElements()
+    // clamp to the shorter length: a vector longer than the centroid dim
+    // must not throw past cw's end (the replaced zip_with null-padded;
+    // real inputs are always equal-length — r14 ADVICE hardening)
+    val n = math.min(v.numElements(), cw.length)
     val out = new Array[Double](n)
     var j = 0
     while (j < n) { out(j) = v.getDouble(j) - cw(j); j += 1 }
@@ -180,19 +232,31 @@ case class CentroidResidual(left: Expression, right: Expression,
   * `slice` + `sq_distance` + `array_position(array_min)` form). */
 case class PqEncode(child: Expression,
                     codebooks: Array[Array[Array[Double]]])
-  extends UnaryExpression with VecArrayInput {
+  extends UnaryExpression with VecArrayInput with TableExpr {
 
   override def prettyName: String = "pq_encode"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  @transient override protected lazy val tableRows: Array[Array[Double]] = codebooks.flatten
+  override protected def tableShape: String = {
+    val k = if (codebooks.isEmpty) 0 else codebooks(0).length
+    val sub = if (k == 0) 0 else codebooks(0)(0).length
+    s"codebooks[${codebooks.length}x${k}x$sub]"
+  }
 
   def computeForCodegen(v: ArrayData): GenericArrayData = {
     val m = codebooks.length
     val sub = codebooks(0)(0).length
+    // fail loudly on a short vector instead of reading past its end
+    // (UnsafeArrayData.getDouble is unchecked — r14 ADVICE hardening;
+    // the replaced slice+sq_distance form clamped, which would silently
+    // mis-encode: malformed input should never encode at all)
+    require(v.numElements() >= m * sub,
+      s"pq_encode: vector of ${v.numElements()} elements, need ${m * sub}")
     val out = new Array[Int](m)
     var s = 0; var off = 0
     while (s < m) {
       val cws = codebooks(s)
-      var best = Double.MaxValue; var bi = 0
+      var best = Double.PositiveInfinity; var bi = 0
       var c = 0
       while (c < cws.length) {
         val cw = cws(c)
@@ -221,15 +285,23 @@ case class PqEncode(child: Expression,
 /** Flat m·k ADC table, subspace-major, [[SqDistance]] order per cell. */
 case class PqAdcTable(child: Expression,
                       codebooks: Array[Array[Array[Double]]])
-  extends UnaryExpression with VecArrayInput {
+  extends UnaryExpression with VecArrayInput with TableExpr {
 
   override def prettyName: String = "pq_adc_table"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  @transient override protected lazy val tableRows: Array[Array[Double]] = codebooks.flatten
+  override protected def tableShape: String = {
+    val k = if (codebooks.isEmpty) 0 else codebooks(0).length
+    val sub = if (k == 0) 0 else codebooks(0)(0).length
+    s"codebooks[${codebooks.length}x${k}x$sub]"
+  }
 
   def computeForCodegen(v: ArrayData): GenericArrayData = {
     val m = codebooks.length
     val sub = codebooks(0)(0).length
     val k = codebooks(0).length
+    require(v.numElements() >= m * sub,
+      s"pq_adc_table: vector of ${v.numElements()} elements, need ${m * sub}")
     val out = new Array[Double](m * k)
     var s = 0; var off = 0
     while (s < m) {
@@ -255,5 +327,48 @@ case class PqAdcTable(child: Expression,
   }
 
   override protected def withNewChildInternal(c: Expression): PqAdcTable =
+    copy(child = c)
+}
+
+/** Per-class OVR decision array d_k = w_k·φ + b_k — replaces the
+  * classes × rank `array(lit…)` trees in multiclass SVM scoring (the
+  * same literal-bloat disease the codebook expressions cured; r14
+  * verdict item 4). Arithmetic is exactly the replaced form's:
+  * [[DotProduct]]'s left-to-right accumulation over min(len) elements,
+  * then `+ intercept` after the sum. */
+case class OvrDecisions(child: Expression,
+                        weights: Array[Array[Double]],
+                        intercepts: Array[Double])
+  extends UnaryExpression with VecArrayInput with TableExpr {
+
+  override def prettyName: String = "ovr_decisions"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  @transient override protected lazy val tableRows: Array[Array[Double]] =
+    weights :+ intercepts
+  override protected def tableShape: String =
+    s"classifiers[${weights.length}x${if (weights.isEmpty) 0 else weights(0).length}]"
+
+  def computeForCodegen(v: ArrayData): GenericArrayData = {
+    val out = new Array[Double](weights.length)
+    var k = 0
+    while (k < weights.length) {
+      val w = weights(k)
+      val n = math.min(v.numElements(), w.length)
+      var s = 0.0; var j = 0
+      while (j < n) { s += v.getDouble(j) * w(j); j += 1 }
+      out(k) = s + intercepts(k); k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    computeForCodegen(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ovrDecisions", this, classOf[OvrDecisions].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.computeForCodegen($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): OvrDecisions =
     copy(child = c)
 }

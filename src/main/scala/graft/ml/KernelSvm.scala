@@ -118,10 +118,12 @@ final case class MulticlassKernelSvmModel(
   /** Adds `prediction_class` (the argmax class label) over `vecCol`. */
   def predict(df: DataFrame, vecCol: String): DataFrame = {
     val phi = Nystrom.transform(df, vecCol, featureMap, "__phi")
-    val decisions = array(classes.indices.map { k =>
-      graft.functions.GraftFunctions.dot_product(
-        col("__phi"), array(weights(k).map(lit): _*)) + lit(intercepts(k))
-    }: _*)
+    // ONE reference-object expression instead of classes × rank literal
+    // nodes (the codebook-expression treatment; same DotProduct
+    // accumulation order + post-sum intercept, so decisions and the
+    // argmax below are bit-identical to the literal form)
+    val decisions = graft.functions.CodebookExpressions.ovrDecisions(
+      col("__phi"), weights, intercepts)
     phi.withColumn("__ds", decisions)
       .withColumn("prediction_class",
         element_at(array(classes.map(lit): _*),

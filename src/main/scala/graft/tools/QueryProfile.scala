@@ -25,7 +25,8 @@ object QueryProfile {
         (cpus.toInt * 8).toString)
       .config("spark.sql.files.maxPartitionBytes", "32m")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true") // match Bench/Verify
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_REPART", "true")) // match Bench/Verify
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "1500")
       .getOrCreate()

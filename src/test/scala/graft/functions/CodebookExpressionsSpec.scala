@@ -106,6 +106,64 @@ class CodebookExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ovrDecisions ≡ per-class dot_product(φ, lits) + intercept, bit-exact") {
+    val ws: Array[Array[Double]] = Array.tabulate(7)(k => v(k + 300, dim))
+    val bs: Array[Double] = Array.tabulate(7)(k => math.cos(k * 13) * 2.0)
+    val lits = array(ws.indices.map { k =>
+      GraftFunctions.dot_product(col("vec"), cwLit(ws(k))) + lit(bs(k))
+    }: _*)
+    val rows = vecsDf
+      .select(CodebookExpressions.ovrDecisions(col("vec"), ws, bs).as("f"),
+              lits.as("l"))
+      .collect()
+    rows.foreach { r =>
+      val f = r.getSeq[Double](0); val l = r.getSeq[Double](1)
+      assert(f == l, s"fused $f != literal $l")
+    }
+    // the argmax consumer stays the array_position(array_max) form —
+    // pin the full prediction path equivalence too
+    val classes = ws.indices.map(_.toDouble).toArray
+    val clsLit = array(classes.map(lit): _*)
+    val both = vecsDf.select(
+      element_at(clsLit, array_position(
+        CodebookExpressions.ovrDecisions(col("vec"), ws, bs),
+        array_max(CodebookExpressions.ovrDecisions(col("vec"), ws, bs))).cast("int")).as("f"),
+      element_at(clsLit, array_position(lits, array_max(lits)).cast("int")).as("l"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("table expressions: content-based equality/hash + stable rendering (r14 advice)") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val childRef = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    def mk() = CentroidSqDistances(childRef,
+      Array.tabulate(3)(c => v(c, 4))) // separately built, equal contents
+    assert(mk() == mk(), "content equality must hold across instances")
+    assert(mk().hashCode == mk().hashCode)
+    assert(mk().semanticEquals(mk()), "subexpression elimination relies on this")
+    assert(mk().toString == mk().toString, "explain rendering must be deterministic")
+    assert(!mk().toString.contains("@"), s"identity hash leaked: ${mk().toString}")
+    val other = CentroidSqDistances(childRef, Array.tabulate(3)(c => v(c + 9, 4)))
+    assert(mk() != other, "different tables must not compare equal")
+  }
+
+  test("hardening: short vectors fail loudly, long residual vectors clamp") {
+    import spark.implicits._
+    val short = Seq(Tuple1(Seq(1.0, 2.0))).toDF("vec")
+      .select($"vec".cast("array<double>").as("vec"))
+    val err = intercept[Exception] {
+      short.select(CodebookExpressions.pqEncode(col("vec"), codebooks)).collect()
+    }
+    assert(err.getMessage != null)
+    // residual: vector longer than the centroid dim clamps to dim
+    val long = Seq(Tuple1((0 until dim + 3).map(_.toDouble))).toDF("vec")
+      .select($"vec".cast("array<double>").as("vec"), lit(0).as("cell"))
+    val res = long.select(CodebookExpressions.centroidResidual(
+      col("vec"), col("cell"), centroids)).head().getSeq[Double](0)
+    assert(res.length == dim)
+  }
+
   test("fused expressions survive to the physical plan and codegen") {
     // spark.range input: a LocalRelation would fold the whole projection
     // into a LocalTableScan at plan time and show no codegen stage
