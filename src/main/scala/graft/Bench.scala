@@ -4,7 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // Fine-grained INITIAL shuffle partitioning, AQE coalesces small
@@ -24,6 +24,14 @@ object Bench {
       // pair-expansion stages (dedup banding) multiply row counts after
       // the shuffle, so a finer target keeps their parallelism
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      // SPARK_GRAFT_MIN_COALESCED: optional AQE coalescing floor
+      // (coalescePartitions.minPartitionNum), default UNSET. A/B'd in
+      // r15 for the driver's anti-scaling cluster: floor=cpus at 32
+      // cores was a wash on the cluster total (127.5 vs 129.1 s) and
+      // systematically HURT the iterative flag-winners (p59 +1.3 s,
+      // p39 +1.0 s, p7c +0.9 s — their tiny per-iteration cached frames
+      // pay 32-task stages), while p33c stayed inside its noise band.
+      // Kept as a knob for slow-box diagnosis, not as a default.
       // dev aid: SPARK_GRAFT_UI=true exposes the web UI / REST API for
       // plan-level debugging of scaled runs
       .config("spark.ui.enabled", sys.env.getOrElse("SPARK_GRAFT_UI", "false"))
@@ -48,6 +56,10 @@ object Bench {
       // Env-overridable for A/B-ing the late-suite contamination band.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "1500"))
+    val minCoalesced = sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "0")
+    val spark = (if (minCoalesced == "0") builder
+      else builder.config(
+        "spark.sql.adaptive.coalescePartitions.minPartitionNum", minCoalesced))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Data-contract gate FIRST, and loudly: a changed on-disk encoding

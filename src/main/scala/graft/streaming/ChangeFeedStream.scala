@@ -55,6 +55,10 @@ object ChangeFeedStream {
     val agg = spark.read.parquet(s"$root/agg_$v")
     val net = lwwKeepTombstones(
       batch.select(col("k"), col("price"), col("status"), col("deleted"), col("version")), "k")
+    // materialized EAGERLY (batch-sized): both the aggregate-delta write
+    // and the state write below consume `joined` — unpersisted, the
+    // batch's LWW window + state join ran TWICE per micro-batch
+    // (measured via QueryProfile: the two writes dominate the batch)
     val joined = net.join(
       state.select(col("k"), col("price").as("pre_price"),
         col("status").as("pre_status"), col("deleted").as("pre_deleted"),
@@ -62,6 +66,7 @@ object ChangeFeedStream {
       Seq("k"), "left")
       // stale guard: a batch whose net version lost to state is a no-op
       .filter(col("pre_version").isNull || col("version") > col("pre_version"))
+      .localCheckpoint(true)
     val preLive = col("pre_version").isNotNull && !col("pre_deleted")
     // per-status deltas in INTEGER CENTS: −pre where a live pre-image
     // leaves a status, +post where a live post-image enters one. Cents
@@ -126,12 +131,15 @@ object ChangeFeedStream {
       .option("maxFilesPerTrigger", "1")
       .parquet(feedRoot)
     val t0 = System.nanoTime()
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) applyBatch(spark, mvRoot, batch)
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val q = EventStreams.withStateParts(spark) {
+      val q0 = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) applyBatch(spark, mvRoot, batch)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q0.awaitTermination()
+      q0
+    }
     StreamMeters.record("s13_stream_change_feed", (System.nanoTime() - t0) / 1e9,
       StreamMeters.batchSeconds(q))
     val finCents = spark.read

@@ -132,6 +132,22 @@ object EventStreams {
 
   private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
 
+  /** The keyed state-layout width [[runToMemory]] uses, for the
+    * self-managed foreachBatch streams (s11/s13) that don't go through
+    * it: micro-batch plans run with AQE disabled, so every stateful or
+    * batch-side shuffle otherwise executes at the session's full
+    * shuffle width over batch-sized rows — measured 32-task stages per
+    * micro-batch on frames of a few thousand rows. Same
+    * cluster-shape-derived formula, same restore discipline. */
+  private[streaming] def withStateParts[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val stateParts = math.max(4, spark.sparkContext.defaultParallelism / 4)
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private[streaming] def stateStoreProvider: String =
     sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb") match {
       case "memory" =>
@@ -698,23 +714,26 @@ object EventStreams {
             org.apache.spark.sql.types.LongType))))
       .write.mode("overwrite").parquet(s"$stateRoot/state_0")
     val t0s11 = System.nanoTime()
-    val q = counts.writeStream.outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // last-writer-wins: this batch's rows replace same-key view rows.
-        // The version cursor is the _SUCCESS-gated directory listing (the
-        // s5 rule) so a restarted query resumes from committed state and
-        // skips torn writes — filesystem listing also gives the final
-        // read below its cross-thread visibility (the r9 AtomicInteger
-        // mirror is gone with it).
-        val ver = latestStateVersion(stateRoot)
-        val merged = spark.read.parquet(s"$stateRoot/state_$ver")
-          .join(batch, Seq("window_start", "item"), "left_anti")
-          .unionByName(batch)
-        // next version, never in place (the s5 rule)
-        merged.write.mode("overwrite").parquet(s"$stateRoot/state_${ver + 1}")
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val q = withStateParts(spark) {
+      val q0 = counts.writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // last-writer-wins: this batch's rows replace same-key view rows.
+          // The version cursor is the _SUCCESS-gated directory listing (the
+          // s5 rule) so a restarted query resumes from committed state and
+          // skips torn writes — filesystem listing also gives the final
+          // read below its cross-thread visibility (the r9 AtomicInteger
+          // mirror is gone with it).
+          val ver = latestStateVersion(stateRoot)
+          val merged = spark.read.parquet(s"$stateRoot/state_$ver")
+            .join(batch, Seq("window_start", "item"), "left_anti")
+            .unionByName(batch)
+          // next version, never in place (the s5 rule)
+          merged.write.mode("overwrite").parquet(s"$stateRoot/state_${ver + 1}")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q0.awaitTermination()
+      q0
+    }
     StreamMeters.record("s11_stream_trending", (System.nanoTime() - t0s11) / 1e9,
       StreamMeters.batchSeconds(q))
     val fin = spark.read.parquet(s"$stateRoot/state_${latestStateVersion(stateRoot)}")
