@@ -46,12 +46,16 @@ object SaRepeats {
   val MaxLevel = 128 // levels 1,2,4,...,128
 
   /** Per-doc repeat-start counts from a stored level: positions whose
-    * label is duplicated corpus-wide. Doc-sized; materialized eagerly so
-    * level files can be dropped. */
+    * label is duplicated corpus-wide. Doc-sized and LAZY: for k ≥ 2 the
+    * level is a parquet read, so recomputation is a tiny column scan —
+    * the r15 profile showed 7 eager per-level materializations costing
+    * ~2 s of pure action barriers; deferring them lets the final join
+    * compute every level's counts in ONE action with the scans
+    * overlapping (guide §2.6). Level files are retained until the
+    * consumer runs (see [[repLadderThen]]). */
   private def repCounts(level: DataFrame, k: Int): DataFrame =
     level.filter(col("dup"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as(s"rep_$k"))
-      .localCheckpoint(true)
 
   /** The repeat ladder: (level -> per-doc rep counts) for levels
     * 1,2,4,...,maxLevel over a (doc_id, pos, ch) frame.
@@ -105,13 +109,35 @@ object SaRepeats {
     * (the spec drives both and equality with the default). */
   private[graft] def repLadder(chars: DataFrame, maxLevel: Int,
                                densifyAbove: Long = 3000000000L,
-                               pruneBelow: Double = 0.5): Seq[(Int, DataFrame)] = {
+                               pruneBelow: Double = 0.5): Seq[(Int, DataFrame)] =
+    // spec/tool surface: frames must stay usable after return, so each
+    // is materialized before the level files are dropped
+    repLadderThen(chars, maxLevel, densifyAbove, pruneBelow)(
+      _.map { case (k, rep) => (k, rep.localCheckpoint(true)) })
+
+  /** Run `consume` over the (level → lazy per-doc rep counts) ladder
+    * BEFORE the temp level files are removed — the query path builds its
+    * final join inside `consume` and materializes every level's counts
+    * in one action. */
+  private[graft] def repLadderThen[T](chars: DataFrame, maxLevel: Int,
+                                      densifyAbove: Long = 3000000000L,
+                                      pruneBelow: Double = 0.5)(
+                                      consume: Seq[(Int, DataFrame)] => T): T = {
     val spark = chars.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val tmp = java.nio.file.Files.createTempDirectory("graft_p33c").toString
+    // level-file codec, env-overridable for I/O-vs-CPU A/B on boxes with
+    // slow scratch storage (SPARK_GRAFT_P33C_CODEC=zstd|snappy|lz4|...)
+    val codec = sys.env.getOrElse("SPARK_GRAFT_P33C_CODEC", "")
     def store(df: DataFrame, k: Int): DataFrame = {
-      df.write.mode("overwrite").parquet(s"$tmp/lvl_$k")
+      val w = df.write.mode("overwrite")
+      (if (codec.isEmpty) w else w.option("compression", codec))
+        .parquet(s"$tmp/lvl_$k")
+      if (sys.env.contains("SPARK_GRAFT_P33C_DEBUG")) {
+        val bytes = graft.operators.ScaleOps.dirBytes(s"$tmp/lvl_$k")
+        System.err.println(f"[p33c] level $k%3d stored ${bytes / 1048576.0}%8.2f MiB")
+      }
       spark.read.parquet(s"$tmp/lvl_$k")
     }
     // SINGLETON PRUNING (the classic prefix-doubling optimization): a
@@ -149,7 +175,10 @@ object SaRepeats {
       var pruned = false
       def dupTotal(rep: DataFrame, k: Int): Long =
         rep.agg(coalesce(sum(col(s"rep_$k")), lit(0L))).head().getLong(0)
-      val rep1 = repCounts(cur, 1)
+      // level 1 is never stored, so its rep frame IS materialized (two
+      // consumers — the prune decision and the final join — must not
+      // re-run the corpus explode)
+      val rep1 = repCounts(cur, 1).localCheckpoint(true)
       if (dupTotal(rep1, 1).toDouble / total < pruneBelow) pruned = true
       val out = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)]((1, rep1))
       var k = 1
@@ -248,7 +277,10 @@ object SaRepeats {
         val t0 = System.nanoTime()
         val next = store(stored, 2 * k)
         release()
-        graft.operators.ScaleOps.deleteRecursively(s"$tmp/lvl_$k")
+        // pair files are fully consumed within this round's store; level
+        // files are RETAINED until `consume` runs (lazy rep counts read
+        // them — ≤ position-sized columnar temp, the honest cost of a
+        // single-action final rollup)
         graft.operators.ScaleOps.deleteRecursively(s"$tmp/pair_$k")
         k = 2 * k
         val rep = repCounts(next, k)
@@ -259,10 +291,9 @@ object SaRepeats {
           pruned = true
         cur = next
       }
-      out.toSeq
+      consume(out.toSeq)
     } finally {
-      // every rep frame is eagerly materialized (localCheckpoint), so
-      // no caller ever re-reads the level files -- drop them all
+      // `consume` has materialized everything it needs; drop the levels
       graft.operators.ScaleOps.deleteRecursively(tmp)
     }
   }
@@ -279,19 +310,24 @@ object SaRepeats {
       .select($"doc_id",
         posexplode(filter(split($"text", ""), x => x =!= lit(""))))
       .withColumnRenamed("col", "ch")
-    val levels = repLadder(chars, MaxLevel)
     // n_chars narrowly from the doc table (≡ chars-count per doc); docs
     // with no characters stay absent, matching the oracle's grouped ch
     val perDoc = Tables.documents(spark, dir)
       .select($"doc_id",
         size(filter(split($"text", ""), x => x =!= lit(""))).cast("long").as("n_chars"))
       .filter($"n_chars" > 0)
-    val joined = levels.map(_._2)
-      .foldLeft(perDoc)((acc, r) => acc.join(r, Seq("doc_id"), "left"))
-    levels.map(_._1).foldLeft(joined) { (df, k) =>
-      df.withColumn(s"rep_$k", coalesce(col(s"rep_$k"), lit(0L)))
-    }.orderBy($"doc_id")
-      .localCheckpoint(true)
+    // the final join runs INSIDE the ladder's consume window: every
+    // level's per-doc counts are lazy scans of the retained level files,
+    // so the rollup is ONE action with the 8 level aggregations
+    // overlapping, instead of 8 sequential materialization barriers
+    repLadderThen(chars, MaxLevel) { levels =>
+      val joined = levels.map(_._2)
+        .foldLeft(perDoc)((acc, r) => acc.join(r, Seq("doc_id"), "left"))
+      levels.map(_._1).foldLeft(joined) { (df, k) =>
+        df.withColumn(s"rep_$k", coalesce(col(s"rep_$k"), lit(0L)))
+      }.orderBy($"doc_id")
+        .localCheckpoint(true)
+    }
   }
 
   /** DuckDB replay: the same doubling recurrence with dense_rank (label

@@ -44,11 +44,12 @@ final case class KernelSvmModel(
     weights: Array[Double],
     intercept: Double) extends Serializable {
 
-  /** Decision value f(x) = w·φ(x) + b as a column over `vecCol`. */
-  private def decisionCol(featCol: Column): Column = {
-    val w = array(weights.map(lit): _*)
-    graft.functions.GraftFunctions.dot_product(featCol, w) + lit(intercept)
-  }
+  /** Decision value f(x) = w·φ(x) + b as a column over `vecCol` — one
+    * reference-object node (the single-class OvrDecisions), identical
+    * arithmetic to dot_product(φ, array(lit…)) + lit(b). */
+  private def decisionCol(featCol: Column): Column =
+    element_at(graft.functions.CodebookExpressions.ovrDecisions(
+      featCol, Array(weights), Array(intercept)), 1)
 
   /** Adds `decision` (double) and `prediction` (±1) columns. */
   def predict(df: DataFrame, vecCol: String): DataFrame =

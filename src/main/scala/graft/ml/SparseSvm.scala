@@ -28,10 +28,12 @@ final case class SparseKernelSvmModel(
   /** Adds `decision` (double) and `prediction` (±1) columns over the
     * (idxCol, valCol) sparse pair. */
   def predict(df: DataFrame, idxCol: String, valCol: String): DataFrame = {
-    val w = array(weights.map(lit): _*)
     SparseNystrom.transform(df, idxCol, valCol, featureMap, "__phi")
       .withColumn("decision",
-        graft.functions.GraftFunctions.dot_product(col("__phi"), w) + lit(intercept))
+        // one reference-object node, same arithmetic as
+        // dot_product(φ, array(lit…)) + lit(b) (see KernelSvmModel)
+        element_at(graft.functions.CodebookExpressions.ovrDecisions(
+          col("__phi"), Array(weights), Array(intercept)), 1))
       .withColumn("prediction", when(col("decision") >= 0, 1.0).otherwise(-1.0))
       .drop("__phi")
   }

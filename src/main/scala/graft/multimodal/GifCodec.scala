@@ -282,7 +282,7 @@ object GifCodec {
           s += b / 255.0
           if (b < mn) mn = b
           if (b > mx) mx = b
-          hex.append(f"$b%02x")
+          MultimodalOps.appendHex2(hex, b)
           i += 1
         }
         (id, raster.length, s / raster.length, mn, mx, hex.toString)

@@ -36,6 +36,16 @@ object MultimodalOps {
   private[multimodal] lazy val imageIoNoCache: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Append exactly `f"$b%02x"` without allocating a java.util.Formatter
+    * per byte — the raster-hex loops call this once per pixel byte
+    * (hundreds of thousands of calls per task). Out-of-range values fall
+    * back to the formatter so the rendering is identical by cases. */
+  private[multimodal] def appendHex2(sb: StringBuilder, b: Int): StringBuilder =
+    if (b >= 0 && b < 256) sb.append(HexDigits(b >> 4)).append(HexDigits(b & 0xf))
+    else sb.append(f"$b%02x")
+
   val BmpWidth = 8
   val BmpHeight = 4
   val PixelBytes: Int = BmpWidth * BmpHeight * 3   // 96 (row stride 24 — no padding)
@@ -216,7 +226,7 @@ object MultimodalOps {
         while (i < rpx.length) {
           val b = Math.round(rpx(i) * 255.0).toInt
           s += rpx(i)
-          hex.append(f"$b%02x")
+          appendHex2(hex, b)
           i += 1
         }
         (id, ow, oh, s / rpx.length, hex.toString)

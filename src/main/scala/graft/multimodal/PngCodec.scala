@@ -262,7 +262,7 @@ object PngCodec {
           s += b / 255.0
           if (b < mn) mn = b
           if (b > mx) mx = b
-          hex.append(f"$b%02x")
+          MultimodalOps.appendHex2(hex, b)
           i += 1
         }
         (id, raster.length, s / raster.length, mn, mx, hex.toString)

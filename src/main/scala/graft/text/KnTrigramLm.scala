@@ -55,23 +55,23 @@ object KnTrigramLm {
     * total over any (w1,w2,w3) and never emits null probabilities.
     * Returns `triples` + integer count columns + p1/p2/p3. */
   def scoreTriples(occs: DataFrame, triples: DataFrame): DataFrame =
-    scoreFromCounts(trigramCounts(occs), triples)
+    scoreFromCounts(
+      occs.groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("t")),
+      triples)
 
-  /** The corpus-pass aggregate every KN level rolls up from, materialized
-    * EAGERLY (model-sized: one row per distinct trigram). Without the cut
-    * the `tot` scalar below is a separate driver action on an unpersisted
-    * shared prefix — it re-ran the full corpus scan → trigram explode →
-    * count chain once per invocation, and the level aggregates then
-    * leaned on ReuseExchange for the rest (guide §1.2: don't compute the
-    * dominant pass twice; §5: cache what two actions reuse). */
-  def trigramCounts(occs: DataFrame): DataFrame =
-    occs.groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("t"))
-      .localCheckpoint(true)
-
-  /** KN levels from a materialized distinct-trigram count table — every
-    * aggregate (c12/cont23/mid/uni and the `tot` scalar) reads `t3`, so
-    * the corpus is scanned exactly once however many levels roll up. */
+  /** KN levels from the distinct-trigram count table `t3`. Every
+    * aggregate (c12/cont23/mid/uni) rolls up from `t3`, and the N₁₊(··)
+    * normalizer joins in as a 1-row BROADCAST aggregate (the q39b 1-row
+    * total idiom) instead of the old `cont23.count()` driver action —
+    * that action re-ran the full corpus scan → trigram explode → count
+    * chain once per invocation because nothing was persisted, while
+    * inside ONE action ReuseExchange computes the t3 shuffle once for
+    * all five consumers (guide §1.2: don't run the dominant pass twice;
+    * measured: an eager localCheckpoint of t3 was WORSE — distinct
+    * trigrams are corpus-sized on natural text, and row-serialized
+    * blocks lose to the reused columnar exchange). The division by the
+    * joined `tot` column is the same double division as the old
+    * `lit(tot.toDouble)`, so p1/p2/p3 are bit-identical. */
   def scoreFromCounts(t3: DataFrame, triples: DataFrame): DataFrame = {
     val c12 = t3.groupBy(col("w1"), col("w2"))
       .agg(sum(col("t")).as("c12"), count(lit(1)).as("n3"))
@@ -81,7 +81,7 @@ object KnTrigramLm {
       .agg(sum(lit(1L)).as("mid_ctx"), sum(col("cont23")).as("mid_den"))
     val uni = cont23.groupBy(col("w3"))
       .agg(count(lit(1)).as("uni")) // distinct w2 per w3
-    val tot = cont23.count() // N1+(··): one scalar, a count aggregate
+    val tot = cont23.agg(count(lit(1)).cast("double").as("__tot")) // N1+(··)
     val d = lit(Discount)
     val zero = lit(0.0)
     def cnt(c: Column) = coalesce(c, lit(0L)).cast("double")
@@ -91,11 +91,13 @@ object KnTrigramLm {
       .join(cont23, Seq("w2", "w3"), "left")
       .join(mid, Seq("w2"), "left")
       .join(uni, Seq("w3"), "left")
-      .withColumn("p1", cnt(col("uni")) / lit(tot.toDouble))
+      .crossJoin(broadcast(tot))
+      .withColumn("p1", cnt(col("uni")) / col("__tot"))
       .withColumn("p2", when(col("mid_den").isNull, col("p1")).otherwise(
         (greatest(cnt(col("cont23")) - d, zero) + d * col("mid_ctx") * col("p1")) / col("mid_den")))
       .withColumn("p3", when(col("c12").isNull, col("p2")).otherwise(
         (greatest(cnt(col("t")) - d, zero) + d * col("n3") * col("p2")) / col("c12")))
+      .drop("__tot")
   }
 
   /** Trigram occurrences per doc over the whitespace tokens (docs with
@@ -116,10 +118,12 @@ object KnTrigramLm {
   def query(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val occ = docTrigrams(spark, dir)
-    val t3 = trigramCounts(occ.select($"w1", $"w2", $"w3"))
+    val t3 = occ.select($"w1", $"w2", $"w3")
+      .groupBy($"w1", $"w2", $"w3").agg(count(lit(1)).as("t"))
     // the distinct trigram set IS t3's key set — the old
     // occ.select(...).distinct() re-scanned and re-shuffled the corpus
-    // for a frame the count table already holds
+    // through a SECOND aggregate; deriving types from t3 makes every
+    // level roll up from the one exchange ReuseExchange already shares
     val types = t3.select($"w1", $"w2", $"w3")
     val model = scoreFromCounts(t3, types)
       .select($"w1", $"w2", $"w3",

@@ -15,9 +15,18 @@ object PlanAudit {
       .filter(q => names.isEmpty || names.contains(q._1))
       .foreach { case (name, fn) =>
         println(s"\n========== $name ==========")
-        try println(fn(spark, dir).queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
-        catch { case e: Throwable => println(s"explain failed: $e") }
+        try {
+          val df = fn(spark, dir)
+          // SPARK_GRAFT_PLAN_EXEC=true: run the query and print the FINAL
+          // adaptive plan — the only place ReusedExchange/AQEShuffleRead
+          // are visible (the formatted initial plan expands duplicate
+          // subtrees that AQE deduplicates at runtime)
+          if (sys.env.get("SPARK_GRAFT_PLAN_EXEC").contains("true")) {
+            df.write.format("noop").mode("overwrite").save()
+            println(df.queryExecution.executedPlan.toString)
+          } else println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        } catch { case e: Throwable => println(s"explain failed: $e") }
       }
     spark.stop()
   }
